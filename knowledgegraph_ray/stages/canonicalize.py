@@ -1,0 +1,370 @@
+"""Entity canonicalization: candidate keys → connected components → group merge.
+
+Replaces the reference's O(N²) in-batch pairwise matcher + transitive closure
+(/root/reference/src/workspace_kg/components/systematic_merge_provider.py:152-298)
+with a **key-based distributed equivalent**:
+
+1. every mention emits candidate keys derived from the type's systematic
+   matching rules (entity_config.yaml:493-615) — an exact rule emits one key
+   per normalized scalar value, a search rule emits one key per normalized
+   value of both the scalar probe field and the array field, so value-in-array
+   and array-overlap matches share a key;
+2. connected components over the bipartite mention↔key graph via iterative
+   min-label propagation (alternating groupby-aggregate shuffles with
+   per-batch partial pre-aggregation — the explicit two-phase/salting answer
+   to head-entity skew);
+3. one merge per component via groupby(comp).map_groups with rows sorted by
+   the global mention ordinal, pinning the reference's "first item wins"
+   semantics (:713-726) to a deterministic order.
+
+Semantics note: the reference matches email scalars against ``emails`` arrays
+only through the database probe (:344-353), so cross-document email identity
+emerges via the DB accumulator; emitting scalar+array values under one key
+namespace reproduces that *global fixpoint* directly. Scalar name vs alias
+values stay in separate namespaces, exactly as in the reference (name-exact
+never matches an alias).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..config import (
+    ARRAY_NODE_COLUMNS,
+    SCALAR_NODE_COLUMNS,
+    STRING_MERGE_FIELDS,
+    array_fields_for,
+    get_spec,
+    llm_to_db_field,
+    match_rules_for,
+)
+from ..functions.normalize import norm_string
+
+SEP = "\x1e"
+
+PAIR_SCHEMA = pa.schema([("key", pa.string()), ("mid", pa.int64())])
+
+
+def mention_keys(batch: pa.Table) -> pa.Table:
+    """mentions → (key, mid) candidate pairs, one per matching-rule value."""
+    keys: list[str] = []
+    mids: list[int] = []
+    for mid, etype, aj in zip(
+        batch.column("mid").to_pylist(),
+        batch.column("entity_type").to_pylist(),
+        batch.column("attributes_json").to_pylist(),
+    ):
+        attrs = json.loads(aj) if aj else {}
+        for rule in match_rules_for(etype):
+            if rule.rule == "exact":
+                v = attrs.get(rule.match)
+                if isinstance(v, list):
+                    v = v[0] if v else None
+                nv = norm_string(str(v)) if v else ""
+                if nv:
+                    keys.append(f"{etype}{SEP}{rule.match}{SEP}{nv}")
+                    mids.append(mid)
+            else:  # search: scalar probe field + array field share one namespace
+                vals: list[Any] = []
+                sv = attrs.get(rule.match)
+                if isinstance(sv, list):
+                    vals.extend(sv)
+                elif sv:
+                    vals.append(sv)
+                lv = attrs.get(rule.db)
+                if isinstance(lv, list):
+                    vals.extend(lv)
+                elif lv:
+                    vals.append(lv)
+                for v in vals:
+                    nv = norm_string(str(v))
+                    if nv:
+                        keys.append(f"{etype}{SEP}{rule.db}{SEP}{nv}")
+                        mids.append(mid)
+    return pa.Table.from_pydict({"key": keys, "mid": mids}, schema=PAIR_SCHEMA)
+
+
+def _batch_min_by(group_col: str, value_col: str, out_col: str):
+    """Per-batch partial min — runs before the groupby shuffle so hub keys
+    contribute at most one row per block to the exchange (skew mitigation)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {group_col: pa.array([], batch.column(group_col).type),
+                 out_col: pa.array([], pa.int64())}
+            )
+        t = batch.select([group_col, value_col]).group_by(group_col).aggregate(
+            [(value_col, "min")]
+        )
+        return t.rename_columns([group_col, out_col])
+
+    return fn
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    num_partitions: int = 16,
+    max_rounds: int = 8,
+) -> rd.Dataset:
+    """(key, mid) pairs → (mid, comp) labels.
+
+    Alternating min-label propagation over the bipartite mention↔key graph —
+    the distributed form of the reference's transitive closure
+    (systematic_merge_provider.py:239-298).  Converges in O(component
+    diameter) rounds; entity-resolution components are shallow (shared keys),
+    so the cap is a guard, not a budget.  Each round materializes only the
+    pair table (never the input corpus).
+    """
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return batch.append_column("label", batch.column("mid"))
+
+    P = pairs.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        # key → min(label), with per-batch partial pre-aggregation
+        kmin = (
+            P.map_batches(_batch_min_by("key", "label", "kl"), batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Min("kl", alias_name="kl"))
+        )
+        # propagate key-min back onto pairs
+        pk = P.join(kmin, join_type="inner", num_partitions=num_partitions, on=("key",))
+        # mid → min over its keys' minima
+        mmin = (
+            pk.map_batches(_batch_min_by("mid", "kl", "nl"), batch_format="pyarrow")
+            .groupby("mid")
+            .aggregate(Min("nl", alias_name="nl"))
+        )
+        pm = pk.join(mmin, join_type="inner", num_partitions=num_partitions, on=("mid",))
+
+        def update(batch: pa.Table) -> pa.Table:
+            changed = pc.cast(
+                pc.not_equal(batch.column("nl"), batch.column("label")), pa.int64()
+            )
+            out = batch.select(["key", "mid"])
+            out = out.append_column("label", batch.column("nl"))
+            return out.append_column("changed", changed)
+
+        P = pm.map_batches(update, batch_format="pyarrow").materialize()
+        n_changed = P.sum("changed", ignore_nulls=True) or 0
+        P = P.drop_columns(["changed"])
+        if n_changed == 0:
+            break
+
+    labels = (
+        P.map_batches(_batch_min_by("mid", "label", "comp"), batch_format="pyarrow")
+        .groupby("mid")
+        .aggregate(Min("comp", alias_name="comp"))
+    )
+    return labels
+
+
+def attach_components(
+    mentions: rd.Dataset, labels: rd.Dataset, num_partitions: int = 16
+) -> rd.Dataset:
+    """Left-join mentions with (mid, comp); keyless mentions become singleton
+    components (comp = mid)."""
+    joined = mentions.join(
+        labels, join_type="left_outer", num_partitions=num_partitions, on=("mid",)
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        comp = pc.coalesce(batch.column("comp"), batch.column("mid"))
+        i = batch.column_names.index("comp")
+        return batch.set_column(i, "comp", comp)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Group merge (create-entity-from-group semantics, D3/D5)
+# ---------------------------------------------------------------------------
+
+NODES_SCHEMA = pa.schema(
+    [("comp", pa.int64()), ("min_ord", pa.int64())]
+    + [(c, pa.string()) for c in SCALAR_NODE_COLUMNS]
+    + [(c, pa.list_(pa.string())) for c in ARRAY_NODE_COLUMNS]
+    + [("surfaces", pa.list_(pa.string())), ("n_mentions", pa.int64())]
+)
+
+
+def transform_attributes(entity_type: str, raw: dict[str, Any]) -> dict[str, Any]:
+    """LLM attribute dict → DB field dict (M12; mirrors
+    systematic_merge_provider.py:867-926 + entity_config.py:141-150).
+
+    description always becomes a list; values landing on array columns are
+    wrapped/extended; attributes with no schema column are dropped (the
+    reference's DB layer drops them at write, kuzu_db_handler.py:153-168).
+    """
+    spec = get_spec(entity_type)
+    if spec is None:
+        return dict(raw)
+    fmap = spec.field_map()
+    out: dict[str, Any] = {}
+    for llm_field, value in raw.items():
+        if value is None:
+            continue
+        target = llm_to_db_field(entity_type, llm_field)
+        if llm_field == "description":
+            value = value if isinstance(value, list) else ([value] if value else [])
+        fs = fmap.get(target)
+        if fs is None:
+            continue  # not a schema column → dropped at the sink in the reference
+        if fs.is_array:
+            vals = value if isinstance(value, list) else ([value] if value else [])
+            if target in out:
+                out[target] = out[target] + [v for v in vals]
+            else:
+                out[target] = list(vals)
+        else:
+            if isinstance(value, list):
+                value = value[0] if value else None
+            if value is not None:
+                out[target] = value
+    return out
+
+
+def _merge_group_rows(
+    etype: str,
+    names: list[str],
+    attrs_list: list[dict[str, Any]],
+    urls: list[str],
+    perms_list: list[list[str]],
+) -> dict[str, Any]:
+    """Merge one sorted component into a canonical node (rows pre-sorted by
+    mid).  Mirrors _create_entity_from_group (systematic_merge_provider.py:
+    713-850): first item is the base, other surface names become aliases,
+    scalar merge-fields keep the first non-empty value with later conflicts
+    overflowing into aliases, array fields append unique values in order."""
+    spec = get_spec(etype)
+    valid_fields = spec.field_map() if spec else {}
+    arr_fields = array_fields_for(etype)
+    string_fields = [f for f in STRING_MERGE_FIELDS if f in valid_fields]
+
+    merged = transform_attributes(etype, attrs_list[0])
+    primary = names[0]
+    merged["name"] = primary
+
+    aliases = merged.get("aliases")
+    if not isinstance(aliases, list):
+        aliases = []
+    merged["aliases"] = aliases
+    for n in names[1:]:
+        if n != primary and n not in aliases:
+            aliases.append(n)
+
+    for f in arr_fields:
+        cur = merged.get(f)
+        if cur is None:
+            merged[f] = []
+        elif not isinstance(cur, list):
+            merged[f] = [cur] if cur else []
+
+    for raw_attrs, perm in zip(attrs_list[1:], perms_list[1:]):
+        attrs = transform_attributes(etype, raw_attrs)
+        for f in string_fields:
+            v = attrs.get(f)
+            if f in attrs and v:
+                if not merged.get(f):
+                    merged[f] = v
+                elif v != merged[f] and "aliases" in valid_fields:
+                    if v not in merged["aliases"]:
+                        merged["aliases"].append(v)
+        for f in arr_fields:
+            v = attrs.get(f)
+            if f in attrs and v:
+                vals = v if isinstance(v, list) else [v]
+                for x in vals:
+                    if x and x not in merged[f]:
+                        merged[f].append(x)
+
+    # Page-level permission injection (M10): union all page permissions.
+    if "permissions" in valid_fields:
+        pl = merged.setdefault("permissions", [])
+        for perm in perms_list:
+            for p in perm or []:
+                if p and p not in pl:
+                    pl.append(p)
+    # First row's page permissions (base item) are not re-walked above for
+    # attrs, so fold base perms too — handled by the loop over perms_list.
+
+    # Deduplicate scalar coercion for output
+    row: dict[str, Any] = {"type": etype}
+    for c in SCALAR_NODE_COLUMNS:
+        if c == "type":
+            continue
+        v = merged.get(c)
+        if isinstance(v, list):
+            v = v[0] if v else None
+        row[c] = str(v) if v is not None else None
+    for c in ARRAY_NODE_COLUMNS:
+        v = merged.get(c)
+        if v is None:
+            v = []
+        elif not isinstance(v, list):
+            v = [v]
+        row[c] = [str(x) for x in v if x is not None]
+
+    seen: set[str] = set()
+    surfaces = []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            surfaces.append(n)
+    row["surfaces"] = surfaces
+    return row
+
+
+def merge_component_group(group: pa.Table) -> pa.Table:
+    """map_groups reducer: one component's mentions → one canonical node row."""
+    order = pc.sort_indices(group.column("mid"))
+    g = group.take(order)
+    etype = g.column("entity_type")[0].as_py()
+    names = g.column("entity_name").to_pylist()
+    attrs_list = [json.loads(a) if a else {} for a in g.column("attributes_json").to_pylist()]
+    urls = g.column("url").to_pylist()
+    perms = [json.loads(x) if x else [] for x in g.column("permissions_json").to_pylist()]
+
+    row = _merge_group_rows(etype, names, attrs_list, urls, perms)
+    row["comp"] = g.column("comp")[0].as_py()
+    row["min_ord"] = g.column("ord")[0].as_py()
+    row["n_mentions"] = g.num_rows
+    return pa.Table.from_pylist([row], schema=NODES_SCHEMA)
+
+
+def canonicalize(
+    mentions: rd.Dataset,
+    num_partitions: int = 16,
+    max_rounds: int = 8,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """mentions → (nodes, mentions_with_comp).
+
+    nodes: one row per canonical entity (NODES_SCHEMA).
+    mentions_with_comp: the input mentions plus their component id, used by
+    the edge-resolution join (stages/edges.py).
+    """
+    pairs = mentions.map_batches(mention_keys, batch_format="pyarrow")
+    labels = connected_components(pairs, num_partitions=num_partitions, max_rounds=max_rounds)
+    # Materialize the small intermediates: both are consumed by more than one
+    # downstream stage (node write + alias-map join), and keeping several
+    # hash-shuffle operators inside one lazy DAG both recomputes the branch
+    # and can deadlock aggregator actor pools on small CPU counts.  Size is
+    # O(mentions), never O(corpus).
+    with_comp = attach_components(
+        mentions, labels, num_partitions=num_partitions
+    ).materialize()
+    nodes = (
+        with_comp.groupby("comp")
+        .map_groups(merge_component_group, batch_format="pyarrow")
+        .materialize()
+    )
+    return nodes, with_comp

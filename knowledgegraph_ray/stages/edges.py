@@ -1,0 +1,171 @@
+"""Edge materialization: endpoint resolution join + relation grouping/dedup.
+
+Reproduces the reference's relation processing
+(/root/reference/src/workspace_kg/components/systematic_merge_provider.py:928-1191)
+as Ray Data shuffles:
+
+* J1 endpoint resolution — the reference looks each triple endpoint up in the
+  per-document entity_mapping (surface name → canonical primary name) and
+  drops triples with unmapped endpoints (:944-963).  Here that becomes a hash
+  join of triples against the same-document mentions (url, surface) →
+  canonical name; when one surface names two entities in a document, the later
+  mention wins, matching the reference dict's overwrite order (:444-459).
+* D6 relation grouping — groupby (canonical src, canonical dst, type) with a
+  map_groups reducer: union descriptions / relationTags / permissions /
+  sources in first-seen (ord) order, MAX strength (:991-1025), and
+  relation_id = sha256("src::type::dst") (:1193-1196).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Max
+
+from ..functions.ids import relation_id
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("relation_id", pa.string()),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("type", pa.string()),
+        ("relationTag", pa.list_(pa.string())),
+        ("description", pa.list_(pa.string())),
+        ("strength", pa.float32()),
+        ("permissions", pa.list_(pa.string())),
+        ("sources", pa.list_(pa.string())),
+        ("src_type", pa.string()),
+        ("dst_type", pa.string()),
+        ("n_raw", pa.int64()),
+    ]
+)
+
+
+def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
+                    num_partitions: int = 16) -> rd.Dataset:
+    """(url, surface, mid) → (canonical name, entity type) lookup.
+
+    One row per (url, surface): the document-scoped mapping the reference
+    builds per batch (entity_mapping, systematic_merge_provider.py:395-547).
+    Later mentions overwrite earlier ones for the same surface in a document
+    (python dict assignment order) — we keep the max-mid row.
+    """
+    slim = mentions_with_comp.select_columns(["url", "entity_name", "mid", "comp"])
+    canon = nodes.select_columns(["comp", "name", "type"])
+    joined = slim.join(
+        canon, join_type="inner", num_partitions=num_partitions, on=("comp",)
+    )
+
+    def last_wins(group: pa.Table) -> pa.Table:
+        idx = pc.index(group.column("mid"), pc.max(group.column("mid")))
+        row = group.slice(idx.as_py(), 1)
+        return row.select(["url", "entity_name", "name", "type"]).rename_columns(
+            ["url", "surface", "canonical", "entity_type"]
+        )
+
+    return joined.groupby(["url", "entity_name"]).map_groups(
+        last_wins, batch_format="pyarrow"
+    )
+
+
+def resolve_triples(
+    triples: rd.Dataset, alias_map: rd.Dataset, num_partitions: int = 16
+) -> rd.Dataset:
+    """Rewrite triple endpoints to canonical names via same-document lookup;
+    inner joins drop triples with unmapped endpoints (J1 semantics)."""
+    src_map = alias_map.rename_columns(
+        {"surface": "source_entity", "canonical": "canonical_src",
+         "entity_type": "src_type"}
+    )
+    dst_map = alias_map.rename_columns(
+        {"surface": "target_entity", "canonical": "canonical_dst",
+         "entity_type": "dst_type"}
+    )
+    t = triples.join(
+        src_map,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url", "source_entity"),
+    )
+    t = t.join(
+        dst_map,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url", "target_entity"),
+    )
+    return t
+
+
+def merge_edge_group(group: pa.Table) -> pa.Table:
+    """One (src, dst, type) group → one edge row (D6 reducer)."""
+    order = pc.sort_indices(group.column("ord"))
+    g = group.take(order)
+
+    src = g.column("canonical_src")[0].as_py()
+    dst = g.column("canonical_dst")[0].as_py()
+    rtype = g.column("relationship_type")[0].as_py()
+
+    descriptions: list[str] = []
+    tags: list[str] = []
+    perms: list[str] = []
+    sources: list[str] = []
+    strength = 0.0
+    for desc, tag, pj, sj, s in zip(
+        g.column("description").to_pylist(),
+        g.column("relationship_type").to_pylist(),
+        g.column("permissions_json").to_pylist(),
+        g.column("sources_json").to_pylist(),
+        g.column("strength").to_pylist(),
+    ):
+        if desc and desc not in descriptions:
+            descriptions.append(desc)
+        if tag and tag not in tags:
+            tags.append(tag)
+        for p in json.loads(pj) if pj else []:
+            if p and p not in perms:
+                perms.append(p)
+        for sid in json.loads(sj) if sj else []:
+            if sid and sid not in sources:
+                sources.append(sid)
+        strength = max(strength, float(s or 0.0))
+
+    row: dict[str, Any] = {
+        "relation_id": relation_id(src, dst, rtype),
+        "src": src,
+        "dst": dst,
+        "type": rtype,
+        "relationTag": tags,
+        "description": descriptions,
+        "strength": strength,
+        "permissions": perms,
+        "sources": sources,
+        "src_type": g.column("src_type")[0].as_py(),
+        "dst_type": g.column("dst_type")[0].as_py(),
+        "n_raw": g.num_rows,
+    }
+    return pa.Table.from_pylist([row], schema=EDGES_SCHEMA)
+
+
+def materialize_edges(
+    triples: rd.Dataset,
+    mentions_with_comp: rd.Dataset,
+    nodes: rd.Dataset,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Full edge path: alias map → endpoint resolution → grouped merge.
+
+    alias_map is materialized: it is probed twice (src and dst joins), and a
+    sequential execution of the two hash joins avoids aggregator-actor-pool
+    contention on small CPU counts.  Its size is O(distinct (url, surface)
+    pairs), far below the corpus."""
+    alias_map = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
+    resolved = resolve_triples(triples, alias_map, num_partitions)
+    return resolved.groupby(
+        ["canonical_src", "canonical_dst", "relationship_type"]
+    ).map_groups(merge_edge_group, batch_format="pyarrow")

@@ -126,6 +126,9 @@ class RuleBasedBackend:
                 entities[key] = dict(attrs)
                 entity_pos[key] = pos
             else:
+                # keep the earliest text position so mention order == true
+                # first-appearance order regardless of pattern scan order
+                entity_pos[key] = min(entity_pos[key], pos)
                 cur = entities[key]
                 for k, v in attrs.items():
                     if isinstance(v, list):
@@ -283,6 +286,9 @@ class TripleExtractor:
         return pa.Table.from_pydict(out, schema=EXTRACTION_SCHEMA)
 
 
+# List-valued payloads are JSON-encoded strings in the mention/triple row
+# schemas: Arrow's hash join (used for component attach and edge resolution)
+# rejects list<...> non-key columns, and a string column shuffles cheaper.
 MENTION_SCHEMA = pa.schema(
     [
         ("mid", pa.int64()),
@@ -291,7 +297,7 @@ MENTION_SCHEMA = pa.schema(
         ("entity_name", pa.string()),
         ("entity_type", pa.string()),
         ("attributes_json", pa.string()),
-        ("permissions", pa.list_(pa.string())),
+        ("permissions_json", pa.string()),
     ]
 )
 
@@ -304,8 +310,8 @@ TRIPLE_SCHEMA = pa.schema(
         ("relationship_type", pa.string()),
         ("description", pa.string()),
         ("strength", pa.float32()),
-        ("sources", pa.list_(pa.string())),
-        ("permissions", pa.list_(pa.string())),
+        ("sources_json", pa.string()),
+        ("permissions_json", pa.string()),
     ]
 )
 
@@ -333,7 +339,7 @@ def explode_mentions(batch: pa.Table) -> pa.Table:
             out["entity_name"].append(e["entity_name"])
             out["entity_type"].append(e["entity_type"])
             out["attributes_json"].append(e["attributes_json"])
-            out["permissions"].append(perm or [])
+            out["permissions_json"].append(json.dumps(perm or []))
     return pa.Table.from_pydict(out, schema=MENTION_SCHEMA)
 
 
@@ -354,6 +360,6 @@ def explode_triples(batch: pa.Table) -> pa.Table:
             out["relationship_type"].append(r["relationship_type"])
             out["description"].append(r["description"])
             out["strength"].append(r["strength"])
-            out["sources"].append(r["sources"] or [])
-            out["permissions"].append(perm or [])
+            out["sources_json"].append(json.dumps(r["sources"] or []))
+            out["permissions_json"].append(json.dumps(perm or []))
     return pa.Table.from_pydict(out, schema=TRIPLE_SCHEMA)
