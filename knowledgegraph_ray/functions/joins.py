@@ -1,0 +1,167 @@
+"""Adaptive joins: broadcast lookup join for small sides, shuffle join at scale.
+
+Every join in this engine is a fact stream joined against a **unique-keyed
+map** (mid→comp labels, key→min-label, (url,surface)→canonical, comp→name).
+For map sides that fit comfortably in the object store we broadcast them once
+(`ray.put`) and do a vectorized `pyarrow.compute.index_in` lookup inside
+`map_batches` — no shuffle at all, deterministic row order, zero-copy reads
+of the broadcast table in every task.  Sides above the threshold fall back to
+`Dataset.join` (hash shuffle).
+
+The broadcast path is also the workaround for a Ray 2.49 defect: the
+hash-shuffle join's aggregator materializes a **schemaless** empty table for
+any partition that received no blocks on one side, and the per-partition
+pyarrow join then fails with ``No match or multiple matches for key field``.
+Small inputs hit this constantly (few keys, many partitions); large inputs
+essentially never do.  Keeping small sides on the broadcast path avoids the
+defect exactly where it bites.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+# Worker-process cache of resolved broadcast tables: map tasks reuse worker
+# processes, so the key-array build is amortized across batches without
+# needing an actor pool.
+_BROADCAST_CACHE: dict[str, tuple[pa.Table, pa.Array]] = {}
+
+_KEY_SEP = "\x1f"
+
+DEFAULT_BROADCAST_ROWS = 5_000_000
+DEFAULT_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def _combined_key(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Single string key per row (composite keys joined with a sentinel)."""
+    cols = [pc.cast(table.column(k), pa.string()) for k in keys]
+    if len(cols) == 1:
+        combined = cols[0]
+    else:
+        combined = pc.binary_join_element_wise(*cols, _KEY_SEP)
+    if isinstance(combined, pa.ChunkedArray):
+        combined = combined.combine_chunks()
+    return combined
+
+
+def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_columns > 0]
+    if not tables:
+        sch = ds.schema()
+        if sch is not None:
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def lookup_join(
+    left: rd.Dataset,
+    right: pa.Table,
+    *,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Broadcast join of a Dataset against a small unique-keyed Arrow table.
+
+    The right side MUST be unique on its key columns (first match wins
+    otherwise). Right key columns are not duplicated into the output; all
+    other right columns are appended. `how` is "inner" or "left".
+    """
+    right_keys = right_keys or left_keys
+    payload_cols = [c for c in right.column_names if c not in right_keys]
+    right_ref = ray.put(right)
+    rk = list(right_keys)
+    lk = list(left_keys)
+
+    def _resolve() -> tuple[pa.Table, pa.Array]:
+        cache_key = right_ref.hex()
+        hit = _BROADCAST_CACHE.get(cache_key)
+        if hit is None:
+            rt = ray.get(right_ref)
+            hit = (rt, _combined_key(rt, rk))
+            if len(_BROADCAST_CACHE) >= 8:  # fused stages may interleave maps
+                _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[cache_key] = hit
+        return hit
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rt, rkey = _resolve()
+        lkey = _combined_key(batch, lk)
+        idx = pc.index_in(lkey, value_set=rkey)
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            batch = batch.filter(valid)
+            idx = idx.filter(valid)
+        for col in payload_cols:
+            taken = rt.column(col).take(idx)  # null idx → null value (left join)
+            batch = batch.append_column(col, taken)
+        return batch
+
+    return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def adaptive_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+    broadcast_rows: int = DEFAULT_BROADCAST_ROWS,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> rd.Dataset:
+    """Join with a unique-keyed right side: broadcast when small, hash-shuffle
+    `Dataset.join` when large.  `right` is materialized (it is always the map
+    side, O(entities/keys), never the corpus).  Pass broadcast_rows=0 to force
+    the shuffle path (tests use this to exercise it)."""
+    right_keys = right_keys or left_keys
+    right_mat = right.materialize()
+    n = right_mat.count()
+    size = right_mat.size_bytes() or 0
+    # n == 0 always takes the broadcast path: Ray's shuffle join cannot handle
+    # a fully-empty side, and an empty lookup is trivially correct.
+    if n == 0 or (broadcast_rows and n <= broadcast_rows and size <= broadcast_bytes):
+        return lookup_join(
+            left,
+            _dataset_to_table(right_mat),
+            left_keys=left_keys,
+            right_keys=right_keys,
+            how=how,
+        )
+
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    if list(left_keys) == list(right_keys):
+        return left.join(
+            right_mat,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=tuple(left_keys),
+        )
+    return left.join(
+        right_mat,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(left_keys),
+        right_on=tuple(right_keys),
+    )
+
+
+def clear_broadcast_cache() -> None:
+    _BROADCAST_CACHE.clear()
+
+
+__all__: list[Any] = [
+    "adaptive_join",
+    "lookup_join",
+    "clear_broadcast_cache",
+    "DEFAULT_BROADCAST_ROWS",
+]

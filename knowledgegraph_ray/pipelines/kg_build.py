@@ -1,0 +1,294 @@
+"""Flagship end-to-end KG construction pipeline (the reference's
+run_complete_pipeline, /root/reference/src/workspace_kg/pipeline/
+vespa_email_pipeline.py:526-622, re-expressed as Ray Data stages).
+
+Two checkpointable stages:
+
+**Stage 1 — extraction** (the expensive, per-document stage; at 100 TB this is
+where the LLM/GPU budget goes):
+
+    read_parquet(shards, include_paths=True)
+      → map_batches(prepare_pages)            # text := extract_text(html), drop html
+      → map_batches(TripleExtractor, concurrency=N)   # actor pool
+      → write_parquet(extracted/, partition_cols=["shard"])
+
+Resume is file-granular: shards with a complete lineage manifest are skipped
+at the driver (an O(#shards) anti-join against the manifest dir — the Ray
+analog of the reference's processed-ids filter, vespa_email_pipeline.py:
+189-200). Shards are processed in **waves** so a long run checkpoints every
+`wave_size` input files while each wave is still one streaming Dataset job.
+Manifest metrics come from a metadata/column-pruned read-back of the written
+files — extraction is never recomputed for accounting.
+
+**Stage 2 — graph build** (the shuffle stages; cheap relative to stage 1 and
+always derivable from the stage-1 checkpoint):
+
+    read_parquet(extracted/)
+      → explode mentions / triples
+      → canonicalize (candidate keys → label propagation → group merge)
+      → edge resolution joins + (src, dst, type) merge
+      → write_parquet(nodes/, edges/)
+
+The html binary column is dropped in the first map (SURVEY.md §7 "wide rows");
+everything downstream of stage 1 carries only extracted columns.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.text_extract import extract_text
+from ..stages.canonicalize import canonicalize
+from ..stages.edges import materialize_edges
+from ..stages.extract import TripleExtractor, explode_mentions, explode_triples
+from ..state.manifests import Manifest, completed_shards, shard_name, write_manifest
+
+EXTRACT_STAGE = "extract"
+GRAPH_STAGE = "graph"
+
+
+def prepare_pages(batch: pa.Table) -> pa.Table:
+    """M1: recompute text from html (authoritative bytes), add the shard
+    lineage column from the reader's `path`, drop html immediately.
+
+    text is *always* re-derived when html is present so every run and every
+    parallelism level observes the identical byte-for-byte text per url
+    (the north-rule per-row invariant)."""
+    names = batch.column_names
+    if "path" in names:
+        shards = [shard_name(p) for p in batch.column("path").to_pylist()]
+        batch = batch.drop_columns(["path"]).append_column(
+            "shard", pa.array(shards, pa.string())
+        )
+    if "html" in names:
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist() if "text" in names else [""] * len(htmls)
+        new_texts = [
+            extract_text(h) if h is not None else (t or "")
+            for h, t in zip(htmls, texts)
+        ]
+        if "text" in names:
+            batch = batch.drop_columns(["text"])
+        batch = batch.drop_columns(["html"]).append_column(
+            "text", pa.array(new_texts, pa.large_string())
+        )
+    return batch
+
+
+@dataclass
+class KGBuildResult:
+    work_dir: str
+    extract_dir: str
+    nodes_dir: str
+    edges_dir: str
+    manifest_dir: str
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def nodes(self) -> rd.Dataset:
+        return rd.read_parquet(self.nodes_dir)
+
+    def edges(self) -> rd.Dataset:
+        return rd.read_parquet(self.edges_dir)
+
+
+def _input_rows(path: str) -> int:
+    """Row count from the Parquet footer — no data read."""
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1
+
+
+def run_extraction(
+    input_paths: list[str],
+    work_dir: str,
+    *,
+    batch_size: int = 128,
+    concurrency: int | tuple[int, int] = 2,
+    wave_size: int = 64,
+    resume: bool = True,
+    backend_factory: Callable[[], Any] | None = None,
+) -> dict[str, Any]:
+    """Stage 1. Returns summary metrics; outputs + manifests land under
+    work_dir/extracted and work_dir/manifests."""
+    extract_dir = os.path.join(work_dir, "extracted")
+    manifest_dir = os.path.join(work_dir, "manifests")
+    os.makedirs(extract_dir, exist_ok=True)
+
+    done = completed_shards(manifest_dir, EXTRACT_STAGE) if resume else set()
+    todo = [p for p in input_paths if shard_name(p) not in done]
+    skipped = len(input_paths) - len(todo)
+
+    fn_kwargs = {}
+    if backend_factory is not None:
+        fn_kwargs["backend"] = backend_factory()
+
+    t_total = time.monotonic()
+    processed = 0
+    for w in range(0, len(todo), wave_size):
+        wave = todo[w : w + wave_size]
+        t_wave = time.monotonic()
+        ds = rd.read_parquet(wave, include_paths=True)
+        ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
+        ds = ds.map_batches(
+            TripleExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=fn_kwargs,
+        )
+        ds.write_parquet(extract_dir, partition_cols=["shard"])
+        wave_wall = time.monotonic() - t_wave
+
+        # Manifest metrics: column-pruned read-back of what was just written
+        # (counts only — never recomputes extraction).
+        stats = _readback_stats(extract_dir, [shard_name(p) for p in wave])
+        for path in wave:
+            sh = shard_name(path)
+            st = stats.get(sh, {})
+            write_manifest(
+                manifest_dir,
+                Manifest(
+                    stage=EXTRACT_STAGE,
+                    input_file=path,
+                    shard=sh,
+                    rows_in=_input_rows(path),
+                    rows_out=int(st.get("rows", 0)),
+                    entity_mentions=int(st.get("entities", 0)),
+                    raw_triples=int(st.get("triples", 0)),
+                    errors=int(st.get("errors", 0)),
+                    wall_s=round(wave_wall / max(1, len(wave)), 4),
+                ),
+            )
+        processed += len(wave)
+
+    return {
+        "shards_total": len(input_paths),
+        "shards_processed": processed,
+        "shards_skipped_resume": skipped,
+        "extract_dir": extract_dir,
+        "manifest_dir": manifest_dir,
+        "wall_s": round(time.monotonic() - t_total, 3),
+    }
+
+
+def _readback_stats(extract_dir: str, shards: list[str]) -> dict[str, dict[str, int]]:
+    """Per-shard counts from the written partition dirs (column-pruned)."""
+    out: dict[str, dict[str, int]] = {}
+    for sh in shards:
+        part_dir = os.path.join(extract_dir, f"shard={sh}")
+        if not os.path.isdir(part_dir):
+            out[sh] = {"rows": 0, "entities": 0, "triples": 0, "errors": 0}
+            continue
+        rows = ents = trips = errs = 0
+        for fn in os.listdir(part_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(part_dir, fn),
+                columns=["entity_count", "relationship_count", "error"],
+            )
+            rows += t.num_rows
+            ents += pc.sum(t.column("entity_count")).as_py() or 0
+            trips += pc.sum(t.column("relationship_count")).as_py() or 0
+            errs += pc.sum(
+                pc.cast(pc.not_equal(t.column("error"), ""), pa.int64())
+            ).as_py() or 0
+        out[sh] = {"rows": rows, "entities": ents, "triples": trips, "errors": errs}
+    return out
+
+
+def run_graph_build(
+    work_dir: str,
+    *,
+    num_partitions: int = 16,
+    max_rounds: int = 8,
+    output_partitions: int = 4,
+    cc_driver_threshold: int = 500_000,
+) -> dict[str, Any]:
+    """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest)."""
+    extract_dir = os.path.join(work_dir, "extracted")
+    manifest_dir = os.path.join(work_dir, "manifests")
+    nodes_dir = os.path.join(work_dir, "nodes")
+    edges_dir = os.path.join(work_dir, "edges")
+
+    t0 = time.monotonic()
+    extracted = rd.read_parquet(extract_dir)
+    mentions = extracted.map_batches(explode_mentions, batch_format="pyarrow")
+    triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
+
+    nodes, with_comp = canonicalize(
+        mentions,
+        num_partitions=num_partitions,
+        max_rounds=max_rounds,
+        cc_driver_threshold=cc_driver_threshold,
+    )
+    edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
+
+    nodes.repartition(output_partitions).write_parquet(nodes_dir)
+    edges_mat = edges.materialize()
+    edges_mat.repartition(output_partitions).write_parquet(edges_dir)
+
+    n_nodes = nodes.count()
+    n_edges = edges_mat.count()
+    wall = time.monotonic() - t0
+    write_manifest(
+        manifest_dir,
+        Manifest(
+            stage=GRAPH_STAGE,
+            input_file=extract_dir,
+            shard="global",
+            rows_in=extracted.count(),
+            rows_out=n_nodes + n_edges,
+            wall_s=round(wall, 3),
+            extra={"nodes": n_nodes, "edges": n_edges},
+        ),
+    )
+    return {
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "nodes_dir": nodes_dir,
+        "edges_dir": edges_dir,
+        "wall_s": round(wall, 3),
+    }
+
+
+def kg_build(
+    input_paths: list[str],
+    work_dir: str,
+    *,
+    batch_size: int = 128,
+    concurrency: int | tuple[int, int] = 2,
+    num_partitions: int = 16,
+    wave_size: int = 64,
+    resume: bool = True,
+    backend_factory: Callable[[], Any] | None = None,
+) -> KGBuildResult:
+    """Full pipeline: extraction (resumable) then graph build."""
+    ext = run_extraction(
+        input_paths,
+        work_dir,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        wave_size=wave_size,
+        resume=resume,
+        backend_factory=backend_factory,
+    )
+    graph = run_graph_build(work_dir, num_partitions=num_partitions)
+    return KGBuildResult(
+        work_dir=work_dir,
+        extract_dir=ext["extract_dir"],
+        nodes_dir=graph["nodes_dir"],
+        edges_dir=graph["edges_dir"],
+        manifest_dir=ext["manifest_dir"],
+        metrics={"extraction": ext, "graph": graph},
+    )

@@ -45,6 +45,7 @@ from ..config import (
     llm_to_db_field,
     match_rules_for,
 )
+from ..functions.joins import adaptive_join
 from ..functions.normalize import norm_string
 
 SEP = "\x1e"
@@ -109,10 +110,56 @@ def _batch_min_by(group_col: str, value_col: str, out_col: str):
     return fn
 
 
+def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
+    """Small-side fast path: pull the (key, mid) pair table to the driver and
+    run a sequential union-find.  Produces exactly the labels the distributed
+    loop converges to (comp = min mid of the component), like a broadcast
+    join replacing a shuffle join when one side is small.  The pair table is
+    O(mentions × rules) — tiny next to the corpus — but the distributed loop
+    below remains the scale path and is what bench.py exercises."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent[p]
+            x = p
+            p = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller mid stays root
+
+    key_first: dict[str, int] = {}
+    mids_seen: set[int] = set()
+    for batch in pairs_mat.iter_batches(batch_format="pyarrow"):
+        for key, mid in zip(
+            batch.column("key").to_pylist(), batch.column("mid").to_pylist()
+        ):
+            mids_seen.add(mid)
+            if key in key_first:
+                union(key_first[key], mid)
+            else:
+                key_first[key] = mid
+
+    mids = sorted(mids_seen)
+    comps = [find(m) for m in mids]
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"mid": pa.array(mids, pa.int64()), "comp": pa.array(comps, pa.int64())}
+        )
+    )
+
+
 def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
+    driver_threshold: int = 500_000,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
 
@@ -122,12 +169,25 @@ def connected_components(
     diameter) rounds; entity-resolution components are shallow (shared keys),
     so the cap is a guard, not a budget.  Each round materializes only the
     pair table (never the input corpus).
+
+    Pair sets at or below ``driver_threshold`` rows short-circuit to a
+    sequential driver-side union-find (identical labels, no shuffle rounds);
+    pass 0 to force the distributed loop.
     """
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return batch.append_column("label", batch.column("mid"))
 
-    P = pairs.map_batches(init_labels, batch_format="pyarrow").materialize()
+    pairs_mat = pairs.materialize()
+    n_pairs = pairs_mat.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.schema([("mid", pa.int64()), ("comp", pa.int64())]).empty_table()
+        )
+    if driver_threshold and n_pairs <= driver_threshold:
+        return _driver_union_find(pairs_mat)
+
+    P = pairs_mat.map_batches(init_labels, batch_format="pyarrow").materialize()
 
     for _ in range(max_rounds):
         # key → min(label), with per-batch partial pre-aggregation
@@ -136,15 +196,20 @@ def connected_components(
             .groupby("key")
             .aggregate(Min("kl", alias_name="kl"))
         )
-        # propagate key-min back onto pairs
-        pk = P.join(kmin, join_type="inner", num_partitions=num_partitions, on=("key",))
+        # Propagate key-min back onto pairs (adaptive: broadcast lookup when
+        # the per-key min table is small, hash-shuffle join at scale).
+        pk = adaptive_join(
+            P, kmin, left_keys=["key"], how="inner", num_partitions=num_partitions
+        ).materialize()
         # mid → min over its keys' minima
         mmin = (
             pk.map_batches(_batch_min_by("mid", "kl", "nl"), batch_format="pyarrow")
             .groupby("mid")
             .aggregate(Min("nl", alias_name="nl"))
         )
-        pm = pk.join(mmin, join_type="inner", num_partitions=num_partitions, on=("mid",))
+        pm = adaptive_join(
+            pk, mmin, left_keys=["mid"], how="inner", num_partitions=num_partitions
+        )
 
         def update(batch: pa.Table) -> pa.Table:
             changed = pc.cast(
@@ -173,8 +238,8 @@ def attach_components(
 ) -> rd.Dataset:
     """Left-join mentions with (mid, comp); keyless mentions become singleton
     components (comp = mid)."""
-    joined = mentions.join(
-        labels, join_type="left_outer", num_partitions=num_partitions, on=("mid",)
+    joined = adaptive_join(
+        mentions, labels, left_keys=["mid"], how="left", num_partitions=num_partitions
     )
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -345,6 +410,7 @@ def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
+    cc_driver_threshold: int = 500_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 
@@ -353,7 +419,12 @@ def canonicalize(
     the edge-resolution join (stages/edges.py).
     """
     pairs = mentions.map_batches(mention_keys, batch_format="pyarrow")
-    labels = connected_components(pairs, num_partitions=num_partitions, max_rounds=max_rounds)
+    labels = connected_components(
+        pairs,
+        num_partitions=num_partitions,
+        max_rounds=max_rounds,
+        driver_threshold=cc_driver_threshold,
+    )
     # Materialize the small intermediates: both are consumed by more than one
     # downstream stage (node write + alias-map join), and keeping several
     # hash-shuffle operators inside one lazy DAG both recomputes the branch

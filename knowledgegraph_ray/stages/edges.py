@@ -28,6 +28,7 @@ import ray.data as rd
 from ray.data.aggregate import Max
 
 from ..functions.ids import relation_id
+from ..functions.joins import adaptive_join
 
 EDGES_SCHEMA = pa.schema(
     [
@@ -58,8 +59,8 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
     """
     slim = mentions_with_comp.select_columns(["url", "entity_name", "mid", "comp"])
     canon = nodes.select_columns(["comp", "name", "type"])
-    joined = slim.join(
-        canon, join_type="inner", num_partitions=num_partitions, on=("comp",)
+    joined = adaptive_join(
+        slim, canon, left_keys=["comp"], how="inner", num_partitions=num_partitions
     )
 
     def last_wins(group: pa.Table) -> pa.Table:
@@ -87,17 +88,19 @@ def resolve_triples(
         {"surface": "target_entity", "canonical": "canonical_dst",
          "entity_type": "dst_type"}
     )
-    t = triples.join(
+    t = adaptive_join(
+        triples,
         src_map,
-        join_type="inner",
+        left_keys=["url", "source_entity"],
+        how="inner",
         num_partitions=num_partitions,
-        on=("url", "source_entity"),
     )
-    t = t.join(
+    t = adaptive_join(
+        t,
         dst_map,
-        join_type="inner",
+        left_keys=["url", "target_entity"],
+        how="inner",
         num_partitions=num_partitions,
-        on=("url", "target_entity"),
     )
     return t
 

@@ -64,6 +64,7 @@ EXTRACTION_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("ord", pa.int64()),
         ("lang", pa.string()),
+        ("shard", pa.string()),
         ("permissions", pa.list_(pa.string())),
         ("error", pa.string()),
         ("entities", pa.list_(ENTITY_T)),
@@ -239,9 +240,16 @@ class TripleExtractor:
             if "permissions" in batch.column_names
             else [[] for _ in urls]
         )
+        shards = (
+            batch.column("shard").to_pylist()
+            if "shard" in batch.column_names
+            else [""] * len(urls)
+        )
 
         out: dict[str, list[Any]] = {k: [] for k in EXTRACTION_SCHEMA.names}
-        for url, text, ordinal, lang, perm in zip(urls, texts, ords, langs, perms):
+        for url, text, ordinal, lang, perm, shard in zip(
+            urls, texts, ords, langs, perms, shards
+        ):
             error = ""
             if not text or not text.strip():
                 # Empty-content short circuit (entity_extractor.py:57-67).
@@ -255,6 +263,7 @@ class TripleExtractor:
             out["url"].append(url)
             out["ord"].append(ordinal)
             out["lang"].append(lang)
+            out["shard"].append(shard or "")
             out["permissions"].append(perm or [])
             out["error"].append(error)
             out["entities"].append(

@@ -1,0 +1,168 @@
+"""D1–D5 — candidate keys, connected components, group merge (FIXTURES F3)."""
+
+import json
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.canonicalize import (
+    canonicalize,
+    mention_keys,
+    transform_attributes,
+)
+
+
+def _mentions_table(rows):
+    return pa.Table.from_pydict(
+        {
+            "mid": [r["mid"] for r in rows],
+            "url": [r.get("url", "u") for r in rows],
+            "ord": [r.get("ord", r["mid"]) for r in rows],
+            "entity_name": [r["name"] for r in rows],
+            "entity_type": [r.get("type", "Person") for r in rows],
+            "attributes_json": [json.dumps(r.get("attrs", {})) for r in rows],
+            "permissions_json": [json.dumps(r.get("perms", [])) for r in rows],
+        }
+    )
+
+
+def _canon(rows, **kw):
+    ds = rd.from_arrow(_mentions_table(rows))
+    nodes, with_comp = canonicalize(ds, num_partitions=2, **kw)
+    node_rows = sorted(nodes.take_all(), key=lambda r: r["min_ord"])
+    comp_of = {r["mid"]: r["comp"] for r in with_comp.take_all()}
+    return node_rows, comp_of
+
+
+def test_email_search_rule_merges_different_names():
+    # entity_config.yaml email/emails search rule: scalar email probes arrays
+    rows = [
+        {"mid": 0, "name": "Sarah Jones", "attrs": {"name": "Sarah Jones", "email": "s@a.com"}},
+        {"mid": 1, "name": "S. Jones", "attrs": {"name": "S. Jones", "email": "s@a.com"}},
+    ]
+    nodes, comp = _canon(rows)
+    assert len(nodes) == 1
+    n = nodes[0]
+    assert n["name"] == "Sarah Jones"  # first item wins
+    assert n["aliases"] == ["S. Jones"]
+    assert comp[0] == comp[1]
+
+
+def test_exact_name_duplicates_merge():
+    rows = [
+        {"mid": 0, "name": "Acme Corp", "type": "Organization", "attrs": {"name": "Acme Corp"}},
+        {"mid": 1, "name": " acme corp ", "type": "Organization", "attrs": {"name": " acme corp "}},
+    ]
+    nodes, comp = _canon(rows)
+    assert len(nodes) == 1
+    assert comp[0] == comp[1]
+
+
+def test_alias_chain_transitive_closure():
+    """A~B via email, B~C via exact name → one component (D2)."""
+    rows = [
+        {"mid": 0, "name": "A", "attrs": {"name": "A", "email": "x@y.com"}},
+        {"mid": 1, "name": "B", "attrs": {"name": "B", "email": "x@y.com"}},
+        {"mid": 2, "name": "B", "attrs": {"name": "B", "email": "z@w.com"}},
+        {"mid": 3, "name": "C", "attrs": {"name": "C", "email": "z@w.com"}},
+    ]
+    nodes, comp = _canon(rows)
+    assert len(nodes) == 1
+    assert len({comp[i] for i in range(4)}) == 1
+    assert nodes[0]["name"] == "A"
+    assert nodes[0]["aliases"] == ["B", "C"]
+    assert sorted(nodes[0]["emails"]) == ["x@y.com", "z@w.com"]
+
+
+def test_types_never_cross_merge():
+    rows = [
+        {"mid": 0, "name": "Mercury", "type": "Project", "attrs": {"name": "Mercury"}},
+        {"mid": 1, "name": "Mercury", "type": "Team", "attrs": {"name": "Mercury"}},
+    ]
+    nodes, comp = _canon(rows)
+    assert len(nodes) == 2
+    assert comp[0] != comp[1]
+
+
+def test_org_domain_rule():
+    rows = [
+        {"mid": 0, "name": "Acme", "type": "Organization",
+         "attrs": {"name": "Acme", "domain": "acme.com"}},
+        {"mid": 1, "name": "Acme Incorporated", "type": "Organization",
+         "attrs": {"name": "Acme Incorporated", "domain": "acme.com"}},
+    ]
+    nodes, _ = _canon(rows)
+    assert len(nodes) == 1
+    assert nodes[0]["domain"] == "acme.com"
+    assert nodes[0]["aliases"] == ["Acme Incorporated"]
+
+
+def test_conflicting_scalar_overflows_to_aliases():
+    """systematic_merge_provider.py:784-799 — second value of a scalar merge
+    field that conflicts goes into aliases."""
+    rows = [
+        {"mid": 0, "name": "P", "attrs": {"name": "P", "email": "p@a.com", "worksAt": "Acme"}},
+        {"mid": 1, "name": "P", "attrs": {"name": "P", "email": "p@a.com", "worksAt": "Globex"}},
+    ]
+    nodes, _ = _canon(rows)
+    assert len(nodes) == 1
+    n = nodes[0]
+    assert n["worksAt"] == "Acme"
+    assert "Globex" in n["aliases"]
+
+
+def test_append_unique_arrays_preserve_first_seen_order():
+    rows = [
+        {"mid": 0, "name": "P", "attrs": {"name": "P", "email": "p@a.com",
+                                          "description": "first desc"}},
+        {"mid": 1, "name": "P", "attrs": {"name": "P", "email": "p@a.com",
+                                          "description": "second desc"}},
+        {"mid": 2, "name": "P", "attrs": {"name": "P", "email": "p@a.com",
+                                          "description": "first desc"}},
+    ]
+    nodes, _ = _canon(rows)
+    assert nodes[0]["rawDescriptions"] == ["first desc", "second desc"]
+
+
+def test_permissions_unioned_from_pages():
+    rows = [
+        {"mid": 0, "name": "P", "attrs": {"name": "P"}, "perms": ["a@x"]},
+        {"mid": 1, "name": "P", "attrs": {"name": "P"}, "perms": ["b@x", "a@x"]},
+    ]
+    nodes, _ = _canon(rows)
+    assert nodes[0]["permissions"] == ["a@x", "b@x"]
+
+
+def test_keyless_mentions_become_singletons():
+    rows = [
+        {"mid": 5, "name": "", "attrs": {}},
+        {"mid": 9, "name": "", "attrs": {}},
+    ]
+    nodes, comp = _canon(rows)
+    assert len(nodes) == 2
+    assert comp[5] != comp[9]
+
+
+def test_mention_keys_namespaces():
+    t = _mentions_table(
+        [{"mid": 0, "name": "X", "attrs": {"name": "X", "email": "e@a.com",
+                                           "aliases": ["Y", "Z"]}}]
+    )
+    pairs = mention_keys(t)
+    keys = pairs.column("key").to_pylist()
+    assert any("\x1eemails\x1ee@a.com" in k for k in keys)
+    assert any("\x1ename\x1ex" in k for k in keys)
+    # alias values land in the aliases namespace, never the name namespace
+    assert any("\x1ealiases\x1ey" in k for k in keys)
+    assert not any("\x1ename\x1ey" in k for k in keys)
+
+
+def test_transform_attributes_mapping():
+    out = transform_attributes(
+        "Person",
+        {"name": "X", "email": "e@a.com", "description": "d", "unknown_field": "v"},
+    )
+    assert out["emails"] == ["e@a.com"]
+    assert out["rawDescriptions"] == ["d"]
+    assert "unknown_field" not in out  # dropped like kuzu_db_handler.py:153-168

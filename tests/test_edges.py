@@ -1,0 +1,124 @@
+"""J1/D6/D8 — endpoint resolution joins + edge grouping/dedup."""
+
+import json
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from knowledgegraph_ray.functions.ids import relation_id
+from knowledgegraph_ray.stages.canonicalize import canonicalize
+from knowledgegraph_ray.stages.edges import materialize_edges
+
+
+def _mentions(rows):
+    return pa.Table.from_pydict(
+        {
+            "mid": [r["mid"] for r in rows],
+            "url": [r["url"] for r in rows],
+            "ord": [r.get("ord", r["mid"] // 100) for r in rows],
+            "entity_name": [r["name"] for r in rows],
+            "entity_type": [r.get("type", "Person") for r in rows],
+            "attributes_json": [json.dumps(r.get("attrs", {"name": r["name"]})) for r in rows],
+            "permissions_json": [json.dumps(r.get("perms", [])) for r in rows],
+        }
+    )
+
+
+def _triples(rows):
+    return pa.Table.from_pydict(
+        {
+            "url": [r["url"] for r in rows],
+            "ord": [r.get("ord", 0) for r in rows],
+            "source_entity": [r["src"] for r in rows],
+            "target_entity": [r["dst"] for r in rows],
+            "relationship_type": [r["type"] for r in rows],
+            "description": [r.get("desc", "") for r in rows],
+            "strength": pa.array([float(r.get("strength", 5.0)) for r in rows], pa.float32()),
+            "sources_json": [json.dumps([r["url"]]) for r in rows],
+            "permissions_json": [json.dumps(r.get("perms", [])) for r in rows],
+        }
+    )
+
+
+def _run(mention_rows, triple_rows):
+    mentions = rd.from_arrow(_mentions(mention_rows))
+    nodes, with_comp = canonicalize(mentions, num_partitions=2)
+    edges = materialize_edges(
+        rd.from_arrow(_triples(triple_rows)), with_comp, nodes, num_partitions=2
+    )
+    return sorted(edges.take_all(), key=lambda e: (e["src"], e["type"], e["dst"]))
+
+
+def test_duplicate_edges_merge_max_strength_union_arrays():
+    mention_rows = [
+        {"mid": 0, "url": "d1", "ord": 0, "name": "A",
+         "attrs": {"name": "A", "email": "a@x.com"}},
+        {"mid": 1, "url": "d1", "ord": 0, "name": "Acme", "type": "Organization",
+         "attrs": {"name": "Acme"}},
+        # second doc mentions the same person via alias surface + same email
+        {"mid": 100, "url": "d2", "ord": 1, "name": "A. Person",
+         "attrs": {"name": "A. Person", "email": "a@x.com"}},
+        {"mid": 101, "url": "d2", "ord": 1, "name": "Acme", "type": "Organization",
+         "attrs": {"name": "Acme"}},
+    ]
+    triple_rows = [
+        {"url": "d1", "ord": 0, "src": "A", "dst": "Acme", "type": "WORKS_AT",
+         "desc": "A works at Acme", "strength": 7, "perms": ["p1"]},
+        {"url": "d2", "ord": 1, "src": "A. Person", "dst": "Acme", "type": "WORKS_AT",
+         "desc": "employee of Acme", "strength": 9, "perms": ["p2"]},
+    ]
+    edges = _run(mention_rows, triple_rows)
+    assert len(edges) == 1
+    e = edges[0]
+    assert (e["src"], e["dst"], e["type"]) == ("A", "Acme", "WORKS_AT")
+    assert e["strength"] == 9.0  # max (systematic_merge_provider.py:1025)
+    assert e["description"] == ["A works at Acme", "employee of Acme"]  # ord order
+    assert e["sources"] == ["d1", "d2"]
+    assert e["permissions"] == ["p1", "p2"]
+    assert e["relation_id"] == relation_id("A", "Acme", "WORKS_AT")
+    assert e["n_raw"] == 2
+
+
+def test_unmapped_endpoint_drops_triple():
+    # systematic_merge_provider.py:951-963 — unmapped endpoints dropped
+    mention_rows = [
+        {"mid": 0, "url": "d1", "name": "A", "attrs": {"name": "A"}},
+    ]
+    triple_rows = [
+        {"url": "d1", "src": "A", "dst": "Ghost", "type": "KNOWS"},
+        {"url": "d1", "src": "Ghost", "dst": "A", "type": "KNOWS"},
+    ]
+    assert _run(mention_rows, triple_rows) == []
+
+
+def test_resolution_is_document_scoped():
+    """Endpoint lookup uses the same-document mention map: a surface defined
+    only in d1 does not resolve triples in d2."""
+    mention_rows = [
+        {"mid": 0, "url": "d1", "name": "A", "attrs": {"name": "A"}},
+        {"mid": 1, "url": "d1", "name": "B", "attrs": {"name": "B"}},
+    ]
+    triple_rows = [
+        {"url": "d2", "src": "A", "dst": "B", "type": "KNOWS"},
+    ]
+    assert _run(mention_rows, triple_rows) == []
+
+
+def test_endpoints_rewritten_to_canonical_names():
+    mention_rows = [
+        {"mid": 0, "url": "d1", "ord": 0, "name": "Sarah Jones",
+         "attrs": {"name": "Sarah Jones", "email": "s@x.com"}},
+        {"mid": 100, "url": "d2", "ord": 1, "name": "S. Jones",
+         "attrs": {"name": "S. Jones", "email": "s@x.com"}},
+        {"mid": 101, "url": "d2", "ord": 1, "name": "Globex", "type": "Organization",
+         "attrs": {"name": "Globex"}},
+    ]
+    triple_rows = [
+        {"url": "d2", "ord": 1, "src": "S. Jones", "dst": "Globex", "type": "WORKS_AT"},
+    ]
+    edges = _run(mention_rows, triple_rows)
+    assert len(edges) == 1
+    assert edges[0]["src"] == "Sarah Jones"  # canonical (first-seen) name
+    assert edges[0]["src_type"] == "Person"
+    assert edges[0]["dst_type"] == "Organization"

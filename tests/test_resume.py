@@ -1,0 +1,51 @@
+"""Checkpoint-resume: a killed run resumes without duplicate work and yields
+the identical final graph (north rule; SURVEY.md §5.4)."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from knowledgegraph_ray.pipelines import kg_build, run_extraction
+from knowledgegraph_ray.state.manifests import load_manifests, manifest_path
+
+
+def _graph_fingerprint(res):
+    edges = pq.read_table(res.edges_dir).to_pylist()
+    nodes = pq.read_table(res.nodes_dir).to_pylist()
+    return (
+        sorted((e["relation_id"], e["strength"], tuple(sorted(e["sources"]))) for e in edges),
+        sorted((n["type"], n["name"], tuple(n["aliases"])) for n in nodes),
+    )
+
+
+def test_resume_skips_done_shards_and_matches_fresh_run(pages_small, tmp_path_factory):
+    paths = pages_small["paths"]
+    work_resume = str(tmp_path_factory.mktemp("resume"))
+    work_fresh = str(tmp_path_factory.mktemp("fresh"))
+
+    # "Killed" run: only the first half of the shards completed.
+    partial = run_extraction(paths[:2], work_resume, batch_size=64,
+                             concurrency=2, wave_size=1)
+    assert partial["shards_processed"] == 2
+    mdir = os.path.join(work_resume, "manifests")
+    mtimes = {
+        p: os.path.getmtime(manifest_path(mdir, "extract", f"pages-{i:05d}"))
+        for i, p in enumerate(paths[:2])
+    }
+
+    # Resumed run over the full input: completed shards must be skipped.
+    res = kg_build(paths, work_resume, batch_size=64, concurrency=2,
+                   num_partitions=2, wave_size=2, resume=True)
+    assert res.metrics["extraction"]["shards_skipped_resume"] == 2
+    assert res.metrics["extraction"]["shards_processed"] == len(paths) - 2
+    for i, p in enumerate(paths[:2]):
+        assert os.path.getmtime(
+            manifest_path(mdir, "extract", f"pages-{i:05d}")
+        ) == mtimes[p], "skipped shard was re-processed"
+
+    fresh = kg_build(paths, work_fresh, batch_size=64, concurrency=2,
+                     num_partitions=2, wave_size=4, resume=False)
+    assert _graph_fingerprint(res) == _graph_fingerprint(fresh)
+
+    manifests = load_manifests(mdir, stage="extract")
+    assert len(manifests) == len(paths)
