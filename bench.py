@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG-construction pipeline + operator queries.
+
+Usage:
+    python bench.py                  # full bench at $RAY_GRAFT_CPUS (def 32)
+    python bench.py --scaling       # same KG job at 8 and 32 CPUs in fresh
+                                     # processes → throughput + efficiency
+    python bench.py --child N       # (internal) one KG run at N cpus, JSON out
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <kg seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+The KG workload is the deterministic synthetic Common-Crawl-style page table
+(sources/pages.py) sized from the sf documents row count (pages = 4 × docs);
+page generation is fixture setup and excluded from timing.  The pipeline runs
+with the fully distributed connected-components path (cc_driver_threshold=0)
+so the shuffle stages are what is measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+ORACLE_QUERY_NAMES = [
+    "q_filter_project", "q_groupby_count", "q_doc_stats_by_source",
+    "q_topk_events", "q_sorted_limit", "q_join_agg", "q_semi_join",
+    "q_anti_join", "q_lineitem_agg", "q_events_hourly", "q_token_count",
+    "q_quality", "q_exact_dedup", "q_knn_top10", "q_neardup_pairs",
+    "q_lang_id", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
+]
+
+
+def _sf_label(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _pages_fixture(sf_dir: str) -> tuple[list[str], int]:
+    """Deterministic page shards sized from the sf documents table."""
+    import pyarrow.parquet as pq
+
+    from knowledgegraph_ray.sources.pages import write_pages
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = 4 * n_docs
+    pages_dir = f"/tmp/kgray_bench/pages-{_sf_label(sf_dir)}-{n_pages}"
+    marker = os.path.join(pages_dir, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        write_pages(pages_dir, n_pages=n_pages, seed=42, rows_per_file=2500)
+        open(marker, "w").write("ok")
+    paths = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    return paths, n_pages
+
+
+def run_kg(sf_dir: str, num_cpus: int) -> dict:
+    from knowledgegraph_ray.pipelines import kg_build
+    from knowledgegraph_ray.state.manifests import load_manifests
+
+    paths, n_pages = _pages_fixture(sf_dir)
+    work = f"/tmp/kgray_bench/work-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    t0 = time.monotonic()
+    res = kg_build(
+        paths,
+        work,
+        batch_size=256,
+        concurrency=max(2, num_cpus // 2),
+        num_partitions=max(8, num_cpus),
+        wave_size=64,
+        resume=False,
+    )
+    wall = time.monotonic() - t0
+    ext = res.metrics["extraction"]
+    graph = res.metrics["graph"]
+    triples = sum(
+        m.raw_triples
+        for m in load_manifests(res.manifest_dir, stage="extract").values()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "kg_wall_s": round(wall, 3),
+        "extract_s": ext["wall_s"],
+        "graph_s": graph["wall_s"],
+        "pages": n_pages,
+        "raw_triples": triples,
+        "nodes": graph["nodes"],
+        "edges": graph["edges"],
+        "docs_per_sec": round(n_pages / wall, 1),
+        "triples_per_sec": round(triples / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import ray.data as rd
+
+    from knowledgegraph_ray.pipelines.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in ORACLE_QUERY_NAMES:
+        t0 = time.monotonic()
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.materialize()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    kg = run_kg(SF_DIR, num_cpus)
+    queries = run_queries(SF_DIR) if with_queries else {}
+    ray.shutdown()
+    return {
+        "metric": "kg_build wall seconds (synthetic CC-style pages, distributed CC path)",
+        "value": kg["kg_wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": num_cpus,
+        **kg,
+    }
+
+
+def main_scaling() -> dict:
+    """North-rule two-cluster-size criterion, sandbox-adapted: the same job at
+    8 and 32 CPUs in fresh processes; efficiency = speedup / cpu-ratio."""
+    runs = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), PYTHONPATH="/root/repo")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+    thr8 = runs[8]["docs_per_sec"]
+    thr32 = runs[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, 8→32 cpus (docs/sec ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_label(SF_DIR),
+        "runs": {
+            "cpus_8": {k: runs[8][k] for k in ("kg_wall_s", "docs_per_sec", "triples_per_sec")},
+            "cpus_32": {k: runs[32][k] for k in ("kg_wall_s", "docs_per_sec", "triples_per_sec")},
+        },
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", type=int, default=0)
+    args = ap.parse_args()
+    if args.child:
+        print(json.dumps(main_bench(args.child, with_queries=False)))
+    elif args.scaling:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_bench(NUM_CPUS)))

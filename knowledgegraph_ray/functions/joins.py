@@ -58,7 +58,10 @@ def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
         if sch is not None:
             return pa.schema(list(zip(sch.names, sch.types))).empty_table()
         return pa.table({})
-    return pa.concat_tables(tables, promote_options="default")
+    # combine_chunks is load-bearing: map_groups upstreams produce one tiny
+    # block per group, and take()/index_in over thousands of chunks is
+    # O(chunks) per element.
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
 def lookup_join(

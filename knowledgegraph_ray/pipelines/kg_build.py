@@ -36,6 +36,7 @@ everything downstream of stage 1 carries only extracted columns.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -122,6 +123,13 @@ def run_extraction(
     work_dir/extracted and work_dir/manifests."""
     extract_dir = os.path.join(work_dir, "extracted")
     manifest_dir = os.path.join(work_dir, "manifests")
+    if not resume:
+        shutil.rmtree(extract_dir, ignore_errors=True)
+        for sh in completed_shards(manifest_dir, EXTRACT_STAGE):
+            try:
+                os.remove(os.path.join(manifest_dir, f"{EXTRACT_STAGE}--{sh}.json"))
+            except OSError:
+                pass
     os.makedirs(extract_dir, exist_ok=True)
 
     done = completed_shards(manifest_dir, EXTRACT_STAGE) if resume else set()
@@ -137,6 +145,12 @@ def run_extraction(
     for w in range(0, len(todo), wave_size):
         wave = todo[w : w + wave_size]
         t_wave = time.monotonic()
+        # Drop partial output of manifest-less shards (a killed run may have
+        # written files without completing the manifest) — rerun is clean.
+        for p in wave:
+            shutil.rmtree(
+                os.path.join(extract_dir, f"shard={shard_name(p)}"), ignore_errors=True
+            )
         ds = rd.read_parquet(wave, include_paths=True)
         ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
         ds = ds.map_batches(
@@ -220,10 +234,16 @@ def run_graph_build(
     manifest_dir = os.path.join(work_dir, "manifests")
     nodes_dir = os.path.join(work_dir, "nodes")
     edges_dir = os.path.join(work_dir, "edges")
+    shutil.rmtree(nodes_dir, ignore_errors=True)
+    shutil.rmtree(edges_dir, ignore_errors=True)
 
     t0 = time.monotonic()
     extracted = rd.read_parquet(extract_dir)
-    mentions = extracted.map_batches(explode_mentions, batch_format="pyarrow")
+    # mentions feed two consumers (pair generation + component attach):
+    # materialize once instead of re-reading + re-exploding the checkpoint.
+    mentions = extracted.map_batches(
+        explode_mentions, batch_format="pyarrow"
+    ).materialize()
     triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
 
     nodes, with_comp = canonicalize(
@@ -272,6 +292,7 @@ def kg_build(
     wave_size: int = 64,
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
+    cc_driver_threshold: int = 500_000,
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(
@@ -283,7 +304,11 @@ def kg_build(
         resume=resume,
         backend_factory=backend_factory,
     )
-    graph = run_graph_build(work_dir, num_partitions=num_partitions)
+    graph = run_graph_build(
+        work_dir,
+        num_partitions=num_partitions,
+        cc_driver_threshold=cc_driver_threshold,
+    )
     return KGBuildResult(
         work_dir=work_dir,
         extract_dir=ext["extract_dir"],

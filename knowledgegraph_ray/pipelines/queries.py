@@ -1,0 +1,464 @@
+"""Driver-contract query implementations over the testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / Arrow table;
+``ORACLE_SQL`` holds the DuckDB-equivalent ANSI SQL keyed by query name.
+Column names match the SQL aliases exactly (the driver hash-compares by
+sorted column name).  Float columns are canonicalized identically on both
+sides: money → integer cents via floor(x*100 + 0.5); scores/cosines →
+floor(x*1e4)/1e4 — no engine-specific rounding mode can diverge.
+
+Reference-capability mapping (SURVEY.md §2): filters/projections (S2, M2),
+point lookup (S3/K2), groupby histograms (D9/K3), ordered top-k (K1/K4),
+joins incl. semi/anti (J1–J3 analogs), exact dedup (D6 analog on documents),
+text metrics (M1-adjacent QA ops), vector search (K1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages import knn as knn_mod
+from ..stages.dedup import exact_dedup_groups
+from ..stages.textops import (
+    add_lang_id,
+    add_quality_score,
+    add_rolling_fingerprint,
+    add_token_count,
+)
+
+# Deterministic 64-dim query vector (embeddings.parquet is 64-dim); the SQL
+# literal uses full repr so both engines parse the identical double.
+KNN_QUERY_VEC = np.sin(np.arange(64, dtype=np.float64) + 1.0)
+_KNN_SQL_LITERAL = "[" + ", ".join(repr(float(v)) for v in KNN_QUERY_VEC) + "]"
+NEARDUP_THRESHOLD = 0.45
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(batch.column(col), 100.0), 0.5)), pa.int64()
+    )
+    return batch.append_column(out, cents)
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """S2/M2: predicate + projection, pruned at the read."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=(pc.field("lang") == "en") & (pc.field("n_chars") > 300),
+    )
+    return ds.select_columns(["doc_id", "source", "n_chars"])
+
+
+def q_point_lookup(sf_dir: str):
+    """S3/K2: point lookup by key."""
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=pc.field("doc_id") == 42,
+    )
+
+
+def q_groupby_count(sf_dir: str):
+    """D9/K3: histogram by lang."""
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_doc_stats_by_source(sf_dir: str):
+    """D9/D10: per-source doc count + char sum + char extremes."""
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def q_topk_events(sf_dir: str):
+    """K1/K4: global top-k by value (per-block prune happens in sort)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_sorted_limit(sf_dir: str):
+    """K3/K4: ordered listing with cap."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(5)
+    return top.map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents").drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_agg(sf_dir: str):
+    """J1-analog: fact stream ⋈ broadcast dimension, then aggregate.
+    orders joined to customer (small side broadcast) → per-mktsegment stats."""
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents").drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    from ..functions.joins import adaptive_join
+
+    joined = adaptive_join(
+        orders, customer, left_keys=["o_custkey"], right_keys=["c_custkey"], how="inner"
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents")
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """J2-analog (left semi): customers with at least one order, per nation."""
+    orders_keys = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["o_custkey"])
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    from ..functions.joins import adaptive_join
+
+    semi = adaptive_join(
+        customer, orders_keys, left_keys=["c_custkey"], right_keys=["o_custkey"], how="inner"
+    )
+    return (
+        semi.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"))
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """M3/J2-analog (left anti): orders with no lineitems, per priority — the
+    same shape as checkpoint-resume's skip-done anti-join."""
+    li_keys = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="has"))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    from ..functions.joins import adaptive_join
+
+    joined = adaptive_join(
+        orders, li_keys, left_keys=["o_orderkey"], right_keys=["l_orderkey"], how="left"
+    )
+    anti = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("has"))), batch_format="pyarrow"
+    )
+    return anti.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped wide aggregate with per-batch cents projection."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_quantity", "qty_cents")
+        b = _cents(b, "l_extendedprice", "price_cents")
+        b = _cents(b, "l_discount", "disc_cents")
+        return b.select(["l_returnflag", "l_linestatus", "qty_cents", "price_cents", "disc_cents"])
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-style bucketed aggregate: events per (hour, type)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(b.column("ts"), unit="hour"), format="%Y-%m-%d %H:00:00")
+        b = b.append_column("hour", hour)
+        b = _cents(b, "value", "value_cents")
+        return b.select(["hour", "event_type", "value_cents"])
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_quality_score(b).select(["doc_id", "n_tokens", "n_punct", "quality_score"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_knn_top10(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_mod.topk_cosine(ds, KNN_QUERY_VEC, k=10)
+
+
+def q_neardup_pairs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_mod.allpairs_cosine_threshold(ds, threshold=NEARDUP_THRESHOLD)
+
+
+# --- rows-only (no SQL-expressible oracle; driver records row counts) ------
+
+
+def q_lang_id(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_lang_id(b).select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_rolling_fp(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_rolling_fingerprint(b).select(["doc_id", "roll_fp"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash(sf_dir: str):
+    from ..stages.dedup import add_simhash
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_simhash(b).select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+def q_minhash_lsh(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_components
+
+    return minhash_lsh_components(_docs(sf_dir, ["doc_id", "text"]), num_partitions=4)
+
+
+def q_ivf_knn(sf_dir: str):
+    from ..stages.knn import ivf_assign, ivf_search, seeded_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = seeded_centroids(64, 8)
+    assigned = ivf_assign(ds, cents)
+    return ivf_search(assigned, cents, KNN_QUERY_VEC, k=10, n_probe=3)
+
+
+# --- flagship KG pipeline over the synthetic page table (rows-only) --------
+
+_KG_CACHE: dict[str, Any] = {}
+
+
+def _kg_result(sf_dir: str):
+    """Build (once per process) the KG over deterministic synthetic pages;
+    page count scales with the sf documents row count."""
+    import os
+
+    from ..sources.pages import write_pages
+    from .kg_build import kg_build
+
+    if sf_dir in _KG_CACHE:
+        return _KG_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = max(200, n_docs)
+    base = f"/tmp/kgray_cache/{os.path.basename(os.path.normpath(sf_dir))}-{n_pages}"
+    paths = write_pages(f"{base}/pages", n_pages=n_pages, seed=42, rows_per_file=500)
+    res = kg_build(paths, f"{base}/work", batch_size=256, concurrency=2,
+                   num_partitions=8, wave_size=64, resume=True)
+    _KG_CACHE[sf_dir] = res
+    return res
+
+
+def q_kg_nodes_by_type(sf_dir: str):
+    """Flagship KG build → canonical node histogram (D9)."""
+    res = _kg_result(sf_dir)
+    return res.nodes().groupby("type").aggregate(Count(alias_name="n_nodes"))
+
+
+def q_kg_edges_by_type(sf_dir: str):
+    res = _kg_result(sf_dir)
+    return res.edges().groupby("type").aggregate(
+        Count(alias_name="n_edges"), Max("strength", alias_name="max_strength")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; views documents/events/customer/orders/... preregistered)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q_filter_project": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars > 300
+    """,
+    "q_point_lookup": """
+        SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
+    """,
+    "q_groupby_count": """
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    """,
+    "q_doc_stats_by_source": """
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY source
+    """,
+    "q_topk_events": """
+        SELECT event_id, event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+    """,
+    "q_sorted_limit": """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+    "q_join_agg": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_semi_join": """
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey
+    """,
+    "q_anti_join": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderpriority
+    """,
+    "q_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "q_token_count": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    """,
+    "q_quality": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+               floor(
+                 (least(len(string_split(text, ' ')), 200) / 200.0)
+                 * (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE))
+                 * 10000.0
+               ) / 10000.0 AS quality_score
+        FROM documents
+    """,
+    "q_exact_dedup": """
+        SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "q_knn_top10": f"""
+        SELECT vec_id,
+               floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {_KNN_SQL_LITERAL}) * 10000.0) / 10000.0 AS cos_r
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        {_KNN_SQL_LITERAL}) DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "q_neardup_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) * 10000.0) / 10000.0 AS cos_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "q_filter_project": q_filter_project,
+    "q_point_lookup": q_point_lookup,
+    "q_groupby_count": q_groupby_count,
+    "q_doc_stats_by_source": q_doc_stats_by_source,
+    "q_topk_events": q_topk_events,
+    "q_sorted_limit": q_sorted_limit,
+    "q_join_agg": q_join_agg,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_lineitem_agg": q_lineitem_agg,
+    "q_events_hourly": q_events_hourly,
+    "q_token_count": q_token_count,
+    "q_quality": q_quality,
+    "q_exact_dedup": q_exact_dedup,
+    "q_knn_top10": q_knn_top10,
+    "q_neardup_pairs": q_neardup_pairs,
+    # rows-only (no SQL oracle)
+    "q_lang_id": q_lang_id,
+    "q_rolling_fp": q_rolling_fp,
+    "q_simhash": q_simhash,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_ivf_knn": q_ivf_knn,
+    "q_kg_nodes_by_type": q_kg_nodes_by_type,
+    "q_kg_edges_by_type": q_kg_edges_by_type,
+}

@@ -433,9 +433,13 @@ def canonicalize(
     with_comp = attach_components(
         mentions, labels, num_partitions=num_partitions
     ).materialize()
+    # The identity rebatch after map_groups is load-bearing: map_groups emits
+    # one tiny block per group, and everything downstream (repartition,
+    # write_parquet, joins) degrades with thousands of blocks.
     nodes = (
         with_comp.groupby("comp")
         .map_groups(merge_component_group, batch_format="pyarrow")
+        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=8192)
         .materialize()
     )
     return nodes, with_comp

@@ -56,23 +56,32 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
     builds per batch (entity_mapping, systematic_merge_provider.py:395-547).
     Later mentions overwrite earlier ones for the same surface in a document
     (python dict assignment order) — we keep the max-mid row.
-    """
+
+    Fully vectorized: one hash aggregate (Max mid) + two unique-key lookup
+    joins; no per-group Python."""
     slim = mentions_with_comp.select_columns(["url", "entity_name", "mid", "comp"])
+    last = (
+        slim.groupby(["url", "entity_name"])
+        .aggregate(Max("mid", alias_name="mid"))
+    )
+    last = adaptive_join(
+        last,
+        slim.select_columns(["mid", "comp"]),
+        left_keys=["mid"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
     canon = nodes.select_columns(["comp", "name", "type"])
     joined = adaptive_join(
-        slim, canon, left_keys=["comp"], how="inner", num_partitions=num_partitions
+        last, canon, left_keys=["comp"], how="inner", num_partitions=num_partitions
     )
 
-    def last_wins(group: pa.Table) -> pa.Table:
-        idx = pc.index(group.column("mid"), pc.max(group.column("mid")))
-        row = group.slice(idx.as_py(), 1)
-        return row.select(["url", "entity_name", "name", "type"]).rename_columns(
+    def shape(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "entity_name", "name", "type"]).rename_columns(
             ["url", "surface", "canonical", "entity_type"]
         )
 
-    return joined.groupby(["url", "entity_name"]).map_groups(
-        last_wins, batch_format="pyarrow"
-    )
+    return joined.map_batches(shape, batch_format="pyarrow")
 
 
 def resolve_triples(
@@ -169,6 +178,8 @@ def materialize_edges(
     pairs), far below the corpus."""
     alias_map = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
     resolved = resolve_triples(triples, alias_map, num_partitions)
-    return resolved.groupby(
+    merged = resolved.groupby(
         ["canonical_src", "canonical_dst", "relationship_type"]
     ).map_groups(merge_edge_group, batch_format="pyarrow")
+    # Rebatch: map_groups emits one tiny block per edge group.
+    return merged.map_batches(lambda b: b, batch_format="pyarrow", batch_size=8192)

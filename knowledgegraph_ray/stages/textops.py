@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All oracle-checkable ops are pure vectorized pyarrow.compute kernels inside
+``map_batches(batch_format="pyarrow")`` — no per-row Python in the hot path.
+The heuristic ops (language id, rolling-hash fingerprint) are deterministic
+per-row functions whose state (stopword tables, hash coefficients) is
+module-level constant, so stateless map tasks stay cheap.
+
+Semantics are pinned to be exactly reproducible in ANSI SQL (DuckDB) where an
+oracle exists:
+  * token count      == len(string_split(text, ' '))
+  * punct count      == length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+  * quality score    == floor((least(n_tokens,200)/200.0) * (1-punct_ratio) * 1e4)/1e4
+  * md5 fingerprint  == md5(text)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PUNCT_RE = r"[.!?,;:]"
+TOKEN_CAP = 200  # quality saturation (docs past this length score max on length)
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens per row: single-space split, SQL string_split semantics
+    (empty string → 1 token)."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    return batch.append_column("n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+def add_punct_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    n = pc.count_substring_regex(batch.column(text_col), pattern=_PUNCT_RE)
+    return batch.append_column("n_punct", pc.cast(n, pa.int64()))
+
+
+def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length-saturating quality score penalized by punctuation density.
+
+    score = floor( min(n_tokens, 200)/200 * (1 - n_punct/len(text)) * 1e4 ) / 1e4
+    (floor-canonicalized so Arrow and DuckDB produce bit-identical doubles)."""
+    if "n_tokens" not in batch.column_names:
+        batch = add_token_count(batch, text_col)
+    if "n_punct" not in batch.column_names:
+        batch = add_punct_count(batch, text_col)
+    n_tok = pc.cast(batch.column("n_tokens"), pa.float64())
+    n_punct = pc.cast(batch.column("n_punct"), pa.float64())
+    length = pc.cast(pc.utf8_length(batch.column(text_col)), pa.float64())
+    safe_len = pc.max_element_wise(length, 1.0)
+    ratio = pc.divide(n_punct, safe_len)
+    sat = pc.divide(pc.min_element_wise(n_tok, float(TOKEN_CAP)), float(TOKEN_CAP))
+    raw = pc.multiply(sat, pc.subtract(1.0, ratio))
+    score = pc.divide(pc.floor(pc.multiply(raw, 10000.0)), 10000.0)
+    return batch.append_column("quality_score", score)
+
+
+def add_md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 hex of the raw text (== DuckDB md5(text))."""
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (winnowing-style; no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+_ROLL_BASE = np.uint64(1000003)
+_ROLL_WINDOW = 8
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Deterministic 63-bit doc fingerprint: min of rolling polynomial hashes
+    over byte windows (a cheap winnowing selector)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size == 0:
+        return 0
+    if data.size < _ROLL_WINDOW:
+        h = np.uint64(0)
+        for b in data:
+            h = h * _ROLL_BASE + np.uint64(b)
+        return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+    x = data.astype(np.uint64)
+    powers = np.array(
+        [_ROLL_BASE ** np.uint64(i) for i in range(_ROLL_WINDOW - 1, -1, -1)],
+        dtype=np.uint64,
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(x, _ROLL_WINDOW)
+    hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+    return int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def add_rolling_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [rolling_fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("roll_fp", pa.array(fps, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword + script heuristic; no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that for it with as on be at by this have from or".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit auf für von im den des sich".split()),
+    "fr": frozenset("le la les de des et un une est pour dans que qui sur pas avec au du".split()),
+    "es": frozenset("el la los las de y un una es para en que no con por del se su al".split()),
+}
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/stopword heuristic: CJK codepoint share → zh; else the language
+    whose stopword list covers the most tokens; ties and no-signal → en."""
+    if not text:
+        return "unknown"
+    cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if cjk > max(8, len(text[:400]) // 20):
+        return "zh"
+    toks = text.lower().split()[:200]
+    if not toks:
+        return "unknown"
+    best_lang, best_hits = "en", 0
+    for lang in ("en", "de", "fr", "es"):  # fixed order pins tie-breaks
+        hits = sum(1 for t in toks if t in _STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "unknown"
+
+
+def add_lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    langs = [detect_lang(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("lang_pred", pa.array(langs, pa.string()))

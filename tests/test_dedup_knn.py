@@ -1,0 +1,144 @@
+"""Dedup (exact, MinHash+LSH, SimHash) and similarity-search operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.dedup import (
+    add_simhash,
+    exact_dedup,
+    exact_dedup_groups,
+    hamming64,
+    jaccard_estimate,
+    minhash_lsh_components,
+    minhash_signature,
+    simhash64,
+)
+from knowledgegraph_ray.stages.knn import (
+    allpairs_cosine_threshold,
+    ivf_assign,
+    ivf_search,
+    seeded_centroids,
+    topk_cosine,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet village roofs and the river keeps moving toward the sea"
+)
+
+
+def _docs_ds(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    )
+
+
+def test_exact_dedup_groups_and_keeper():
+    texts = [BASE, "unique one", BASE, "unique two", BASE]
+    groups = {r["fingerprint"]: r for r in exact_dedup_groups(_docs_ds(texts)).take_all()}
+    assert len(groups) == 3
+    dup = next(r for r in groups.values() if r["n_dups"] == 3)
+    assert dup["keep_id"] == 0  # min id wins
+    kept = exact_dedup(_docs_ds(texts)).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 3]
+
+
+def test_minhash_identical_and_disjoint():
+    a = minhash_signature(BASE)
+    b = minhash_signature(BASE)
+    assert (a == b).all()
+    c = minhash_signature("completely different words about spacecraft telemetry systems")
+    assert jaccard_estimate(a, c) < 0.2
+    assert jaccard_estimate(a, b) == 1.0
+
+
+def test_minhash_near_duplicate_estimate():
+    edited = BASE.replace("quick", "swift")
+    est = jaccard_estimate(minhash_signature(BASE), minhash_signature(edited))
+    assert 0.5 < est < 1.0
+
+
+def test_minhash_lsh_clusters_near_dups():
+    texts = [
+        BASE,
+        BASE.replace("quick", "swift"),          # near-dup of 0
+        BASE + " extra trailing sentence here",  # near-dup of 0
+        "totally unrelated content about orbital mechanics and fuel budgets",
+        "another document on medieval trade routes and salt taxation policy",
+    ]
+    comp = {r["mid"]: r["comp"] for r in minhash_lsh_components(_docs_ds(texts)).take_all()}
+    assert comp[0] == comp.get(1, -1) == comp.get(2, -2), comp
+    assert comp.get(3) != comp[0] and comp.get(4) != comp[0]
+
+
+def test_simhash_near_vs_far():
+    h0 = simhash64(BASE)
+    h1 = simhash64(BASE.replace("quick", "swift"))
+    h2 = simhash64("completely different words about spacecraft telemetry systems")
+    assert hamming64(h0, h1) < 12
+    assert hamming64(h0, h2) > 20
+    assert simhash64(BASE) == h0  # deterministic
+
+
+def test_add_simhash_column():
+    out = add_simhash(pa.table({"text": [BASE, ""]}))
+    assert out.column("simhash").to_pylist()[1] == 0
+
+
+@pytest.fixture(scope="module")
+def vec_ds():
+    rng = np.random.default_rng(123)
+    E = rng.standard_normal((200, 16)).astype(np.float32)
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array([row.tolist() for row in E], pa.list_(pa.float32())),
+                }
+            )
+        ),
+        E.astype(np.float64),
+    )
+
+
+def test_topk_cosine_matches_numpy_oracle(vec_ds):
+    ds, E = vec_ds
+    q = np.sin(np.arange(16) + 1.0)
+    got = topk_cosine(ds, q, k=5).take_all()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ (q / np.linalg.norm(q))
+    order = sorted(range(200), key=lambda i: (-np.floor(cos[i] * 1e4) / 1e4, i))[:5]
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["cos_r"] == np.floor(cos[r["vec_id"]] * 1e4) / 1e4
+
+
+def test_allpairs_threshold_matches_numpy(vec_ds):
+    ds, E = vec_ds
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = En @ En.T
+    thr = 0.55
+    expected = {
+        (i, j) for i in range(200) for j in range(i + 1, 200) if sims[i, j] >= thr
+    }
+    assert expected, "threshold too high for fixture"
+    got = {(r["id_a"], r["id_b"]) for r in allpairs_cosine_threshold(ds, threshold=thr).take_all()}
+    assert got == expected
+
+
+def test_ivf_assign_partitions_and_search_recall(vec_ds):
+    ds, E = vec_ds
+    cents = seeded_centroids(16, 4)
+    assigned = ivf_assign(ds, cents).materialize()
+    parts = {r["centroid"] for r in assigned.take_all()}
+    assert parts <= {0, 1, 2, 3} and len(parts) > 1
+    q = np.sin(np.arange(16) + 1.0)
+    exact = [r["vec_id"] for r in topk_cosine(ds, q, k=10).take_all()]
+    approx = [r["vec_id"] for r in ivf_search(assigned, cents, q, k=10, n_probe=4).take_all()]
+    assert approx == exact  # n_probe = all centroids → exact
+    approx2 = [r["vec_id"] for r in ivf_search(assigned, cents, q, k=10, n_probe=2).take_all()]
+    assert len(set(approx2) & set(exact)) >= 5  # decent recall at half probes

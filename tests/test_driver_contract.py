@@ -1,0 +1,137 @@
+"""Rehearsal of the driver's correctness gate: every queries() entry runs at
+sf0.01 and, where an oracle_sql() entry exists, must match DuckDB exactly
+(row count, column names, values after canonical sorting)."""
+
+import importlib.util
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    return _load_entry_module()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+
+def _assert_equal(name, got: pd.DataFrame, want: pd.DataFrame):
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for col in g.columns:
+        gv, wv = g[col].tolist(), w[col].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+            else:
+                assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(o) >= 15
+
+
+@pytest.mark.parametrize("name", [
+    "q_filter_project", "q_point_lookup", "q_groupby_count",
+    "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
+    "q_semi_join", "q_anti_join", "q_lineitem_agg", "q_events_hourly",
+    "q_token_count", "q_quality", "q_exact_dedup", "q_knn_top10",
+    "q_neardup_pairs",
+])
+def test_query_matches_oracle(entry_mod, duck, name):
+    q = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    got = _to_pandas(q[name](SF_DIR))
+    want = duck.execute(sql).df()
+    _assert_equal(name, got, want)
+
+
+@pytest.mark.parametrize("name", [
+    "q_lang_id", "q_rolling_fp", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
+    "q_kg_nodes_by_type", "q_kg_edges_by_type",
+])
+def test_rows_only_queries_run(entry_mod, name):
+    got = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert len(got) >= 0
+    assert len(got.columns) >= 1
+
+
+def test_lang_id_heuristic_on_real_sentences():
+    """The documents table's lang labels are synthetic (same English word
+    salad for every label), so the heuristic is validated on natural
+    sentences instead; over documents it's a rows-only deterministic op."""
+    from knowledgegraph_ray.stages.textops import detect_lang
+
+    cases = {
+        "en": "the quick brown fox jumps over the lazy dog and runs to the barn",
+        "de": "der schnelle braune fuchs springt über den faulen hund und das ist gut",
+        "fr": "le renard brun saute sur le chien paresseux dans la forêt pour un moment",
+        "es": "el zorro marrón salta sobre el perro perezoso en el bosque para su casa",
+        "zh": "敏捷的棕色狐狸跳过了懒狗然后跑向谷仓这是一个测试句子需要足够的汉字字符来触发检测逻辑",
+    }
+    for lang, sentence in cases.items():
+        assert detect_lang(sentence) == lang, (lang, detect_lang(sentence))
+    assert detect_lang("") == "unknown"
+
+
+def test_lang_id_deterministic(entry_mod):
+    a = _to_pandas(entry_mod.queries()["q_lang_id"](SF_DIR)).sort_values("doc_id")
+    b = _to_pandas(entry_mod.queries()["q_lang_id"](SF_DIR)).sort_values("doc_id")
+    assert a["lang_pred"].tolist() == b["lang_pred"].tolist()
+
+
+def test_entry_runs(entry_mod):
+    res = entry_mod.entry()
+    df = _to_pandas(res)
+    assert len(df) > 0
+    assert "name" in df.columns and "type" in df.columns
