@@ -113,7 +113,7 @@ def lookup_join(
 
 def adaptive_join(
     left: rd.Dataset,
-    right: rd.Dataset,
+    right: "rd.Dataset | pa.Table",
     *,
     left_keys: list[str],
     right_keys: list[str] | None = None,
@@ -123,10 +123,15 @@ def adaptive_join(
     broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
 ) -> rd.Dataset:
     """Join with a unique-keyed right side: broadcast when small, hash-shuffle
-    `Dataset.join` when large.  `right` is materialized (it is always the map
-    side, O(entities/keys), never the corpus).  Pass broadcast_rows=0 to force
-    the shuffle path (tests use this to exercise it)."""
+    `Dataset.join` when large.  A Dataset right side is materialized (it is
+    always the map side, O(entities/keys), never the corpus); an Arrow-table
+    right side goes straight to the broadcast path.  Pass broadcast_rows=0 to
+    force the shuffle path (tests use this to exercise it)."""
     right_keys = right_keys or left_keys
+    if isinstance(right, pa.Table):
+        return lookup_join(
+            left, right, left_keys=left_keys, right_keys=right_keys, how=how
+        )
     right_mat = right.materialize()
     n = right_mat.count()
     size = right_mat.size_bytes() or 0

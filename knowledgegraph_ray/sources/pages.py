@@ -113,8 +113,12 @@ class World:
 
 
 def _build_world(n_pages: int, rng: np.random.Generator) -> World:
+    """Rejection-sampling targets are capped at 90% of the distinct-combo
+    space — a target equal to the max turns the sampler into a full coupon
+    collector (and repo names collide on org-name *stems*, so their true max
+    is stems × words, far below orgs × words)."""
     w = World()
-    n_orgs = max(4, min(len(_ORG_STEM) * len(_ORG_SUFFIX), 4 + n_pages // 40))
+    n_orgs = max(4, min(int(len(_ORG_STEM) * len(_ORG_SUFFIX) * 0.9), 4 + n_pages // 40))
     used = set()
     while len(w.orgs) < n_orgs:
         name = f"{_ORG_STEM[int(rng.integers(len(_ORG_STEM)))]} {_ORG_SUFFIX[int(rng.integers(len(_ORG_SUFFIX)))]}"
@@ -132,7 +136,7 @@ def _build_world(n_pages: int, rng: np.random.Generator) -> World:
             )
         )
 
-    n_persons = max(12, min(len(_FIRST) * len(_LAST), 12 + n_pages // 6))
+    n_persons = max(12, min(int(len(_FIRST) * len(_LAST) * 0.9), 12 + n_pages // 6))
     seen_names = set()
     while len(w.persons) < n_persons:
         fn = _FIRST[int(rng.integers(len(_FIRST)))]
@@ -145,7 +149,8 @@ def _build_world(n_pages: int, rng: np.random.Generator) -> World:
         email = f"{fn.lower()}.{ln.lower()}@{w.orgs[org].domain}"
         w.persons.append(_Person(len(w.persons), name, f"{fn[0]}. {ln}", email, org))
 
-    n_repos = max(6, min(len(w.orgs) * len(_REPO_WORDS), 6 + n_pages // 20))
+    n_stems = len({o.name.split(" ")[0] for o in w.orgs})
+    n_repos = max(6, min(int(n_stems * len(_REPO_WORDS) * 0.9), 6 + n_pages // 20))
     seen_repos = set()
     while len(w.repos) < n_repos:
         org = int(rng.integers(len(w.orgs)))
@@ -310,13 +315,31 @@ def _render_html(page_idx: int, facts: list[dict[str, Any]], rng: np.random.Gene
     return "".join(parts)
 
 
+_WORLD_CACHE: dict[tuple[int, int], World] = {}
+
+
+def _world_for(n_pages: int, seed: int) -> World:
+    """World sizes depend on the TOTAL page count, so the world is built once
+    per (n_pages, seed) and shared by every shard/range."""
+    key = (n_pages, seed)
+    if key not in _WORLD_CACHE:
+        _WORLD_CACHE[key] = _build_world(n_pages, np.random.default_rng(seed))
+    return _WORLD_CACHE[key]
+
+
 def generate_pages(
     n_pages: int,
     seed: int = 42,
     empty_rate: float = 0.02,
     nonen_rate: float = 0.03,
+    start: int = 0,
+    limit: int | None = None,
 ) -> tuple[pa.Table, list[dict[str, Any]]]:
-    """Build (pages_table, page_meta).
+    """Build (pages_table, page_meta) for pages [start, start+limit).
+
+    Each page draws from its own seeded stream (``default_rng([seed, i])``),
+    so any sub-range is byte-identical to the same rows of the full table —
+    shards can be generated independently and in parallel.
 
     page_meta[i] = {"url", "ord", "facts": [...]} — the fact log the oracle in
     sources/golden.py consumes.  Pages with blank content (empty_rate) and
@@ -324,13 +347,14 @@ def generate_pages(
     exercise the empty-content filter (entity_extractor.py:57-67) and language
     handling.
     """
-    rng = np.random.default_rng(seed)
-    world = _build_world(n_pages, rng)
+    world = _world_for(n_pages, seed)
+    end = n_pages if limit is None else min(n_pages, start + limit)
 
     urls, tss, htmls, texts, langs, ords, perms = [], [], [], [], [], [], []
     meta: list[dict[str, Any]] = []
 
-    for i in range(n_pages):
+    for i in range(start, end):
+        rng = np.random.default_rng([seed, i])
         url = f"https://crawl.example.org/{seed}/{i:08d}"
         roll = float(rng.random())
         if roll < empty_rate:
@@ -381,22 +405,39 @@ def write_pages(
     n_pages: int,
     seed: int = 42,
     rows_per_file: int = 2000,
+    parallel: bool = False,
 ) -> list[str]:
     """Write the synthetic pages as a directory of Parquet shards; returns the
     file list.  Sharding gives the pipeline natural input partitions for the
-    lineage-manifest / resume story."""
+    lineage-manifest / resume story.  With ``parallel=True`` (requires an
+    initialized Ray session) shards are generated by Ray tasks — identical
+    bytes thanks to the per-page seed streams."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    table, _ = generate_pages(n_pages, seed=seed)
-    paths = []
-    for start in range(0, table.num_rows, rows_per_file):
-        chunk = table.slice(start, rows_per_file)
-        path = os.path.join(out_dir, f"pages-{start // rows_per_file:05d}.parquet")
-        pq.write_table(chunk, path)
-        paths.append(path)
+    starts = list(range(0, n_pages, rows_per_file))
+    paths = [
+        os.path.join(out_dir, f"pages-{s // rows_per_file:05d}.parquet") for s in starts
+    ]
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def _gen_shard(start: int, path: str) -> str:
+            table, _ = generate_pages(
+                n_pages, seed=seed, start=start, limit=rows_per_file
+            )
+            pq.write_table(table, path)
+            return path
+
+        ray.get([_gen_shard.remote(s, p) for s, p in zip(starts, paths)])
+    else:
+        for s, p in zip(starts, paths):
+            table, _ = generate_pages(n_pages, seed=seed, start=s, limit=rows_per_file)
+            pq.write_table(table, p)
     return paths
 
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
 from ..config import (
     ARRAY_NODE_COLUMNS,
@@ -112,46 +112,126 @@ def _batch_min_by(group_col: str, value_col: str, out_col: str):
 
 def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
     """Small-side fast path: pull the (key, mid) pair table to the driver and
-    run a sequential union-find.  Produces exactly the labels the distributed
-    loop converges to (comp = min mid of the component), like a broadcast
-    join replacing a shuffle join when one side is small.  The pair table is
-    O(mentions × rules) — tiny next to the corpus — but the distributed loop
-    below remains the scale path and is what bench.py exercises."""
-    parent: dict[int, int] = {}
+    run fully vectorized min-label propagation (pandas factorize + numpy
+    scatter-min per round — no per-row Python).  Produces exactly the labels
+    the distributed paths converge to (comp = min mid of the component), the
+    same way a broadcast join replaces a shuffle join when one side is small.
+    The pair table is O(mentions × rules) — tiny next to the corpus."""
+    import numpy as np
+    import pandas as pd
 
-    def find(x: int) -> int:
-        p = parent.setdefault(x, x)
-        while p != x:
-            parent[x] = p = parent[p]
-            x = p
-            p = parent[x]
-        return x
+    tables = [
+        b for b in pairs_mat.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    t = pa.concat_tables(tables).combine_chunks()
+    kcodes = pd.factorize(t.column("key").to_pandas())[0]
+    mids_np = t.column("mid").to_numpy(zero_copy_only=False)
+    mcodes, muniq = pd.factorize(mids_np)
+    muniq = np.asarray(muniq, dtype=np.int64)
+    n_keys = int(kcodes.max()) + 1 if len(kcodes) else 0
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra > rb:
-                ra, rb = rb, ra
-            parent[rb] = ra  # smaller mid stays root
+    label = muniq.copy()  # per distinct mid, starts as itself
+    while True:
+        pair_lab = label[mcodes]
+        kmin = np.full(n_keys, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(kmin, kcodes, pair_lab)
+        new_lab = label.copy()
+        np.minimum.at(new_lab, mcodes, kmin[kcodes])
+        if np.array_equal(new_lab, label):
+            break
+        label = new_lab
 
-    key_first: dict[str, int] = {}
-    mids_seen: set[int] = set()
-    for batch in pairs_mat.iter_batches(batch_format="pyarrow"):
-        for key, mid in zip(
-            batch.column("key").to_pylist(), batch.column("mid").to_pylist()
-        ):
-            mids_seen.add(mid)
-            if key in key_first:
-                union(key_first[key], mid)
-            else:
-                key_first[key] = mid
-
-    mids = sorted(mids_seen)
-    comps = [find(m) for m in mids]
+    order = np.argsort(muniq)
     return rd.from_arrow(
         pa.Table.from_pydict(
-            {"mid": pa.array(mids, pa.int64()), "comp": pa.array(comps, pa.int64())}
+            {
+                "mid": pa.array(muniq[order], pa.int64()),
+                "comp": pa.array(label[order], pa.int64()),
+            }
         )
+    )
+
+
+class _UF:
+    """Min-root union-find over int64 node ids (per-block local state)."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent[p]
+            x = p
+            p = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        if ra > rb:
+            ra, rb = rb, ra
+        self.parent[rb] = ra  # smaller id stays root
+        return True
+
+
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _contract_level0(batch: pa.Table) -> pa.Table:
+    """Key-colocated block → (a=local root, b=mid) rows.
+
+    All mids sharing a key inside this block are unioned locally; each
+    distinct mid emits one row pointing at its local min root.  Keys never
+    leave this level (range sort keeps equal keys in one block)."""
+    uf = _UF()
+    key_first: dict[str, int] = {}
+    for k, m in zip(batch.column("key").to_pylist(), batch.column("mid").to_pylist()):
+        f = key_first.get(k)
+        if f is None:
+            key_first[k] = m
+        else:
+            uf.union(f, m)
+    nodes = sorted(set(batch.column("mid").to_pylist()))
+    return pa.Table.from_pydict(
+        {
+            "a": pa.array([uf.find(x) for x in nodes], pa.int64()),
+            "b": pa.array(nodes, pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _expand_star(batch: pa.Table) -> pa.Table:
+    """(a, b) edges → (k, v) rows in both orientations, so every claim about
+    a node colocates at that node's id in the next sort."""
+    a, b = batch.column("a"), batch.column("b")
+    return pa.Table.from_pydict(
+        {
+            "k": pa.chunked_array([a, b]).combine_chunks(),
+            "v": pa.chunked_array([b, a]).combine_chunks(),
+        }
+    )
+
+
+def _contract_round(batch: pa.Table) -> pa.Table:
+    """One star-colocated block → contracted (root, node) rows (distinct
+    nodes only)."""
+    uf = _UF()
+    k_col = batch.column("k").to_pylist()
+    v_col = batch.column("v").to_pylist()
+    for a, b in zip(k_col, v_col):
+        uf.union(a, b)
+    nodes = sorted(set(k_col) | set(v_col))
+    return pa.Table.from_pydict(
+        {
+            "a": pa.array([uf.find(x) for x in nodes], pa.int64()),
+            "b": pa.array(nodes, pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
     )
 
 
@@ -159,25 +239,24 @@ def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    driver_threshold: int = 500_000,
+    driver_threshold: int = 5_000_000,
+    edge_driver_threshold: int = 20_000_000,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
 
-    Alternating min-label propagation over the bipartite mention↔key graph —
-    the distributed form of the reference's transitive closure
-    (systematic_merge_provider.py:239-298).  Converges in O(component
-    diameter) rounds; entity-resolution components are shallow (shared keys),
-    so the cap is a guard, not a budget.  Each round materializes only the
-    pair table (never the input corpus).
+    Distributed transitive closure (the reference's while-loop closure,
+    systematic_merge_provider.py:239-298) via **alternating local
+    contraction**: range-sort colocates rows sharing one endpoint, a
+    per-block union-find contracts them to (root, node) edges, and the sort
+    endpoint alternates each round — min roots propagate like pointer
+    jumping, but whole local chains collapse in a single round.  Each round
+    is one sort + one map over an edge set that never exceeds the pair count.
+    Converges when a round performs zero merges on each orientation.
 
     Pair sets at or below ``driver_threshold`` rows short-circuit to a
-    sequential driver-side union-find (identical labels, no shuffle rounds);
-    pass 0 to force the distributed loop.
-    """
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        return batch.append_column("label", batch.column("mid"))
-
+    sequential driver-side union-find (identical labels — comp = min mid of
+    the component — with no shuffle rounds); pass 0 to force the distributed
+    path."""
     pairs_mat = pairs.materialize()
     n_pairs = pairs_mat.count()
     if n_pairs == 0:
@@ -187,48 +266,67 @@ def connected_components(
     if driver_threshold and n_pairs <= driver_threshold:
         return _driver_union_find(pairs_mat)
 
-    P = pairs_mat.map_batches(init_labels, batch_format="pyarrow").materialize()
+    # Level 0 (distributed): range-sort by key colocates every key's
+    # mentions; a per-block union-find contracts them into int64 claim edges
+    # (local root, node).  This does all the string handling and most of the
+    # merging in parallel; the residual graph is one edge per (node, block).
+    E = (
+        pairs_mat.sort("key")
+        .map_batches(_contract_level0, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    claims = E.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("a"), t.column("b"))),
+        batch_format="pyarrow",
+    ).materialize()
 
+    if claims.count() <= edge_driver_threshold:
+        # Level 1 (driver): union the contracted claim edges — O(nodes) int
+        # pairs, orders of magnitude below the raw pair/corpus volume.
+        uf = _UF()
+        nodes_seen: set[int] = set()
+        for batch in claims.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+                uf.union(a, b)
+                nodes_seen.add(a)
+                nodes_seen.add(b)
+        nodes = sorted(nodes_seen)
+        root_tbl = pa.Table.from_pydict(
+            {
+                "mid": pa.array(nodes, pa.int64()),
+                "comp": pa.array([uf.find(x) for x in nodes], pa.int64()),
+            }
+        )
+        # Nodes with only self-claims (a == b everywhere) are their own comp;
+        # they are simply absent here and attach_components fills comp = mid.
+        return rd.from_arrow(root_tbl)
+
+    # Fallback for residuals beyond driver memory: alternating star
+    # contraction.  Fixpoint detection is exact and monotone: every round can
+    # only lower a node's claimed root (min-root unions), so sum(a) strictly
+    # decreases on any change; (count, sum(a)) stable → converged.
+    prev: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        # key → min(label), with per-batch partial pre-aggregation
-        kmin = (
-            P.map_batches(_batch_min_by("key", "label", "kl"), batch_format="pyarrow")
-            .groupby("key")
-            .aggregate(Min("kl", alias_name="kl"))
+        E = (
+            E.map_batches(_expand_star, batch_format="pyarrow")
+            .sort("k")
+            .map_batches(_contract_round, batch_format="pyarrow", batch_size=None)
+            .materialize()
         )
-        # Propagate key-min back onto pairs (adaptive: broadcast lookup when
-        # the per-key min table is small, hash-shuffle join at scale).
-        pk = adaptive_join(
-            P, kmin, left_keys=["key"], how="inner", num_partitions=num_partitions
-        ).materialize()
-        # mid → min over its keys' minima
-        mmin = (
-            pk.map_batches(_batch_min_by("mid", "kl", "nl"), batch_format="pyarrow")
-            .groupby("mid")
-            .aggregate(Min("nl", alias_name="nl"))
-        )
-        pm = adaptive_join(
-            pk, mmin, left_keys=["mid"], how="inner", num_partitions=num_partitions
-        )
-
-        def update(batch: pa.Table) -> pa.Table:
-            changed = pc.cast(
-                pc.not_equal(batch.column("nl"), batch.column("label")), pa.int64()
-            )
-            out = batch.select(["key", "mid"])
-            out = out.append_column("label", batch.column("nl"))
-            return out.append_column("changed", changed)
-
-        P = pm.map_batches(update, batch_format="pyarrow").materialize()
-        n_changed = P.sum("changed", ignore_nulls=True) or 0
-        P = P.drop_columns(["changed"])
-        if n_changed == 0:
+        stat = (E.count(), int(E.sum("a", ignore_nulls=True) or 0))
+        if stat == prev:
             break
+        prev = stat
 
+    # Dedup cross-block duplicate claims (identical at fixpoint) and emit
+    # (mid, comp).
     labels = (
-        P.map_batches(_batch_min_by("mid", "label", "comp"), batch_format="pyarrow")
-        .groupby("mid")
+        E.map_batches(_batch_min_by("b", "a", "comp"), batch_format="pyarrow")
+        .groupby("b", num_partitions=num_partitions)
         .aggregate(Min("comp", alias_name="comp"))
+        .map_batches(
+            lambda t: t.rename_columns(["mid", "comp"]), batch_format="pyarrow"
+        )
     )
     return labels
 
@@ -389,8 +487,8 @@ def _merge_group_rows(
     return row
 
 
-def merge_component_group(group: pa.Table) -> pa.Table:
-    """map_groups reducer: one component's mentions → one canonical node row."""
+def merge_component_row(group: pa.Table) -> dict[str, Any]:
+    """One component's mentions → one canonical node row (dict)."""
     order = pc.sort_indices(group.column("mid"))
     g = group.take(order)
     etype = g.column("entity_type")[0].as_py()
@@ -403,14 +501,63 @@ def merge_component_group(group: pa.Table) -> pa.Table:
     row["comp"] = g.column("comp")[0].as_py()
     row["min_ord"] = g.column("ord")[0].as_py()
     row["n_mentions"] = g.num_rows
-    return pa.Table.from_pylist([row], schema=NODES_SCHEMA)
+    return row
+
+
+def merge_component_group(group: pa.Table) -> pa.Table:
+    """map_groups-style reducer (kept for operator-level tests)."""
+    return pa.Table.from_pylist([merge_component_row(group)], schema=NODES_SCHEMA)
+
+
+def grouped_apply(
+    ds: rd.Dataset,
+    keys: list[str],
+    row_fn,
+    schema: pa.Schema,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Hash-partitioned grouped apply emitting ONE block per partition.
+
+    Ray's ``groupby().map_groups`` yields one output batch per group, and the
+    map operator's block builder charges ~1-2 ms per yielded batch — with
+    10^4-10^5 groups that overhead dwarfs the reducers.  Here the dataset is
+    hash-repartitioned on the keys (equal keys provably colocate) and sorted
+    within each partition, group runs are found with a vectorized
+    adjacent-difference scan, the per-group reducer returns a plain dict, and
+    each partition becomes exactly one output table."""
+    import numpy as np
+
+    # NOTE: ds.sort range-partitions with equal keys colocated (ties cannot
+    # straddle a boundary); key-hash repartition would be preferable but
+    # requires the global HASH_SHUFFLE strategy in Ray 2.49.
+    s = ds.sort(keys)
+
+    def apply_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return schema.empty_table()
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            col = block.column(k).to_numpy(zero_copy_only=False)
+            change[1:] |= col[1:] != col[:-1]
+        idx = np.flatnonzero(change).tolist()
+        idx.append(n)
+        rows = [
+            row_fn(block.slice(s0, e0 - s0)) for s0, e0 in zip(idx[:-1], idx[1:])
+        ]
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return s.map_batches(
+        apply_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    cc_driver_threshold: int = 500_000,
+    cc_driver_threshold: int = 5_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 
@@ -436,10 +583,8 @@ def canonicalize(
     # The identity rebatch after map_groups is load-bearing: map_groups emits
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
-    nodes = (
-        with_comp.groupby("comp")
-        .map_groups(merge_component_group, batch_format="pyarrow")
-        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=8192)
-        .materialize()
-    )
+    nodes = grouped_apply(
+        with_comp, ["comp"], merge_component_row, NODES_SCHEMA,
+        num_partitions=num_partitions,
+    ).materialize()
     return nodes, with_comp

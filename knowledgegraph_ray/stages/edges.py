@@ -50,53 +50,104 @@ EDGES_SCHEMA = pa.schema(
 
 def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                     num_partitions: int = 16) -> rd.Dataset:
-    """(url, surface, mid) → (canonical name, entity type) lookup.
+    """(url, surface) → (canonical name, entity type) lookup.
 
     One row per (url, surface): the document-scoped mapping the reference
     builds per batch (entity_mapping, systematic_merge_provider.py:395-547).
     Later mentions overwrite earlier ones for the same surface in a document
     (python dict assignment order) — we keep the max-mid row.
 
-    Fully vectorized: one hash aggregate (Max mid) + two unique-key lookup
-    joins; no per-group Python."""
-    slim = mentions_with_comp.select_columns(["url", "entity_name", "mid", "comp"])
-    last = (
-        slim.groupby(["url", "entity_name"])
-        .aggregate(Max("mid", alias_name="mid"))
+    Fully vectorized: one range sort + per-block run-boundary scan (equal
+    keys are colocated by the sort) + a broadcast comp→(name, type) lookup;
+    no hash aggregate, no per-group Python."""
+    import numpy as np
+
+    import ray
+
+    from ..functions.joins import _dataset_to_table
+
+    canon_tbl = _dataset_to_table(
+        nodes.select_columns(["comp", "name", "type"]).materialize()
     )
-    last = adaptive_join(
-        last,
-        slim.select_columns(["mid", "comp"]),
-        left_keys=["mid"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-    canon = nodes.select_columns(["comp", "name", "type"])
-    joined = adaptive_join(
-        last, canon, left_keys=["comp"], how="inner", num_partitions=num_partitions
+    canon_ref = ray.put(
+        (
+            canon_tbl.column("comp").to_numpy(zero_copy_only=False),
+            canon_tbl.column("name"),
+            canon_tbl.column("type"),
+        )
     )
 
-    def shape(batch: pa.Table) -> pa.Table:
-        return batch.select(["url", "entity_name", "name", "type"]).rename_columns(
-            ["url", "surface", "canonical", "entity_type"]
+    s = mentions_with_comp.select_columns(
+        ["url", "entity_name", "mid", "comp"]
+    ).sort(["url", "entity_name", "mid"])
+
+    def last_per_run(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        out_schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("surface", pa.string()),
+                ("canonical", pa.string()),
+                ("entity_type", pa.string()),
+            ]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        # partition-sort orders by (url, entity_name); add mid for last-wins
+        order = pc.sort_indices(
+            block,
+            sort_keys=[("url", "ascending"), ("entity_name", "ascending"),
+                       ("mid", "ascending")],
+        )
+        block = block.take(order)
+        urls = block.column("url").to_numpy(zero_copy_only=False)
+        names = block.column("entity_name").to_numpy(zero_copy_only=False)
+        last = np.ones(n, dtype=bool)
+        last[:-1] = (urls[1:] != urls[:-1]) | (names[1:] != names[:-1])
+        picked = block.filter(pa.array(last))
+        comp_ids, canon_names, canon_types = ray.get(canon_ref)
+        idx = pc.index_in(
+            picked.column("comp"), value_set=pa.array(comp_ids, pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": picked.column("url"),
+                "surface": picked.column("entity_name"),
+                "canonical": canon_names.take(idx),
+                "entity_type": canon_types.take(idx),
+            },
+            schema=out_schema,
         )
 
-    return joined.map_batches(shape, batch_format="pyarrow")
+    return s.map_batches(last_per_run, batch_format="pyarrow", batch_size=None)
 
 
 def resolve_triples(
-    triples: rd.Dataset, alias_map: rd.Dataset, num_partitions: int = 16
+    triples: rd.Dataset,
+    alias_map: "rd.Dataset | pa.Table",
+    num_partitions: int = 16,
 ) -> rd.Dataset:
     """Rewrite triple endpoints to canonical names via same-document lookup;
-    inner joins drop triples with unmapped endpoints (J1 semantics)."""
-    src_map = alias_map.rename_columns(
-        {"surface": "source_entity", "canonical": "canonical_src",
-         "entity_type": "src_type"}
-    )
-    dst_map = alias_map.rename_columns(
-        {"surface": "target_entity", "canonical": "canonical_dst",
-         "entity_type": "dst_type"}
-    )
+    inner joins drop triples with unmapped endpoints (J1 semantics).
+
+    A pa.Table alias map (already materialized by the caller) is renamed
+    in-place for both endpoint joins — one broadcast, two lookups."""
+    if isinstance(alias_map, pa.Table):
+        src_map = alias_map.rename_columns(
+            ["url", "source_entity", "canonical_src", "src_type"]
+        )
+        dst_map = alias_map.rename_columns(
+            ["url", "target_entity", "canonical_dst", "dst_type"]
+        )
+    else:
+        src_map = alias_map.rename_columns(
+            {"surface": "source_entity", "canonical": "canonical_src",
+             "entity_type": "src_type"}
+        )
+        dst_map = alias_map.rename_columns(
+            {"surface": "target_entity", "canonical": "canonical_dst",
+             "entity_type": "dst_type"}
+        )
     t = adaptive_join(
         triples,
         src_map,
@@ -114,7 +165,7 @@ def resolve_triples(
     return t
 
 
-def merge_edge_group(group: pa.Table) -> pa.Table:
+def merge_edge_row(group: pa.Table) -> dict[str, Any]:
     """One (src, dst, type) group → one edge row (D6 reducer)."""
     order = pc.sort_indices(group.column("ord"))
     g = group.take(order)
@@ -161,7 +212,12 @@ def merge_edge_group(group: pa.Table) -> pa.Table:
         "dst_type": g.column("dst_type")[0].as_py(),
         "n_raw": g.num_rows,
     }
-    return pa.Table.from_pylist([row], schema=EDGES_SCHEMA)
+    return row
+
+
+def merge_edge_group(group: pa.Table) -> pa.Table:
+    """map_groups-style reducer (kept for operator-level tests)."""
+    return pa.Table.from_pylist([merge_edge_row(group)], schema=EDGES_SCHEMA)
 
 
 def materialize_edges(
@@ -176,10 +232,20 @@ def materialize_edges(
     sequential execution of the two hash joins avoids aggregator-actor-pool
     contention on small CPU counts.  Its size is O(distinct (url, surface)
     pairs), far below the corpus."""
-    alias_map = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
+    from ..functions.joins import DEFAULT_BROADCAST_ROWS, _dataset_to_table
+    from .canonicalize import grouped_apply
+
+    alias_ds = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
+    if alias_ds.count() <= DEFAULT_BROADCAST_ROWS:
+        # one driver pull, shared by both endpoint lookups
+        alias_map: "rd.Dataset | pa.Table" = _dataset_to_table(alias_ds)
+    else:
+        alias_map = alias_ds
     resolved = resolve_triples(triples, alias_map, num_partitions)
-    merged = resolved.groupby(
-        ["canonical_src", "canonical_dst", "relationship_type"]
-    ).map_groups(merge_edge_group, batch_format="pyarrow")
-    # Rebatch: map_groups emits one tiny block per edge group.
-    return merged.map_batches(lambda b: b, batch_format="pyarrow", batch_size=8192)
+    return grouped_apply(
+        resolved,
+        ["canonical_src", "canonical_dst", "relationship_type"],
+        merge_edge_row,
+        EDGES_SCHEMA,
+        num_partitions=num_partitions,
+    )

@@ -166,3 +166,40 @@ def test_transform_attributes_mapping():
     assert out["emails"] == ["e@a.com"]
     assert out["rawDescriptions"] == ["d"]
     assert "unknown_field" not in out  # dropped like kuzu_db_handler.py:153-168
+
+
+def test_connected_components_three_paths_agree():
+    """Driver vectorized propagation, two-level contraction, and the star-loop
+    fallback must emit identical labels (comp = min mid of component)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.canonicalize import connected_components
+
+    # chain 0-1-2, pair 10-11, hub key shared by 20..24, singleton 30
+    pairs = [
+        ("k1", 0), ("k1", 1), ("k2", 1), ("k2", 2),
+        ("k3", 10), ("k3", 11),
+        ("hub", 20), ("hub", 21), ("hub", 22), ("hub", 23), ("hub", 24),
+        ("solo", 30),
+    ]
+    t = pa.table({"key": [k for k, _ in pairs],
+                  "mid": pa.array([m for _, m in pairs], pa.int64())})
+
+    def labels(**kw):
+        ds = rd.from_arrow(t)
+        out = {r["mid"]: r["comp"]
+               for r in connected_components(ds, num_partitions=2, **kw).take_all()}
+        for m in {m for _, m in pairs}:
+            out.setdefault(m, m)  # absent rows = singleton (attach fills)
+        return out
+
+    driver = labels(driver_threshold=10**9)
+    twolevel = labels(driver_threshold=0)
+    starloop = labels(driver_threshold=0, edge_driver_threshold=0)
+    expected = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10,
+                20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 30: 30}
+    assert driver == expected
+    assert twolevel == expected
+    assert starloop == expected

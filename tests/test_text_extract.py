@@ -54,3 +54,14 @@ def test_generator_text_column_is_extract_text_of_html():
     table, _ = generate_pages(60, seed=7)
     for html, text in zip(table.column("html").to_pylist(), table.column("text").to_pylist()):
         assert extract_text(html) == text
+
+
+def test_generate_pages_range_equivalence():
+    """Sharded generation is byte-identical to slicing the full table (the
+    per-page seed streams make shards order-independent)."""
+    from knowledgegraph_ray.sources.pages import generate_pages
+
+    full, meta = generate_pages(120, seed=9)
+    part, pmeta = generate_pages(120, seed=9, start=50, limit=30)
+    assert part.equals(full.slice(50, 30))
+    assert pmeta == meta[50:80]
