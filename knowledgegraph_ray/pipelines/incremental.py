@@ -1,0 +1,212 @@
+"""Incremental merge: fold new extractions into an existing graph (D4/J3).
+
+The reference's incremental path probes the live DB per dedup group (exact
+field match, then array-contains on emails/aliases —
+/root/reference/src/workspace_kg/components/systematic_merge_provider.py:
+300-393) and merges into the matched row, never updating the primary key
+(:682-684); relations update arrays + max strength on conflict (:1062-1113).
+
+Ray-Data-first equivalent — **the existing graph joins the same shuffle the
+new mentions use**:
+
+1. every existing node is converted to a pseudo-mention whose attributes are
+   its own columns, with an ordinal BELOW every new mention — the same
+   candidate-key generation then reproduces the probe rules (name/emails/
+   aliases/domain/url keys), and "first item wins" makes the existing row the
+   merge base, so primary names never change;
+2. one canonicalization pass over (pseudo + new) mentions yields components;
+   components holding ≥2 existing nodes mean a new bridging mention merged
+   previously-distinct entities — a rename map (old canonical → new) is
+   emitted and existing edges are rewritten through it;
+3. new triples resolve through the incremental alias map; rewritten existing
+   edges and new edges merge per (src, dst, type) with existing rows first
+   (array unions preserve their order, strength takes the max).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import ARRAY_NODE_COLUMNS, SCALAR_NODE_COLUMNS
+from ..stages.canonicalize import NODES_SCHEMA, canonicalize
+from ..stages.edges import EDGES_SCHEMA, materialize_edges, merge_edge_row
+from ..stages.extract import MENTION_SCHEMA, explode_mentions, explode_triples
+from ..functions.ids import relation_id
+from ..functions.joins import lookup_join, _dataset_to_table
+
+EXISTING_URL = "graph://existing"
+# Existing nodes get ordinals below any real page ordinal so "first item wins"
+# keeps them as merge bases (mid = EXISTING_BASE + index).
+EXISTING_BASE = -(1 << 60)
+
+
+def nodes_as_mentions(nodes: rd.Dataset) -> rd.Dataset:
+    """Existing canonical nodes → pseudo-mentions carrying their identity
+    keys, ordered by the nodes' original first-seen ordinal (min_ord, name
+    tie-break) so incremental canonical-name choice matches what a
+    from-scratch run over all inputs would pick."""
+    tbl = _dataset_to_table(nodes.materialize())
+    sort_keys = (
+        [("min_ord", "ascending"), ("name", "ascending")]
+        if "min_ord" in tbl.column_names
+        else [("type", "ascending"), ("name", "ascending")]
+    )
+    order = pc.sort_indices(tbl, sort_keys=sort_keys)
+    tbl = tbl.take(order)
+
+    out: dict[str, list[Any]] = {k: [] for k in MENTION_SCHEMA.names}
+    for i in range(tbl.num_rows):
+        row = {c: tbl.column(c)[i].as_py() for c in tbl.column_names}
+        attrs: dict[str, Any] = {}
+        for c in SCALAR_NODE_COLUMNS:
+            v = row.get(c)
+            if v and c != "type":
+                attrs[c] = v
+        for c in ARRAY_NODE_COLUMNS:
+            v = row.get(c)
+            if v:
+                attrs[c] = list(v)
+        out["mid"].append(EXISTING_BASE + i)
+        out["url"].append(EXISTING_URL)
+        out["ord"].append(EXISTING_BASE + i)
+        out["entity_name"].append(row["name"])
+        out["entity_type"].append(row["type"])
+        out["attributes_json"].append(json.dumps(attrs, sort_keys=True))
+        out["permissions_json"].append(json.dumps(row.get("permissions") or []))
+    return rd.from_arrow(pa.Table.from_pydict(out, schema=MENTION_SCHEMA))
+
+
+def _rename_map(nodes_new: rd.Dataset, with_comp: rd.Dataset) -> pa.Table:
+    """(old canonical name, type) → new canonical name for every existing
+    pseudo-mention (identity rows included so lookups never miss)."""
+    existing = with_comp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("url"), EXISTING_URL)).select(
+            ["entity_name", "entity_type", "comp"]
+        ),
+        batch_format="pyarrow",
+    )
+    canon = nodes_new.select_columns(["comp", "name"])
+    joined = lookup_join(
+        existing,
+        _dataset_to_table(canon.materialize()),
+        left_keys=["comp"],
+        how="inner",
+    )
+    return _dataset_to_table(joined.materialize()).select(
+        ["entity_name", "entity_type", "name"]
+    ).rename_columns(["old_name", "etype", "new_name"])
+
+
+def _rewrite_existing_edges(edges: rd.Dataset, rename: pa.Table) -> rd.Dataset:
+    """Rewrite src/dst of existing edges through the rename map (old→new
+    canonical); unmatched names are unchanged."""
+    src_map = rename.select(["old_name", "etype", "new_name"]).rename_columns(
+        ["src", "src_type", "src_new"]
+    )
+    dst_map = rename.select(["old_name", "etype", "new_name"]).rename_columns(
+        ["dst", "dst_type", "dst_new"]
+    )
+    e = lookup_join(edges, src_map, left_keys=["src", "src_type"], how="left")
+    e = lookup_join(e, dst_map, left_keys=["dst", "dst_type"], how="left")
+
+    def apply(b: pa.Table) -> pa.Table:
+        src = pc.coalesce(b.column("src_new"), b.column("src"))
+        dst = pc.coalesce(b.column("dst_new"), b.column("dst"))
+        b = b.set_column(b.column_names.index("src"), "src", src)
+        b = b.set_column(b.column_names.index("dst"), "dst", dst)
+        return b.drop_columns(["src_new", "dst_new"])
+
+    return e.map_batches(apply, batch_format="pyarrow")
+
+
+def _edge_union_row(group: pa.Table) -> dict[str, Any]:
+    """Merge EDGES_SCHEMA rows for one (src, dst, type): existing rows first
+    (ord column), array append-unique, MAX strength
+    (systematic_merge_provider.py:1062-1113)."""
+    order = pc.sort_indices(group.column("ord"))
+    g = group.take(order)
+    src = g.column("src")[0].as_py()
+    dst = g.column("dst")[0].as_py()
+    rtype = g.column("type")[0].as_py()
+    row: dict[str, Any] = {
+        "relation_id": relation_id(src, dst, rtype),
+        "src": src,
+        "dst": dst,
+        "type": rtype,
+        "relationTag": [],
+        "description": [],
+        "strength": 0.0,
+        "permissions": [],
+        "sources": [],
+        "src_type": g.column("src_type")[0].as_py(),
+        "dst_type": g.column("dst_type")[0].as_py(),
+        "n_raw": int(pc.sum(g.column("n_raw")).as_py() or 0),
+    }
+    for i in range(g.num_rows):
+        for col in ("relationTag", "description", "permissions", "sources"):
+            for v in g.column(col)[i].as_py() or []:
+                if v and v not in row[col]:
+                    row[col].append(v)
+        row["strength"] = max(row["strength"], float(g.column("strength")[i].as_py() or 0))
+    return row
+
+
+def incremental_merge(
+    existing_nodes: rd.Dataset,
+    existing_edges: rd.Dataset,
+    new_extracted: rd.Dataset,
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+) -> dict[str, Any]:
+    """Merge new extraction results into an existing graph; writes the updated
+    nodes/ + edges/ under out_dir and returns counts."""
+    from ..stages.canonicalize import grouped_apply
+
+    pseudo = nodes_as_mentions(existing_nodes)
+    new_mentions = new_extracted.map_batches(explode_mentions, batch_format="pyarrow")
+    new_triples = new_extracted.map_batches(explode_triples, batch_format="pyarrow")
+
+    mentions = pseudo.union(new_mentions).materialize()
+    nodes, with_comp = canonicalize(mentions, num_partitions=num_partitions)
+
+    rename = _rename_map(nodes, with_comp)
+    rewritten = _rewrite_existing_edges(existing_edges, rename).map_batches(
+        lambda b: b.append_column("ord", pa.array([EXISTING_BASE] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    new_edges = materialize_edges(
+        new_triples, with_comp, nodes, num_partitions=num_partitions
+    ).map_batches(
+        lambda b: b.append_column("ord", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    all_edges = rewritten.union(new_edges)
+    merged_edges = grouped_apply(
+        all_edges, ["src", "dst", "type"], _edge_union_row, EDGES_SCHEMA,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    import shutil
+
+    shutil.rmtree(nodes_dir, ignore_errors=True)
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    nodes.write_parquet(nodes_dir)
+    merged_edges.write_parquet(edges_dir)
+    return {
+        "nodes": nodes.count(),
+        "edges": merged_edges.count(),
+        "nodes_dir": nodes_dir,
+        "edges_dir": edges_dir,
+    }

@@ -1,0 +1,148 @@
+"""JSON sources / sinks (S5–S7) and output-layout admin ops (S11).
+
+Re-expresses the reference's JSON export/load surface
+(/root/reference/src/workspace_kg/utils/vespa_integration.py:621-1228) on
+Ray Data:
+
+* ``export_jsonl``       — JSONL export (:901-950) → ``Dataset.write_json``
+                           (Ray's JSON sink emits one JSON object per line)
+* ``export_fields``      — lightweight field-subset export (:816-899)
+* ``export_by_column``   — grouped-by-doc_type export (:716-814) → one
+                           subdirectory per column value
+* ``export_graph_json``  — full export with a metadata envelope (:627-714):
+                           driver-side single file, intended for small graphs
+* ``load_jsonl`` / ``load_json_documents`` — loaders (:1168-1228)
+* ``graph_status`` / ``clean_graph`` / ``backup_schema`` — the Kuzu admin ops
+  (kuzu_init.py:139-328) mapped onto the Parquet output layout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def export_jsonl(ds: rd.Dataset, path: str) -> str:
+    """JSONL export; one object per row, partitioned files under ``path``."""
+    ds.write_json(path)
+    return path
+
+
+def export_fields(ds: rd.Dataset, path: str, fields: list[str]) -> str:
+    """Lightweight export of a column subset."""
+    ds.select_columns(fields).write_json(path)
+    return path
+
+
+def export_by_column(ds: rd.Dataset, path: str, column: str) -> dict[str, str]:
+    """Grouped export: one subdirectory per distinct column value.
+
+    The value set is expected to be small (doc types / entity types); each
+    value gets its own streamed write with a pushed-down filter."""
+    values = sorted(
+        r[column] for r in ds.groupby(column).count().select_columns([column]).take_all()
+    )
+    out: dict[str, str] = {}
+    for v in values:
+        sub = os.path.join(path, f"{column}={v}")
+        ds.filter(expr=f"{column} == {v!r}").write_json(sub)
+        out[v] = sub
+    return out
+
+
+def export_graph_json(
+    nodes: rd.Dataset, edges: rd.Dataset, path: str, run_stamp: str = ""
+) -> str:
+    """Full-graph export with a metadata envelope (small graphs; the driver
+    materializes both sides).  ``run_stamp`` is caller-injected — no wall
+    clock inside the engine (determinism)."""
+    nodes_rows = nodes.take_all()
+    edges_rows = edges.take_all()
+    doc = {
+        "metadata": {
+            "export_stamp": run_stamp,
+            "total_nodes": len(nodes_rows),
+            "total_edges": len(edges_rows),
+            "format_version": "1.0",
+        },
+        "nodes": nodes_rows,
+        "edges": edges_rows,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, default=str)
+    os.replace(tmp, path)
+    return path
+
+
+def load_jsonl(path: str) -> rd.Dataset:
+    return rd.read_json(path)
+
+
+def load_json_documents(path: str) -> rd.Dataset:
+    """Load a driver-written envelope JSON back into (nodes, edges) is the
+    caller's concern; this loads flat JSON/JSONL document files."""
+    return rd.read_json(path)
+
+
+# ---------------------------------------------------------------------------
+# Output-layout admin (S11 — kuzu_init.py:139-328 equivalents)
+# ---------------------------------------------------------------------------
+
+
+def graph_status(graph_dir: str) -> dict[str, Any]:
+    """Counts + schema of the materialized graph layout."""
+    out: dict[str, Any] = {"graph_dir": graph_dir, "tables": {}}
+    for name in ("nodes", "edges"):
+        d = os.path.join(graph_dir, name)
+        if not os.path.isdir(d):
+            out["tables"][name] = {"exists": False}
+            continue
+        ds = rd.read_parquet(d)
+        schema = ds.schema()
+        out["tables"][name] = {
+            "exists": True,
+            "rows": ds.count(),
+            "columns": list(schema.names),
+        }
+    mdir = os.path.join(graph_dir, "manifests")
+    if os.path.isdir(mdir):
+        out["manifests"] = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+    return out
+
+
+def clean_graph(graph_dir: str, *, drop_checkpoints: bool = False) -> list[str]:
+    """Delete materialized graph outputs (kuzu_init.py clean/drop); the
+    extraction checkpoint survives unless drop_checkpoints."""
+    removed = []
+    targets = ["nodes", "edges"]
+    if drop_checkpoints:
+        targets += ["extracted", "manifests"]
+    for name in targets:
+        d = os.path.join(graph_dir, name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed
+
+
+def backup_schema(graph_dir: str, out_path: str) -> str:
+    """Dump the graph tables' Arrow schemas to JSON (kuzu_init.py:280-303)."""
+    doc: dict[str, Any] = {}
+    for name in ("nodes", "edges"):
+        d = os.path.join(graph_dir, name)
+        if os.path.isdir(d):
+            schema = rd.read_parquet(d).schema()
+            doc[name] = {n: str(t) for n, t in zip(schema.names, schema.types)}
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    os.replace(tmp, out_path)
+    return out_path

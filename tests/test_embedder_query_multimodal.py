@@ -1,0 +1,160 @@
+"""T2/T3 embedder actor pool, the graph query layer, and multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.embedder import (
+    Embedder,
+    embed_nodes,
+    entity_to_text,
+    hash_embedding,
+    relation_to_text,
+)
+from knowledgegraph_ray.stages.graph_query import details, relations, search, stats
+from knowledgegraph_ray.stages.multimodal import (
+    AudioFeaturizer,
+    ImageDecoder,
+    VideoFrameSampler,
+    decode_images,
+    featurize_audio,
+    sample_video_frames,
+    synth_media_table,
+)
+
+
+def test_hash_embedding_deterministic_unit_norm():
+    a = hash_embedding("Sarah Jones", dim=64)
+    b = hash_embedding("Sarah Jones", dim=64)
+    c = hash_embedding("sarah jones", dim=64)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-5
+
+
+def test_entity_to_text_shape():
+    # ollama_embedder.py:53-77 — type + name + first-3 descriptions + attrs
+    txt = entity_to_text(
+        "Person", "Sarah Jones",
+        ["d1", "d2", "d3", "d4"],
+        {"role": ["Engineer"], "worksAt": "Acme"},
+    )
+    lines = txt.split("\n")
+    assert lines[0] == "Type: Person"
+    assert lines[1] == "Name: Sarah Jones"
+    assert lines.count("Description: d4") == 0  # only first 3
+    assert "role: Engineer" in lines
+    assert "worksAt: Acme" in lines
+
+
+def test_relation_to_text_shape():
+    txt = relation_to_text("WORKS_AT", ["emp of Acme"], 8.0)
+    assert txt.splitlines() == [
+        "Relation: WORKS_AT", "Description: emp of Acme", "Strength: 8.0",
+    ]
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    nodes = pa.table(
+        {
+            "name": ["Sarah Jones", "Acme Corp", "Project X"],
+            "type": ["Person", "Organization", "Project"],
+            "rawDescriptions": [["engineer at acme"], ["a company"], []],
+        }
+    )
+    edges = pa.table(
+        {
+            "relation_id": ["r1", "r2", "r3"],
+            "src": ["Sarah Jones", "Sarah Jones", "Project X"],
+            "dst": ["Acme Corp", "Project X", "Acme Corp"],
+            "type": ["WORKS_AT", "LEADS", "OWNED_BY"],
+            "strength": pa.array([8.0, 6.0, 5.0], pa.float32()),
+        }
+    )
+    return rd.from_arrow(nodes), rd.from_arrow(edges)
+
+
+def test_embed_nodes_actor_pool(small_graph):
+    nodes, _ = small_graph
+    out = embed_nodes(nodes, dim=32, concurrency=2, batch_size=2).take_all()
+    assert all(len(r["embedding"]) == 32 for r in out)
+    # embedding is a pure function of the serialized entity text
+    direct = Embedder(dim=32, mode="node")(
+        pa.table({"name": ["Sarah Jones"], "type": ["Person"],
+                  "rawDescriptions": [["engineer at acme"]]})
+    )
+    by_name = {r["name"]: r["embedding"] for r in out}
+    assert np.allclose(by_name["Sarah Jones"], direct.column("embedding")[0].as_py())
+
+
+def test_search_finds_self(small_graph):
+    nodes, _ = small_graph
+    embedded = embed_nodes(nodes, dim=32, concurrency=2, batch_size=2).materialize()
+    q = hash_embedding(entity_to_text("Person", "Sarah Jones", ["engineer at acme"]), 32)
+    top = search(embedded, q, k=1).take_all()
+    assert top[0]["name"] == "Sarah Jones"
+    assert top[0]["cos_r"] >= 0.9999
+
+
+def test_details_and_relations(small_graph):
+    nodes, edges = small_graph
+    d = details(nodes, "Acme Corp").take_all()
+    assert len(d) == 1 and d[0]["type"] == "Organization"
+    d2 = details(nodes, "Acme Corp", "Person").take_all()
+    assert d2 == []
+    out = relations(edges, "Sarah Jones", direction="out").take_all()
+    assert {r["type"] for r in out} == {"WORKS_AT", "LEADS"}
+    inc = relations(edges, "Acme Corp", direction="in").take_all()
+    assert {r["type"] for r in inc} == {"WORKS_AT", "OWNED_BY"}
+    both = relations(edges, "Project X", direction="both").take_all()
+    assert len(both) == 2
+
+
+def test_stats(small_graph):
+    nodes, edges = small_graph
+    s = stats(nodes, edges)
+    assert s["total_entities"] == 3
+    assert s["total_relations"] == 3
+    assert s["entity_types"]["Person"] == 1
+
+
+def test_image_decode_stub_and_fake():
+    media = synth_media_table(6, media_type="image")
+    feats = decode_images(rd.from_arrow(media), concurrency=2, batch_size=4).take_all()
+    assert len(feats) == 6
+    assert all(len(r["feature"]) == 6 for r in feats)  # mean+std per channel
+    assert all(r["width"] == 32 and r["height"] == 32 for r in feats)
+    # strict backend is the clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(backend="strict")(media)
+
+
+def test_image_features_deterministic():
+    media = synth_media_table(3, media_type="image")
+    a = ImageDecoder()(media).column("feature").to_pylist()
+    b = ImageDecoder()(media).column("feature").to_pylist()
+    assert a == b
+
+
+def test_audio_featurizer():
+    media = synth_media_table(4, media_type="audio")
+    out = featurize_audio(rd.from_arrow(media), concurrency=2, batch_size=2).take_all()
+    assert len(out) == 4
+    assert all(len(r["feature"]) == 16 for r in out)
+    assert all(r["sample_rate"] == 16000 for r in out)
+    with pytest.raises(NotImplementedError):
+        AudioFeaturizer(backend="ffmpeg")(media)
+
+
+def test_video_frame_sampler_flat_maps():
+    media = synth_media_table(3, media_type="video")
+    out = sample_video_frames(
+        rd.from_arrow(media), concurrency=2, batch_size=2, n_frames=4
+    ).take_all()
+    assert len(out) == 12  # 3 videos x 4 frames
+    assert {r["frame_idx"] for r in out} == {0, 1, 2, 3}
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(backend="ffmpeg")(media)

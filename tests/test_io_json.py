@@ -1,0 +1,82 @@
+"""S5–S7 JSON sinks/sources + S11 layout admin ops."""
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from knowledgegraph_ray.sources.io_json import (
+    backup_schema,
+    clean_graph,
+    export_by_column,
+    export_fields,
+    export_graph_json,
+    export_jsonl,
+    graph_status,
+    load_jsonl,
+)
+
+
+def _docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "doc_type": ["email", "page", "email"],
+                "text": ["a", "b", "c"],
+            }
+        )
+    )
+
+
+def test_jsonl_round_trip(tmp_path):
+    p = str(tmp_path / "out")
+    export_jsonl(_docs_ds(), p)
+    back = sorted(load_jsonl(p).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in back] == ["a", "b", "c"]
+
+
+def test_export_fields(tmp_path):
+    p = str(tmp_path / "subset")
+    export_fields(_docs_ds(), p, ["doc_id", "doc_type"])
+    back = load_jsonl(p).take_all()
+    assert set(back[0].keys()) == {"doc_id", "doc_type"}
+
+
+def test_export_by_column(tmp_path):
+    p = str(tmp_path / "by_type")
+    dirs = export_by_column(_docs_ds(), p, "doc_type")
+    assert set(dirs) == {"email", "page"}
+    emails = load_jsonl(dirs["email"]).take_all()
+    assert sorted(r["doc_id"] for r in emails) == [1, 3]
+
+
+def test_export_graph_json_and_admin(tmp_path):
+    nodes = rd.from_arrow(pa.table({"name": ["A"], "type": ["Person"]}))
+    edges = rd.from_arrow(
+        pa.table({"relation_id": ["r"], "src": ["A"], "dst": ["A"], "type": ["SELF"]})
+    )
+    graph_dir = str(tmp_path / "graph")
+    nodes.write_parquet(os.path.join(graph_dir, "nodes"))
+    edges.write_parquet(os.path.join(graph_dir, "edges"))
+
+    p = str(tmp_path / "export.json")
+    export_graph_json(nodes, edges, p, run_stamp="2026-01-01T00:00:00")
+    doc = json.load(open(p))
+    assert doc["metadata"]["total_nodes"] == 1
+    assert doc["nodes"][0]["name"] == "A"
+
+    status = graph_status(graph_dir)
+    assert status["tables"]["nodes"]["rows"] == 1
+    assert "src" in status["tables"]["edges"]["columns"]
+
+    sp = str(tmp_path / "schema.json")
+    backup_schema(graph_dir, sp)
+    sdoc = json.load(open(sp))
+    assert sdoc["nodes"]["name"] == "string"
+
+    removed = clean_graph(graph_dir)
+    assert len(removed) == 2
+    assert graph_status(graph_dir)["tables"]["nodes"] == {"exists": False}
