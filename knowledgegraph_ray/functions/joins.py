@@ -66,43 +66,87 @@ def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
 
 def lookup_join(
     left: rd.Dataset,
-    right: pa.Table,
+    right: "pa.Table | list",
     *,
     left_keys: list[str],
     right_keys: list[str] | None = None,
     how: str = "inner",
+    rename: dict[str, str] | None = None,
 ) -> rd.Dataset:
     """Broadcast join of a Dataset against a small unique-keyed Arrow table.
 
     The right side MUST be unique on its key columns (first match wins
     otherwise). Right key columns are not duplicated into the output; all
     other right columns are appended. `how` is "inner" or "left".
-    """
+
+    ``right`` may also be a list of object refs to Arrow blocks (e.g. from
+    ``Dataset.to_arrow_refs()``): the blocks then never pass through the
+    driver — each worker assembles and caches the lookup table locally from
+    the object store.  ``rename`` renames right columns at assembly time
+    (applies to key and payload names alike)."""
     right_keys = right_keys or left_keys
-    payload_cols = [c for c in right.column_names if c not in right_keys]
-    right_ref = ray.put(right)
+    if isinstance(right, pa.Table):
+        if rename:
+            right = right.rename_columns([rename.get(c, c) for c in right.column_names])
+        right_refs = [ray.put(right)]
+        col_names = right.column_names
+    else:
+        right_refs = list(right)
+        sample = ray.get(right_refs[0]) if right_refs else pa.table({})
+        col_names = [
+            (rename or {}).get(c, c) for c in sample.column_names
+        ]
+    payload_cols = [c for c in col_names if c not in right_keys]
     rk = list(right_keys)
     lk = list(left_keys)
+    ren = dict(rename or {})
 
-    def _resolve() -> tuple[pa.Table, pa.Array]:
-        cache_key = right_ref.hex()
+    def _resolve():
+        """(table, prebuilt hash index) cached per worker — pc.index_in would
+        rebuild the value-set hash on every batch (O(right) per batch).
+
+        The cache MUST be reached through the module import: cloudpickle
+        copies referenced globals by value for nested functions, so a direct
+        global reference would give every deserialized task its own empty
+        dict (and every task would re-assemble the lookup table)."""
+        import pandas as pd
+
+        from knowledgegraph_ray.functions import joins as _joins_mod
+
+        _BROADCAST_CACHE = _joins_mod._BROADCAST_CACHE
+        cache_key = (tuple(r.hex() for r in right_refs), tuple(rk), tuple(sorted(ren.items())))
         hit = _BROADCAST_CACHE.get(cache_key)
         if hit is None:
-            rt = ray.get(right_ref)
-            hit = (rt, _combined_key(rt, rk))
+            blocks = [t for t in ray.get(right_refs) if t.num_columns > 0]
+            if blocks:
+                rt = pa.concat_tables(blocks, promote_options="default").combine_chunks()
+            else:
+                rt = pa.table({})
+            if ren and rt.num_columns:
+                rt = rt.rename_columns([ren.get(c, c) for c in rt.column_names])
+            if rt.num_columns:
+                index = pd.Index(_combined_key(rt, rk).to_pandas())
+            else:
+                index = pd.Index([])
+            hit = (rt, index)
             if len(_BROADCAST_CACHE) >= 8:  # fused stages may interleave maps
                 _BROADCAST_CACHE.clear()
             _BROADCAST_CACHE[cache_key] = hit
         return hit
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        rt, rkey = _resolve()
-        lkey = _combined_key(batch, lk)
-        idx = pc.index_in(lkey, value_set=rkey)
+        import numpy as np
+
+        rt, index = _resolve()
+        lkey = _combined_key(batch, lk).to_pandas()
+        pos = index.get_indexer(lkey) if len(index) else np.full(len(lkey), -1)
         if how == "inner":
-            valid = pc.is_valid(idx)
-            batch = batch.filter(valid)
-            idx = idx.filter(valid)
+            valid = pos >= 0
+            batch = batch.filter(pa.array(valid))
+            pos = pos[valid]
+        idx = pa.array(pos, pa.int64())
+        if how != "inner":
+            idx = pc.if_else(pc.less(idx, 0), pa.scalar(None, pa.int64()), idx)
         for col in payload_cols:
             taken = rt.column(col).take(idx)  # null idx → null value (left join)
             batch = batch.append_column(col, taken)

@@ -281,20 +281,30 @@ def connected_components(
     ).materialize()
 
     if claims.count() <= edge_driver_threshold:
-        # Level 1 (driver): union the contracted claim edges — O(nodes) int
+        # Level 1 (driver): merge the contracted claim edges — O(nodes) int
         # pairs, orders of magnitude below the raw pair/corpus volume.
-        uf = _UF()
-        nodes_seen: set[int] = set()
-        for batch in claims.iter_batches(batch_format="pyarrow"):
-            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-                uf.union(a, b)
-                nodes_seen.add(a)
-                nodes_seen.add(b)
-        nodes = sorted(nodes_seen)
+        # Fully vectorized min-label propagation (no per-edge Python).
+        import numpy as np
+
+        blocks = [b for b in claims.iter_batches(batch_format="pyarrow") if b.num_rows]
+        t = pa.concat_tables(blocks).combine_chunks()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        label = nodes.copy()
+        while True:
+            m = np.minimum(label[ia], label[ib])
+            new = label.copy()
+            np.minimum.at(new, ia, m)
+            np.minimum.at(new, ib, m)
+            if np.array_equal(new, label):
+                break
+            label = new
         root_tbl = pa.Table.from_pydict(
             {
                 "mid": pa.array(nodes, pa.int64()),
-                "comp": pa.array([uf.find(x) for x in nodes], pa.int64()),
+                "comp": pa.array(label, pa.int64()),
             }
         )
         # Nodes with only self-claims (a == b everywhere) are their own comp;

@@ -124,30 +124,37 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
 
 def resolve_triples(
     triples: rd.Dataset,
-    alias_map: "rd.Dataset | pa.Table",
+    alias_map: "rd.Dataset | pa.Table | list",
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Rewrite triple endpoints to canonical names via same-document lookup;
     inner joins drop triples with unmapped endpoints (J1 semantics).
 
-    A pa.Table alias map (already materialized by the caller) is renamed
-    in-place for both endpoint joins — one broadcast, two lookups."""
-    if isinstance(alias_map, pa.Table):
-        src_map = alias_map.rename_columns(
-            ["url", "source_entity", "canonical_src", "src_type"]
+    When ``alias_map`` is a list of Arrow block refs (the broadcast path),
+    the blocks never pass through the driver — each worker assembles one
+    cached lookup table and probes it for both endpoints."""
+    from ..functions.joins import lookup_join
+
+    if isinstance(alias_map, (pa.Table, list)):
+        t = lookup_join(
+            triples, alias_map, left_keys=["url", "source_entity"], how="inner",
+            rename={"surface": "source_entity", "canonical": "canonical_src",
+                    "entity_type": "src_type"},
         )
-        dst_map = alias_map.rename_columns(
-            ["url", "target_entity", "canonical_dst", "dst_type"]
+        t = lookup_join(
+            t, alias_map, left_keys=["url", "target_entity"], how="inner",
+            rename={"surface": "target_entity", "canonical": "canonical_dst",
+                    "entity_type": "dst_type"},
         )
-    else:
-        src_map = alias_map.rename_columns(
-            {"surface": "source_entity", "canonical": "canonical_src",
-             "entity_type": "src_type"}
-        )
-        dst_map = alias_map.rename_columns(
-            {"surface": "target_entity", "canonical": "canonical_dst",
-             "entity_type": "dst_type"}
-        )
+        return t
+    src_map = alias_map.rename_columns(
+        {"surface": "source_entity", "canonical": "canonical_src",
+         "entity_type": "src_type"}
+    )
+    dst_map = alias_map.rename_columns(
+        {"surface": "target_entity", "canonical": "canonical_dst",
+         "entity_type": "dst_type"}
+    )
     t = adaptive_join(
         triples,
         src_map,
@@ -179,6 +186,14 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
     perms: list[str] = []
     sources: list[str] = []
     strength = 0.0
+    json_cache: dict[str, list[str]] = {}  # parse each distinct payload once
+
+    def parsed(raw: str) -> list[str]:
+        hit = json_cache.get(raw)
+        if hit is None:
+            hit = json_cache[raw] = json.loads(raw) if raw else []
+        return hit
+
     for desc, tag, pj, sj, s in zip(
         g.column("description").to_pylist(),
         g.column("relationship_type").to_pylist(),
@@ -190,10 +205,10 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
             descriptions.append(desc)
         if tag and tag not in tags:
             tags.append(tag)
-        for p in json.loads(pj) if pj else []:
+        for p in parsed(pj):
             if p and p not in perms:
                 perms.append(p)
-        for sid in json.loads(sj) if sj else []:
+        for sid in parsed(sj):
             if sid and sid not in sources:
                 sources.append(sid)
         strength = max(strength, float(s or 0.0))
@@ -232,13 +247,14 @@ def materialize_edges(
     sequential execution of the two hash joins avoids aggregator-actor-pool
     contention on small CPU counts.  Its size is O(distinct (url, surface)
     pairs), far below the corpus."""
-    from ..functions.joins import DEFAULT_BROADCAST_ROWS, _dataset_to_table
+    from ..functions.joins import DEFAULT_BROADCAST_ROWS
     from .canonicalize import grouped_apply
 
     alias_ds = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
     if alias_ds.count() <= DEFAULT_BROADCAST_ROWS:
-        # one driver pull, shared by both endpoint lookups
-        alias_map: "rd.Dataset | pa.Table" = _dataset_to_table(alias_ds)
+        # broadcast by object refs: blocks stay in the object store, each
+        # worker assembles one cached lookup table for both endpoint probes
+        alias_map: "rd.Dataset | list" = alias_ds.to_arrow_refs()
     else:
         alias_map = alias_ds
     resolved = resolve_triples(triples, alias_map, num_partitions)
