@@ -1,0 +1,218 @@
+"""Command-line entry points (the reference's main.py, merge_pipeline.py,
+query_search.py and kuzu_init.py CLIs mapped onto the Ray engine).
+
+    python -m knowledgegraph_ray.cli build   --input pages/ --work work/
+    python -m knowledgegraph_ray.cli merge   --graph work/ --extracted new/ --out merged/
+    python -m knowledgegraph_ray.cli stats   --graph work/
+    python -m knowledgegraph_ray.cli details --graph work/ --name "Sarah Jones"
+    python -m knowledgegraph_ray.cli relations --graph work/ --name "Acme Corp" [--direction in|out|both]
+    python -m knowledgegraph_ray.cli search  --graph work/ --text "payment service" [-k 10]
+    python -m knowledgegraph_ray.cli admin   --graph work/ (--status | --clean | --backup-schema out.json)
+    python -m knowledgegraph_ray.cli export  --graph work/ --out export.json
+
+Only this CLI owns the Ray session (the library never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def _graph_dirs(graph: str) -> tuple[str, str]:
+    return os.path.join(graph, "nodes"), os.path.join(graph, "edges")
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines import kg_build
+
+    paths = sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    res = kg_build(
+        paths,
+        args.work,
+        batch_size=args.batch_size,
+        concurrency=args.concurrency,
+        num_partitions=args.num_partitions,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(res.metrics, default=str))
+    return 0
+
+
+def cmd_merge(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.incremental import incremental_merge
+
+    nodes_dir, edges_dir = _graph_dirs(args.graph)
+    res = incremental_merge(
+        rd.read_parquet(nodes_dir),
+        rd.read_parquet(edges_dir),
+        rd.read_parquet(args.extracted),
+        args.out,
+        num_partitions=args.num_partitions,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .stages.graph_query import stats
+
+    nodes_dir, edges_dir = _graph_dirs(args.graph)
+    print(json.dumps(stats(nodes_dir, edges_dir)))
+    return 0
+
+
+def cmd_details(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .stages.graph_query import details
+
+    nodes_dir, _ = _graph_dirs(args.graph)
+    rows = details(nodes_dir, args.name, args.type).take_all()
+    print(json.dumps(rows, default=str))
+    return 0
+
+
+def cmd_relations(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .stages.graph_query import relations
+
+    _, edges_dir = _graph_dirs(args.graph)
+    rows = relations(edges_dir, args.name, args.direction, args.limit).take_all()
+    print(json.dumps(rows, default=str))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.embedder import embed_nodes, hash_embedding
+    from .stages.graph_query import search
+
+    nodes_dir, _ = _graph_dirs(args.graph)
+    nodes = rd.read_parquet(nodes_dir)
+    schema = nodes.schema()
+    if "embedding" not in schema.names:
+        nodes = embed_nodes(nodes, dim=args.dim, concurrency=2).materialize()
+    q = hash_embedding(args.text, args.dim)
+    rows = search(nodes, q, k=args.k).take_all()
+    print(json.dumps(rows, default=str))
+    return 0
+
+
+def cmd_admin(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .sources.io_json import backup_schema, clean_graph, graph_status
+
+    if args.clean:
+        print(json.dumps({"removed": clean_graph(args.graph)}))
+    elif args.backup_schema:
+        print(json.dumps({"written": backup_schema(args.graph, args.backup_schema)}))
+    else:
+        print(json.dumps(graph_status(args.graph)))
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources.io_json import export_graph_json
+
+    nodes_dir, edges_dir = _graph_dirs(args.graph)
+    path = export_graph_json(
+        rd.read_parquet(nodes_dir),
+        rd.read_parquet(edges_dir),
+        args.out,
+        run_stamp=args.stamp,
+    )
+    print(json.dumps({"written": path}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="knowledgegraph_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--work", required=True)
+    b.add_argument("--batch-size", type=int, default=256)
+    b.add_argument("--concurrency", type=int, default=4)
+    b.add_argument("--num-partitions", type=int, default=16)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--graph", required=True)
+    m.add_argument("--extracted", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--num-partitions", type=int, default=8)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--graph", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("details")
+    d.add_argument("--graph", required=True)
+    d.add_argument("--name", required=True)
+    d.add_argument("--type", default=None)
+    d.set_defaults(fn=cmd_details)
+
+    r = sub.add_parser("relations")
+    r.add_argument("--graph", required=True)
+    r.add_argument("--name", required=True)
+    r.add_argument("--direction", choices=["in", "out", "both"], default="both")
+    r.add_argument("--limit", type=int, default=20)
+    r.set_defaults(fn=cmd_relations)
+
+    q = sub.add_parser("search")
+    q.add_argument("--graph", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--dim", type=int, default=256)
+    q.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("admin")
+    a.add_argument("--graph", required=True)
+    a.add_argument("--clean", action="store_true")
+    a.add_argument("--backup-schema", default=None)
+    a.set_defaults(fn=cmd_admin)
+
+    e = sub.add_parser("export")
+    e.add_argument("--graph", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--stamp", default="")
+    e.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,8 +34,14 @@ _BROADCAST_CACHE: dict[str, tuple[pa.Table, pa.Array]] = {}
 
 _KEY_SEP = "\x1f"
 
-DEFAULT_BROADCAST_ROWS = 5_000_000
-DEFAULT_BROADCAST_BYTES = 512 * 1024 * 1024
+# Broadcast caps are per-WORKER heap: every worker materializes the lookup
+# table + hash index (~3-4× the Arrow bytes in Python-object form), so the
+# total footprint scales with worker count.  Above these caps the shuffle
+# join is cheaper and flat per worker.  Single-int64-keyed maps use a
+# sorted-array searchsorted index (~16 B/row) and get a much higher cap.
+DEFAULT_BROADCAST_ROWS = 2_000_000
+DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
+INT_BROADCAST_ROWS = 50_000_000
 
 
 def _combined_key(table: pa.Table, keys: list[str]) -> pa.Array:
@@ -125,9 +131,18 @@ def lookup_join(
             if ren and rt.num_columns:
                 rt = rt.rename_columns([ren.get(c, c) for c in rt.column_names])
             if rt.num_columns:
-                index = pd.Index(_combined_key(rt, rk).to_pandas())
+                if len(rk) == 1 and pa.types.is_integer(rt.schema.field(rk[0]).type):
+                    # int-keyed maps: sorted array + searchsorted — ~16 bytes
+                    # per row per worker instead of a Python-object hash index
+                    import numpy as np
+
+                    keys_np = rt.column(rk[0]).to_numpy(zero_copy_only=False)
+                    order = np.argsort(keys_np, kind="stable")
+                    index = ("int", keys_np[order], order)
+                else:
+                    index = ("hash", pd.Index(_combined_key(rt, rk).to_pandas()), None)
             else:
-                index = pd.Index([])
+                index = ("empty", None, None)
             hit = (rt, index)
             if len(_BROADCAST_CACHE) >= 8:  # fused stages may interleave maps
                 _BROADCAST_CACHE.clear()
@@ -137,9 +152,20 @@ def lookup_join(
     def join_batch(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        rt, index = _resolve()
-        lkey = _combined_key(batch, lk).to_pandas()
-        pos = index.get_indexer(lkey) if len(index) else np.full(len(lkey), -1)
+        rt, (kind, index, order) = _resolve()
+        if kind == "int" and len(index):
+            lvals = batch.column(lk[0]).to_numpy(zero_copy_only=False)
+            ins = np.searchsorted(index, lvals)
+            ins_c = np.clip(ins, 0, len(index) - 1)
+            found = index[ins_c] == lvals
+            pos = np.where(found, order[ins_c], -1)
+        elif kind == "int":
+            pos = np.full(batch.num_rows, -1)
+        elif kind == "hash":
+            lkey = _combined_key(batch, lk).to_pandas()
+            pos = index.get_indexer(lkey) if len(index) else np.full(len(lkey), -1)
+        else:
+            pos = np.full(batch.num_rows, -1)
         if how == "inner":
             valid = pos >= 0
             batch = batch.filter(pa.array(valid))
@@ -179,9 +205,20 @@ def adaptive_join(
     right_mat = right.materialize()
     n = right_mat.count()
     size = right_mat.size_bytes() or 0
+    sch = right_mat.schema()
+    int_keyed = (
+        len(right_keys) == 1
+        and sch is not None
+        and right_keys[0] in sch.names
+        and pa.types.is_integer(sch.types[sch.names.index(right_keys[0])])
+    )
     # n == 0 always takes the broadcast path: Ray's shuffle join cannot handle
     # a fully-empty side, and an empty lookup is trivially correct.
-    if n == 0 or (broadcast_rows and n <= broadcast_rows and size <= broadcast_bytes):
+    if (
+        n == 0
+        or (broadcast_rows and n <= broadcast_rows and size <= broadcast_bytes)
+        or (broadcast_rows and int_keyed and n <= INT_BROADCAST_ROWS)
+    ):
         return lookup_join(
             left,
             _dataset_to_table(right_mat),

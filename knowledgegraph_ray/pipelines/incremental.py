@@ -149,11 +149,14 @@ def _edge_union_row(group: pa.Table) -> dict[str, Any]:
         "dst_type": g.column("dst_type")[0].as_py(),
         "n_raw": int(pc.sum(g.column("n_raw")).as_py() or 0),
     }
+    seen: dict[str, set] = {c: set() for c in ("relationTag", "description", "permissions", "sources")}
     for i in range(g.num_rows):
         for col in ("relationTag", "description", "permissions", "sources"):
+            s_col, l_col = seen[col], row[col]
             for v in g.column(col)[i].as_py() or []:
-                if v and v not in row[col]:
-                    row[col].append(v)
+                if v and v not in s_col:
+                    s_col.add(v)
+                    l_col.append(v)
         row["strength"] = max(row["strength"], float(g.column("strength")[i].as_py() or 0))
     return row
 

@@ -231,7 +231,7 @@ def run_graph_build(
     num_partitions: int = 16,
     max_rounds: int = 8,
     output_partitions: int = 4,
-    cc_driver_threshold: int = 5_000_000,
+    cc_driver_threshold: int = 20_000_000,
 ) -> dict[str, Any]:
     """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest)."""
     extract_dir = os.path.join(work_dir, "extracted")
@@ -296,7 +296,7 @@ def kg_build(
     wave_size: int = 64,
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
-    cc_driver_threshold: int = 5_000_000,
+    cc_driver_threshold: int = 20_000_000,
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(

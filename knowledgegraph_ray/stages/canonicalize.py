@@ -118,35 +118,54 @@ def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
     same way a broadcast join replaces a shuffle join when one side is small.
     The pair table is O(mentions × rules) — tiny next to the corpus."""
     import numpy as np
-    import pandas as pd
 
     tables = [
-        b for b in pairs_mat.iter_batches(batch_format="pyarrow") if b.num_rows
+        b for b in pairs_mat.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
     ]
     t = pa.concat_tables(tables).combine_chunks()
-    kcodes = pd.factorize(t.column("key").to_pandas())[0]
+    # Factorize in C: arrow dictionary_encode for the string keys, np.unique
+    # for the int mids — no Python string objects anywhere.
+    enc = pc.dictionary_encode(t.column("key"))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     mids_np = t.column("mid").to_numpy(zero_copy_only=False)
-    mcodes, muniq = pd.factorize(mids_np)
-    muniq = np.asarray(muniq, dtype=np.int64)
+    muniq, mcodes = np.unique(mids_np, return_inverse=True)
     n_keys = int(kcodes.max()) + 1 if len(kcodes) else 0
+
+    # Precompute segment orders once; per-round mins via C reduceat.
+    korder = np.argsort(kcodes, kind="stable")
+    kcodes_sorted = kcodes[korder]
+    kstarts = np.flatnonzero(
+        np.r_[True, kcodes_sorted[1:] != kcodes_sorted[:-1]]
+    )
+    kseg_ids = kcodes_sorted[kstarts]
+    morder = np.argsort(mcodes, kind="stable")
+    mcodes_sorted = mcodes[morder]
+    mstarts = np.flatnonzero(
+        np.r_[True, mcodes_sorted[1:] != mcodes_sorted[:-1]]
+    )
+    mseg_ids = mcodes_sorted[mstarts]
 
     label = muniq.copy()  # per distinct mid, starts as itself
     while True:
         pair_lab = label[mcodes]
         kmin = np.full(n_keys, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(kmin, kcodes, pair_lab)
+        kmin[kseg_ids] = np.minimum.reduceat(pair_lab[korder], kstarts)
+        prop = kmin[kcodes]
         new_lab = label.copy()
-        np.minimum.at(new_lab, mcodes, kmin[kcodes])
+        new_lab[mseg_ids] = np.minimum(
+            new_lab[mseg_ids], np.minimum.reduceat(prop[morder], mstarts)
+        )
         if np.array_equal(new_lab, label):
             break
         label = new_lab
 
-    order = np.argsort(muniq)
     return rd.from_arrow(
         pa.Table.from_pydict(
             {
-                "mid": pa.array(muniq[order], pa.int64()),
-                "comp": pa.array(label[order], pa.int64()),
+                "mid": pa.array(muniq, pa.int64()),
+                "comp": pa.array(label, pa.int64()),
             }
         )
     )
@@ -239,8 +258,8 @@ def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    driver_threshold: int = 5_000_000,
-    edge_driver_threshold: int = 20_000_000,
+    driver_threshold: int = 20_000_000,
+    edge_driver_threshold: int = 50_000_000,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
 
@@ -286,7 +305,7 @@ def connected_components(
         # Fully vectorized min-label propagation (no per-edge Python).
         import numpy as np
 
-        blocks = [b for b in claims.iter_batches(batch_format="pyarrow") if b.num_rows]
+        blocks = [b for b in claims.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
         t = pa.concat_tables(blocks).combine_chunks()
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
@@ -427,13 +446,15 @@ def _merge_group_rows(
     primary = names[0]
     merged["name"] = primary
 
+    # Shadow membership sets make every append-unique O(1): hub components
+    # (head-entity skew) reach 10^5 mentions, and `x not in list` scans turn
+    # the reducer O(n²) — the single worst straggler at scale.
+    seen_sets: dict[str, set] = {}
+
     aliases = merged.get("aliases")
     if not isinstance(aliases, list):
         aliases = []
     merged["aliases"] = aliases
-    for n in names[1:]:
-        if n != primary and n not in aliases:
-            aliases.append(n)
 
     for f in arr_fields:
         cur = merged.get(f)
@@ -441,6 +462,13 @@ def _merge_group_rows(
             merged[f] = []
         elif not isinstance(cur, list):
             merged[f] = [cur] if cur else []
+        seen_sets[f] = set(merged[f])
+
+    alias_seen = seen_sets.setdefault("aliases", set(aliases))
+    for n in names[1:]:
+        if n != primary and n not in alias_seen:
+            alias_seen.add(n)
+            aliases.append(n)
 
     for raw_attrs, perm in zip(attrs_list[1:], perms_list[1:]):
         attrs = transform_attributes(etype, raw_attrs)
@@ -450,22 +478,28 @@ def _merge_group_rows(
                 if not merged.get(f):
                     merged[f] = v
                 elif v != merged[f] and "aliases" in valid_fields:
-                    if v not in merged["aliases"]:
+                    if v not in alias_seen:
+                        alias_seen.add(v)
                         merged["aliases"].append(v)
         for f in arr_fields:
             v = attrs.get(f)
             if f in attrs and v:
                 vals = v if isinstance(v, list) else [v]
+                fs = seen_sets[f]
+                fl = merged[f]
                 for x in vals:
-                    if x and x not in merged[f]:
-                        merged[f].append(x)
+                    if x and x not in fs:
+                        fs.add(x)
+                        fl.append(x)
 
     # Page-level permission injection (M10): union all page permissions.
     if "permissions" in valid_fields:
         pl = merged.setdefault("permissions", [])
+        ps = seen_sets.setdefault("permissions", set(pl))
         for perm in perms_list:
             for p in perm or []:
-                if p and p not in pl:
+                if p and p not in ps:
+                    ps.add(p)
                     pl.append(p)
     # First row's page permissions (base item) are not re-walked above for
     # attrs, so fold base perms too — handled by the loop over perms_list.
@@ -567,7 +601,7 @@ def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    cc_driver_threshold: int = 5_000_000,
+    cc_driver_threshold: int = 20_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 

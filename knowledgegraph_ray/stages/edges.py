@@ -181,12 +181,19 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
     dst = g.column("canonical_dst")[0].as_py()
     rtype = g.column("relationship_type")[0].as_py()
 
+    # append-unique via shadow sets (hub edges reach 10^4+ raw rows; list
+    # membership scans would be O(n²)); JSON payloads parsed once per
+    # distinct string
     descriptions: list[str] = []
     tags: list[str] = []
     perms: list[str] = []
     sources: list[str] = []
+    d_seen: set[str] = set()
+    t_seen: set[str] = set()
+    p_seen: set[str] = set()
+    s_seen: set[str] = set()
     strength = 0.0
-    json_cache: dict[str, list[str]] = {}  # parse each distinct payload once
+    json_cache: dict[str, list[str]] = {}
 
     def parsed(raw: str) -> list[str]:
         hit = json_cache.get(raw)
@@ -201,15 +208,19 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
         g.column("sources_json").to_pylist(),
         g.column("strength").to_pylist(),
     ):
-        if desc and desc not in descriptions:
+        if desc and desc not in d_seen:
+            d_seen.add(desc)
             descriptions.append(desc)
-        if tag and tag not in tags:
+        if tag and tag not in t_seen:
+            t_seen.add(tag)
             tags.append(tag)
         for p in parsed(pj):
-            if p and p not in perms:
+            if p and p not in p_seen:
+                p_seen.add(p)
                 perms.append(p)
         for sid in parsed(sj):
-            if sid and sid not in sources:
+            if sid and sid not in s_seen:
+                s_seen.add(sid)
                 sources.append(sid)
         strength = max(strength, float(s or 0.0))
 
