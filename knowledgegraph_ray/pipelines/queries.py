@@ -230,6 +230,14 @@ def q_events_hourly(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_sessionize(sf_dir: str):
+    """Streaming-style gap-based session windows (30-min gap) per user."""
+    from ..stages.windows import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, gap_minutes=30)
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -397,6 +405,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
     """,
+    "q_sessionize": """
+        WITH e AS (
+          SELECT user_id,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM e GROUP BY user_id
+    """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
@@ -448,6 +469,7 @@ QUERIES = {
     "q_anti_join": q_anti_join,
     "q_lineitem_agg": q_lineitem_agg,
     "q_events_hourly": q_events_hourly,
+    "q_sessionize": q_sessionize,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,

@@ -77,9 +77,12 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         )
     )
 
+    # Sort on the group keys ONLY: range partitioning colocates equal sort
+    # keys, but including mid could split one (url, surface) run across
+    # partitions at a mid boundary; mid order is restored in-block below.
     s = mentions_with_comp.select_columns(
         ["url", "entity_name", "mid", "comp"]
-    ).sort(["url", "entity_name", "mid"])
+    ).sort(["url", "entity_name"])
 
     def last_per_run(block: pa.Table) -> pa.Table:
         n = block.num_rows

@@ -135,3 +135,36 @@ def test_entry_runs(entry_mod):
     df = _to_pandas(res)
     assert len(df) > 0
     assert "name" in df.columns and "type" in df.columns
+
+
+def test_sessionize_matches_oracle(entry_mod, duck):
+    got = _to_pandas(entry_mod.queries()["q_sessionize"](SF_DIR))
+    want = duck.execute(entry_mod.oracle_sql()["q_sessionize"]).df()
+    _assert_equal("q_sessionize", got, want)
+
+
+def test_sessionize_semantics():
+    """Unit semantics: gap > 30min opens a new session; ties break on id."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.windows import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1), (1, t0 + timedelta(minutes=10), 2),       # same session
+        (1, t0 + timedelta(minutes=50), 3),                   # new session
+        (2, t0, 4),                                            # other user
+        (2, t0 + timedelta(minutes=31), 5),                   # new session
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    out = {r["user_id"]: r for r in sessionize(ds).take_all()}
+    assert out[1]["n_sessions"] == 2 and out[1]["n_events"] == 3
+    assert out[2]["n_sessions"] == 2 and out[2]["n_events"] == 2
