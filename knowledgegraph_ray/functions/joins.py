@@ -42,6 +42,10 @@ _KEY_SEP = "\x1f"
 DEFAULT_BROADCAST_ROWS = 2_000_000
 DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
 INT_BROADCAST_ROWS = 50_000_000
+# Int-keyed maps use a ~16 B/row searchsorted index, but every worker still
+# materializes the payload table — cap the Arrow bytes too (per-worker heap),
+# not just the row count.
+INT_BROADCAST_BYTES = 1024 * 1024 * 1024
 
 
 def _combined_key(table: pa.Table, keys: list[str]) -> pa.Array:
@@ -70,6 +74,58 @@ def _dataset_to_table(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
+# Driver-side cache of built index refs: the src and dst endpoint probes of
+# one alias map (and any repeated lookup against the same blocks) reuse ONE
+# index build instead of racing two identical ones against the map tasks.
+_INDEX_REF_CACHE: dict = {}
+
+
+@ray.remote(num_cpus=0)
+def _build_lookup_index(refs: list, rk: list[str], empty_tbl: pa.Table):
+    """Assemble the broadcast lookup table and its search index once.
+
+    num_cpus=0: this short task must START IMMEDIATELY — with a CPU
+    reservation it queues behind the very map tasks that block on its
+    result, and the whole join stage stalls at ~zero CPU (measured).
+
+    Returns (table, kind, key_array, order):
+      * kind "int"  — single integer key; key_array = sorted keys
+      * kind "h64"  — vectorized 64-bit row hash of the key columns, sorted
+        (collision-checked: adjacent equal hashes must carry equal raw keys)
+      * kind "hash_fallback" — a 64-bit collision was detected; workers build
+        an exact string index locally (vanishingly rare)
+      * kind "empty" — no rows
+    Stored in plasma once; every map worker reads it zero-copy."""
+    import numpy as np
+
+    from knowledgegraph_ray.functions.hashing import hash_key_columns
+
+    blocks = [t for t in ray.get(list(refs)) if t.num_columns > 0]
+    if blocks:
+        rt = pa.concat_tables(blocks, promote_options="default").combine_chunks()
+    else:
+        rt = empty_tbl
+    if rt.num_columns and rt.num_rows:
+        if len(rk) == 1 and pa.types.is_integer(rt.schema.field(rk[0]).type):
+            keys_np = rt.column(rk[0]).to_numpy(zero_copy_only=False)
+            order = np.argsort(keys_np, kind="stable")
+            return rt, "int", keys_np[order], order
+        h = hash_key_columns(rt, rk)
+        order = np.argsort(h, kind="stable")  # stable: equal keys keep
+        hs = h[order]                          # first-wins table order
+        dup = np.flatnonzero(hs[1:] == hs[:-1])
+        if len(dup):
+            # equal hashes: genuine duplicate keys are allowed (first match
+            # wins); unequal raw keys = 64-bit collision → exact fallback
+            ka = _combined_key(rt.take(pa.array(order[dup], pa.int64())), rk)
+            kb = _combined_key(rt.take(pa.array(order[dup + 1], pa.int64())), rk)
+            same = pc.all(pc.equal(ka, kb)).as_py()
+            if same is not True:
+                return rt, "hash_fallback", None, None
+        return rt, "h64", hs, order
+    return rt, "empty", None, None
+
+
 def lookup_join(
     left: rd.Dataset,
     right: "pa.Table | list",
@@ -78,6 +134,7 @@ def lookup_join(
     right_keys: list[str] | None = None,
     how: str = "inner",
     rename: dict[str, str] | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Broadcast join of a Dataset against a small unique-keyed Arrow table.
 
@@ -87,62 +144,69 @@ def lookup_join(
 
     ``right`` may also be a list of object refs to Arrow blocks (e.g. from
     ``Dataset.to_arrow_refs()``): the blocks then never pass through the
-    driver — each worker assembles and caches the lookup table locally from
-    the object store.  ``rename`` renames right columns at assembly time
-    (applies to key and payload names alike)."""
+    driver — the index is built once in a zero-CPU task and read zero-copy
+    by every map worker.  ``right_keys`` are the RAW right-side names;
+    ``rename`` renames right PAYLOAD columns in the output only (so repeated
+    probes of the same table under different output names share one index)."""
     right_keys = right_keys or left_keys
     if isinstance(right, pa.Table):
-        if rename:
-            right = right.rename_columns([rename.get(c, c) for c in right.column_names])
         right_refs = [ray.put(right)]
-        col_names = right.column_names
+        sample = right
     else:
         right_refs = list(right)
-        sample = ray.get(right_refs[0]) if right_refs else pa.table({})
-        col_names = [
-            (rename or {}).get(c, c) for c in sample.column_names
-        ]
-    payload_cols = [c for c in col_names if c not in right_keys]
+        if right_refs:
+            sample = ray.get(right_refs[0])
+        elif right_schema is not None:
+            # empty refs would otherwise lose the right-side schema and
+            # silently drop payload columns from a left join
+            sample = right_schema.empty_table()
+        else:
+            sample = pa.table({})
+    ren = dict(rename or {})
+    payload_cols = [c for c in sample.column_names if c not in right_keys]
     rk = list(right_keys)
     lk = list(left_keys)
-    ren = dict(rename or {})
+
+    empty_tbl = (
+        right_schema.empty_table() if (not right_refs and right_schema is not None)
+        else pa.table({})
+    )
+
+    # Build the lookup table + search index ONCE, in a single task, and share
+    # it through the object store.  Per-WORKER assembly (concat +
+    # combine_chunks + index build in every map worker) was measured as THE
+    # graph-stage bottleneck: N workers × table-bytes of first-touch
+    # allocations saturate memory bandwidth long before the probes run.
+    # Workers now only ray.get the finished index — a zero-copy plasma view.
+    idx_key = (tuple(r.hex() for r in right_refs), tuple(rk))
+    index_ref = _INDEX_REF_CACHE.get(idx_key)
+    if index_ref is None:
+        if len(_INDEX_REF_CACHE) >= 16:
+            _INDEX_REF_CACHE.clear()
+        index_ref = _build_lookup_index.remote(right_refs, rk, empty_tbl)
+        _INDEX_REF_CACHE[idx_key] = index_ref
 
     def _resolve():
-        """(table, prebuilt hash index) cached per worker — pc.index_in would
-        rebuild the value-set hash on every batch (O(right) per batch).
+        """Worker-cached zero-copy view of the prebuilt (table, index).
 
         The cache MUST be reached through the module import: cloudpickle
         copies referenced globals by value for nested functions, so a direct
         global reference would give every deserialized task its own empty
-        dict (and every task would re-assemble the lookup table)."""
-        import pandas as pd
-
+        dict (and every task would re-fetch and re-wrap the index)."""
         from knowledgegraph_ray.functions import joins as _joins_mod
 
         _BROADCAST_CACHE = _joins_mod._BROADCAST_CACHE
-        cache_key = (tuple(r.hex() for r in right_refs), tuple(rk), tuple(sorted(ren.items())))
+        cache_key = index_ref.hex()
         hit = _BROADCAST_CACHE.get(cache_key)
         if hit is None:
-            blocks = [t for t in ray.get(right_refs) if t.num_columns > 0]
-            if blocks:
-                rt = pa.concat_tables(blocks, promote_options="default").combine_chunks()
-            else:
-                rt = pa.table({})
-            if ren and rt.num_columns:
-                rt = rt.rename_columns([ren.get(c, c) for c in rt.column_names])
-            if rt.num_columns:
-                if len(rk) == 1 and pa.types.is_integer(rt.schema.field(rk[0]).type):
-                    # int-keyed maps: sorted array + searchsorted — ~16 bytes
-                    # per row per worker instead of a Python-object hash index
-                    import numpy as np
+            rt, kind, arr, order = ray.get(index_ref)
+            if kind == "hash_fallback":
+                # rare 64-bit collision: exact string index (per worker)
+                import pandas as pd
 
-                    keys_np = rt.column(rk[0]).to_numpy(zero_copy_only=False)
-                    order = np.argsort(keys_np, kind="stable")
-                    index = ("int", keys_np[order], order)
-                else:
-                    index = ("hash", pd.Index(_combined_key(rt, rk).to_pandas()), None)
+                index = ("hash", pd.Index(_combined_key(rt, rk).to_pandas()), None)
             else:
-                index = ("empty", None, None)
+                index = (kind, arr, order)
             hit = (rt, index)
             if len(_BROADCAST_CACHE) >= 8:  # fused stages may interleave maps
                 _BROADCAST_CACHE.clear()
@@ -152,15 +216,27 @@ def lookup_join(
     def join_batch(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        from knowledgegraph_ray.functions.hashing import hash_key_columns
+
         rt, (kind, index, order) = _resolve()
-        if kind == "int" and len(index):
-            lvals = batch.column(lk[0]).to_numpy(zero_copy_only=False)
+        if kind in ("int", "h64") and len(index):
+            if kind == "int":
+                lvals = batch.column(lk[0]).to_numpy(zero_copy_only=False)
+            else:
+                lvals = hash_key_columns(batch, lk)
             ins = np.searchsorted(index, lvals)
             ins_c = np.clip(ins, 0, len(index) - 1)
             found = index[ins_c] == lvals
             pos = np.where(found, order[ins_c], -1)
-        elif kind == "int":
-            pos = np.full(batch.num_rows, -1)
+            if kind == "h64":
+                # null keys never match (hash treats null as ''; legacy
+                # combined-key semantics dropped them via null propagation)
+                nulls = None
+                for k in lk:
+                    m = pc.is_null(batch.column(k))
+                    nulls = m if nulls is None else pc.or_(nulls, m)
+                if nulls is not None and pc.any(nulls).as_py():
+                    pos = np.where(nulls.to_numpy(zero_copy_only=False), -1, pos)
         elif kind == "hash":
             lkey = _combined_key(batch, lk).to_pandas()
             pos = index.get_indexer(lkey) if len(index) else np.full(len(lkey), -1)
@@ -175,7 +251,7 @@ def lookup_join(
             idx = pc.if_else(pc.less(idx, 0), pa.scalar(None, pa.int64()), idx)
         for col in payload_cols:
             taken = rt.column(col).take(idx)  # null idx → null value (left join)
-            batch = batch.append_column(col, taken)
+            batch = batch.append_column(ren.get(col, col), taken)
         return batch
 
     return left.map_batches(join_batch, batch_format="pyarrow")
@@ -217,7 +293,14 @@ def adaptive_join(
     if (
         n == 0
         or (broadcast_rows and n <= broadcast_rows and size <= broadcast_bytes)
-        or (broadcast_rows and int_keyed and n <= INT_BROADCAST_ROWS)
+        or (
+            broadcast_rows
+            and int_keyed
+            and n <= INT_BROADCAST_ROWS
+            # wide payloads still cost every worker the full table: cap the
+            # Arrow bytes too, or a multi-GB int-keyed map OOMs the pool
+            and size <= max(broadcast_bytes, INT_BROADCAST_BYTES)
+        )
     ):
         return lookup_join(
             left,

@@ -47,40 +47,89 @@ EXISTING_URL = "graph://existing"
 EXISTING_BASE = -(1 << 60)
 
 
+def _pseudo_mention_block(tbl: pa.Table, offset: int) -> pa.Table:
+    """One sorted node block → pseudo-mention rows with ordinals
+    offset..offset+n (column-wise extraction; no per-cell .as_py())."""
+    import ray  # worker-side
+
+    n = tbl.num_rows
+    names = tbl.column("name").to_pylist() if n else []
+    cols = set(tbl.column_names)
+    scalars = {
+        c: tbl.column(c).to_pylist()
+        for c in SCALAR_NODE_COLUMNS
+        if c in cols and c != "type"
+    }
+    arrays = {c: tbl.column(c).to_pylist() for c in ARRAY_NODE_COLUMNS if c in cols}
+    types = tbl.column("type").to_pylist() if n else []
+    perms = arrays.get("permissions", [None] * n)
+    attrs_json: list[str] = []
+    for i in range(n):
+        attrs: dict[str, Any] = {}
+        for c, vals in scalars.items():
+            v = vals[i]
+            if v:
+                attrs[c] = v
+        for c, vals in arrays.items():
+            v = vals[i]
+            if v:
+                attrs[c] = list(v)
+        attrs_json.append(json.dumps(attrs, sort_keys=True))
+    mids = list(range(EXISTING_BASE + offset, EXISTING_BASE + offset + n))
+    return pa.Table.from_pydict(
+        {
+            "mid": pa.array(mids, pa.int64()),
+            "url": pa.array([EXISTING_URL] * n, pa.string()),
+            "ord": pa.array(mids, pa.int64()),
+            "entity_name": pa.array(names, pa.string()),
+            "entity_type": pa.array(types, pa.string()),
+            "attributes_json": pa.array(attrs_json, pa.string()),
+            "permissions_json": pa.array(
+                [json.dumps(p or []) for p in perms], pa.string()
+            ),
+        },
+        schema=MENTION_SCHEMA,
+    )
+
+
 def nodes_as_mentions(nodes: rd.Dataset) -> rd.Dataset:
     """Existing canonical nodes → pseudo-mentions carrying their identity
     keys, ordered by the nodes' original first-seen ordinal (min_ord, name
     tie-break) so incremental canonical-name choice matches what a
-    from-scratch run over all inputs would pick."""
-    tbl = _dataset_to_table(nodes.materialize())
-    sort_keys = (
-        [("min_ord", "ascending"), ("name", "ascending")]
-        if "min_ord" in tbl.column_names
-        else [("type", "ascending"), ("name", "ascending")]
-    )
-    order = pc.sort_indices(tbl, sort_keys=sort_keys)
-    tbl = tbl.take(order)
+    from-scratch run over all inputs would pick.
 
-    out: dict[str, list[Any]] = {k: [] for k in MENTION_SCHEMA.names}
-    for i in range(tbl.num_rows):
-        row = {c: tbl.column(c)[i].as_py() for c in tbl.column_names}
-        attrs: dict[str, Any] = {}
-        for c in SCALAR_NODE_COLUMNS:
-            v = row.get(c)
-            if v and c != "type":
-                attrs[c] = v
-        for c in ARRAY_NODE_COLUMNS:
-            v = row.get(c)
-            if v:
-                attrs[c] = list(v)
-        out["mid"].append(EXISTING_BASE + i)
-        out["url"].append(EXISTING_URL)
-        out["ord"].append(EXISTING_BASE + i)
-        out["entity_name"].append(row["name"])
-        out["entity_type"].append(row["type"])
-        out["attributes_json"].append(json.dumps(attrs, sort_keys=True))
-        out["permissions_json"].append(json.dumps(row.get("permissions") or []))
-    return rd.from_arrow(pa.Table.from_pydict(out, schema=MENTION_SCHEMA))
+    Distributed: the sorted node blocks stay in the object store; global
+    ordinals come from per-block prefix counts (one metadata task per
+    block), and each block converts in its own task with column-wise
+    extraction — the driver holds only refs, never the node table."""
+    import ray
+
+    sch = nodes.schema()
+    names = sch.names if sch is not None else []
+    sort_keys = (
+        ["min_ord", "name"] if "min_ord" in names else ["type", "name"]
+    )
+    mat = nodes.sort(sort_keys).materialize()
+    refs = mat.to_arrow_refs()  # block order == global sort order
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _convert(t: pa.Table, off: int) -> pa.Table:
+        return _pseudo_mention_block(t, off)
+
+    counts = ray.get([_rows.remote(r) for r in refs])
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+    out_refs = [
+        _convert.remote(r, off) for r, off in zip(refs, offsets)
+    ]
+    if not out_refs:
+        return rd.from_arrow(MENTION_SCHEMA.empty_table())
+    return rd.from_arrow_refs(out_refs)
 
 
 def _rename_map(nodes_new: rd.Dataset, with_comp: rd.Dataset) -> pa.Table:

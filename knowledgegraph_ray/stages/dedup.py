@@ -14,17 +14,20 @@ Scale shapes (the 100 TB story):
   * n-gram Jaccard   — estimated from MinHash signature agreement for
                        candidate pairs (exact shingle sets never shuffle)
 
-All hash coefficients are seeded module constants — every worker, process and
-parallelism level computes identical signatures.
+Signature kernels are fully vectorized: shingle hashes come from one numpy
+rolling polynomial pass over the batch's whole UTF-8 byte buffer (modular-
+inverse prefix sums — no per-byte Python, no per-shingle hashlib), token
+hashes for SimHash from the same segmented-prefix machinery over the token
+buffer of the entire batch.  All hash coefficients are seeded module
+constants — every worker, process and parallelism level computes identical
+signatures.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Any
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -38,27 +41,119 @@ DEFAULT_NUM_PERM = 64
 _A = _RNG.integers(1, _MERSENNE, size=DEFAULT_NUM_PERM, dtype=np.uint64)
 _B = _RNG.integers(0, _MERSENNE, size=DEFAULT_NUM_PERM, dtype=np.uint64)
 
+from ..functions.hashing import (
+    mix64 as _mix64,
+    prefix_arrays as _prefix_arrays,
+    segment_hashes as _segment_hashes,
+    string_flat_bytes as _string_flat_bytes,
+)
+
+
+def _mod_mersenne(x: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """x mod (2^61−1) via folding (2^61 ≡ 1), no integer division."""
+    if out is None:
+        out = np.empty_like(x)
+    np.bitwise_and(x, _MERSENNE, out=out)
+    out += x >> np.uint64(61)
+    hi = out >> np.uint64(61)          # second fold: out < 2^62
+    np.bitwise_and(out, _MERSENNE, out=out)
+    out += hi
+    np.subtract(out, _MERSENNE, out=out, where=out >= _MERSENNE)
+    return out
+
+
+
+
+
+
+def _window_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Mixed hashes of ALL k-byte windows of the buffer (length n-k+1)."""
+    n = data.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    bpow, S = _prefix_arrays(data)
+    i = np.arange(n - k + 1)
+    return _mix64(bpow[i + k - 1] * (S[i + k] - S[i]))
+
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Deterministic 61-bit hashes of the k-byte shingles of text."""
-    data = text.encode("utf-8")
-    if len(data) < k:
-        data = data + b"\x00" * (k - len(data))
-    out = np.empty(len(data) - k + 1, dtype=np.uint64)
-    for i in range(len(data) - k + 1):
-        d = hashlib.blake2b(data[i : i + k], digest_size=8).digest()
-        out[i] = int.from_bytes(d, "little") & int(_MERSENNE)
-    return np.unique(out)
+    """Deterministic 61-bit hashes of the k-byte shingles of text
+    (vectorized rolling polynomial — one numpy pass, no per-shingle Python)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size < k:
+        data = np.concatenate([data, np.zeros(k - data.size, np.uint8)])
+    return np.unique(_window_hashes(data, k) & _MERSENNE)
+
+
+def _sig_from_hashes(h: np.ndarray, num_perm: int) -> np.ndarray:
+    if h.size == 0:
+        return np.zeros(num_perm, dtype=np.uint64)
+    prod = _mod_mersenne(_A[:num_perm, None] * h[None, :] + _B[:num_perm, None])
+    return prod.min(axis=1)
 
 
 def minhash_signature(text: str, num_perm: int = DEFAULT_NUM_PERM, k: int = 5) -> np.ndarray:
     """num_perm-wide MinHash signature over k-byte shingles."""
-    s = _shingle_hashes(text, k)
-    if s.size == 0:
-        return np.zeros(num_perm, dtype=np.uint64)
-    # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
-    prod = (_A[:num_perm, None] * s[None, :] + _B[:num_perm, None]) % _MERSENNE
-    return prod.min(axis=1)
+    return _sig_from_hashes(_shingle_hashes(text, k), num_perm)
+
+
+def _batch_signatures(
+    col: "pa.Array | pa.ChunkedArray", num_perm: int, k: int
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signature matrix for a whole batch.
+
+    One rolling-hash pass over the batch's flat byte buffer, then per-perm
+    (a·x+b) mod p with in-place buffer reuse and one minimum.reduceat over
+    the per-doc shingle segments — no per-doc Python in the main path (min is
+    idempotent, so duplicate shingles need no dedup).  Docs shorter than k
+    bytes (rare) hash their zero-padded bytes, matching _shingle_hashes."""
+    data, offsets = _string_flat_bytes(col)
+    n_docs = len(offsets) - 1
+    sigs = np.zeros((n_docs, num_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return sigs
+    H_all = _window_hashes(data, k) & _MERSENNE
+    starts, ends = offsets[:-1], offsets[1:]
+    counts = np.maximum(ends - starts - k + 1, 0)
+    long_docs = counts > 0
+    if long_docs.any():
+        # valid = positions whose k-window stays inside one doc, via a
+        # range-mark diff scan (vectorized over doc boundaries only)
+        marks = np.zeros(H_all.size + 1, dtype=np.int32)
+        np.add.at(marks, starts[long_docs], 1)
+        np.add.at(marks, (starts + counts)[long_docs], -1)
+        valid = np.cumsum(marks[:-1]) > 0
+        H_valid = np.ascontiguousarray(H_all[valid])
+        seg_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=seg_starts[1:])
+        red_at = seg_starts[long_docs]
+        buf = np.empty_like(H_valid)
+        tmp = np.empty_like(H_valid)
+        for p in range(num_perm):
+            np.multiply(H_valid, _A[p], out=buf)
+            np.add(buf, _B[p], out=buf)
+            _mod_mersenne(buf, out=tmp)
+            sigs[long_docs, p] = np.minimum.reduceat(tmp, red_at)
+    # short docs: zero-padded single shingle (rare path, per-doc)
+    for d in np.flatnonzero(~long_docs):
+        seg = np.zeros(k, np.uint8)
+        s, e = int(starts[d]), int(ends[d])
+        seg[: e - s] = data[s:e]
+        h = _window_hashes(seg, k) & _MERSENNE
+        sigs[d] = _sig_from_hashes(h, num_perm)
+    return sigs
+
+
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 bucket ids: the r signature values of each band
+    folded through the mixer (vectorized replacement for per-band blake2b)."""
+    n_docs, num_perm = sigs.shape
+    r = num_perm // bands
+    chunks = sigs[:, : bands * r].reshape(n_docs, bands, r)
+    acc = np.zeros((n_docs, bands), dtype=np.uint64)
+    for j in range(r):
+        acc = _mix64(acc ^ chunks[:, :, j])
+    return acc
 
 
 def add_minhash_bands(
@@ -74,25 +169,15 @@ def add_minhash_bands(
 
     Docs sharing a bucket within any band are near-dup candidates
     (r = num_perm/bands rows per band)."""
-    rows_per_band = num_perm // bands
-    ids_out: list[Any] = []
-    bands_out: list[int] = []
-    buckets_out: list[str] = []
-    texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_pylist()
-    for doc_id, text in zip(ids, texts):
-        sig = minhash_signature(text or "", num_perm=num_perm, k=k)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            bucket = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            ids_out.append(doc_id)
-            bands_out.append(b)
-            buckets_out.append(bucket)
+    sigs = _batch_signatures(batch.column(text_col), num_perm, k)
+    n_docs = sigs.shape[0]
+    buckets = _band_buckets(sigs, bands)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     return pa.Table.from_pydict(
         {
-            "doc_id": pa.array(ids_out, pa.int64()),
-            "band": pa.array(bands_out, pa.int32()),
-            "bucket": pa.array(buckets_out, pa.string()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64), pa.int64()),
         }
     )
 
@@ -104,11 +189,10 @@ def add_minhash_signature_column(
     num_perm: int = DEFAULT_NUM_PERM,
     k: int = 5,
 ) -> pa.Table:
-    sigs = [
-        minhash_signature(t or "", num_perm=num_perm, k=k).astype(np.int64).tolist()
-        for t in batch.column(text_col).to_pylist()
-    ]
-    return batch.append_column("minhash", pa.array(sigs, pa.list_(pa.int64())))
+    sigs = _batch_signatures(batch.column(text_col), num_perm, k).astype(np.int64)
+    return batch.append_column(
+        "minhash", pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1), pa.int64()), num_perm).cast(pa.list_(pa.int64()))
+    )
 
 
 def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -164,24 +248,21 @@ def minhash_lsh_components(
     connected-components machinery entity canonicalization uses.  comp is the
     minimum doc id of the cluster; docs with no collisions are absent (treat
     as singletons)."""
-    pairs = ds.map_batches(
-        lambda b: add_minhash_bands(
+
+    def band_keys(b: pa.Table) -> pa.Table:
+        t = add_minhash_bands(
             b, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k
-        ),
-        batch_format="pyarrow",
-    ).map_batches(
-        lambda b: pa.Table.from_pydict(
-            {
-                "key": pa.array(
-                    [f"{band}:{bucket}" for band, bucket in
-                     zip(b.column("band").to_pylist(), b.column("bucket").to_pylist())],
-                    pa.string(),
-                ),
-                "mid": b.column("doc_id"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # int (band, bucket) key — no string formatting in the hot path, and
+        # the CC sort shuffles 8-byte ints instead of hex strings
+        key = _mix64((band << np.uint64(56)) ^ bucket).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": pa.array(key, pa.int64()), "mid": t.column("doc_id")}
+        )
+
+    pairs = ds.map_batches(band_keys, batch_format="pyarrow")
     return connected_components(
         pairs,
         num_partitions=num_partitions,
@@ -193,27 +274,69 @@ def minhash_lsh_components(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_from_token_hashes(
+    tok_hashes: np.ndarray, doc_token_counts: np.ndarray
+) -> np.ndarray:
+    """Per-doc 64-bit SimHash from flat token hashes (segmented by counts).
+
+    signs: (n_tokens, 64) ±1 matrix; per-doc bit votes via one reduceat."""
+    n_docs = len(doc_token_counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if tok_hashes.size == 0:
+        return out
+    # (n_tokens, 64) uint8 bit matrix in ONE pass (no 8-byte temporaries)
+    bits = np.unpackbits(
+        tok_hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_token_counts[:-1], out=doc_starts[1:])
+    nonempty = doc_token_counts > 0
+    # ones-count per (doc, bit); reduceat starts of nonempty docs are
+    # strictly increasing, so segments span exactly each doc's tokens
+    ones = np.add.reduceat(bits, doc_starts[nonempty], axis=0, dtype=np.int64)
+    # sign-vote > 0  ⟺  ones > tokens/2 strictly (ties → 0)
+    pos = (2 * ones) > doc_token_counts[nonempty, None]
+    packed = np.packbits(pos, axis=1, bitorder="little")
+    out[nonempty] = packed.reshape(-1).view(np.uint64)
+    return out & np.uint64(0x7FFFFFFFFFFFFFFF)  # int64-safe
+
+
+def _batch_simhash(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Vectorized SimHash for a string column: whitespace tokens via Arrow,
+    token hashes via one segmented rolling-hash pass over the flat token
+    buffer, bit votes via reduceat — no per-token Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    data, offsets = _string_flat_bytes(flat)
+    starts, ends = offsets[:-1], offsets[1:]
+    # str.split() semantics: drop empty tokens (leading/trailing whitespace)
+    keep = ends > starts
+    if not keep.all():
+        # per-doc counts of kept tokens
+        doc_ids = np.repeat(np.arange(len(per_doc)), per_doc)
+        per_doc = np.bincount(doc_ids[keep], minlength=len(per_doc)).astype(np.int64)
+        starts, ends = starts[keep], ends[keep]
+    bpow, S = _prefix_arrays(data)
+    tok_hashes = _segment_hashes(bpow, S, starts, ends)
+    return _simhash_from_token_hashes(tok_hashes, per_doc)
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (deterministic blake2b token
-    hashes; sign of per-bit vote sum)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    votes = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))  # int64-safe
+    """64-bit SimHash over whitespace tokens (deterministic vectorized
+    rolling-polynomial token hashes; sign of per-bit vote sum)."""
+    return int(_batch_simhash(pa.array([text], pa.string()))[0])
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    hs = _batch_simhash(batch.column(text_col)).astype(np.int64)
     return batch.append_column("simhash", pa.array(hs, pa.int64()))
 
 
@@ -221,17 +344,18 @@ def simhash_band_pairs(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
     """(key, mid) rows for 16-bit-band blocking: docs within hamming distance
     3 share at least one of the 4 bands (pigeonhole), so the same
     connected-components pass clusters them."""
-    ids = batch.column(id_col).to_pylist()
-    hashes = batch.column("simhash").to_pylist()
-    keys: list[str] = []
-    mids: list[int] = []
-    for doc_id, h in zip(ids, hashes):
-        for b in range(4):
-            band = (h >> (16 * b)) & 0xFFFF
-            keys.append(f"{b}:{band:04x}")
-            mids.append(doc_id)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(ids)
+    bands = np.arange(4, dtype=np.uint64)
+    # (n, 4) band values; int key = band index in the top byte + band bits
+    vals = (hashes[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF)
+    key = ((bands[None, :] << np.uint64(56)) | vals).astype(np.int64)
     return pa.Table.from_pydict(
-        {"key": pa.array(keys, pa.string()), "mid": pa.array(mids, pa.int64())}
+        {
+            "key": pa.array(key.reshape(-1), pa.int64()),
+            "mid": pa.array(np.repeat(ids, 4), pa.int64()),
+        }
     )
 
 

@@ -139,15 +139,20 @@ def resolve_triples(
     from ..functions.joins import lookup_join
 
     if isinstance(alias_map, (pa.Table, list)):
+        # both probes hit the SAME (url, surface) index — right_keys stay
+        # raw and rename applies to output payload names only, so the driver
+        # index-ref cache reuses one build for src and dst
         t = lookup_join(
-            triples, alias_map, left_keys=["url", "source_entity"], how="inner",
-            rename={"surface": "source_entity", "canonical": "canonical_src",
-                    "entity_type": "src_type"},
+            triples, alias_map,
+            left_keys=["url", "source_entity"], right_keys=["url", "surface"],
+            how="inner",
+            rename={"canonical": "canonical_src", "entity_type": "src_type"},
         )
         t = lookup_join(
-            t, alias_map, left_keys=["url", "target_entity"], how="inner",
-            rename={"surface": "target_entity", "canonical": "canonical_dst",
-                    "entity_type": "dst_type"},
+            t, alias_map,
+            left_keys=["url", "target_entity"], right_keys=["url", "surface"],
+            how="inner",
+            rename={"canonical": "canonical_dst", "entity_type": "dst_type"},
         )
         return t
     src_map = alias_map.rename_columns(

@@ -1,13 +1,17 @@
 """Similarity search over embedding columns (list<float>).
 
 * Brute-force exact top-k: per-batch numpy matmul against a broadcast query
-  matrix → local top-k prune → global sort + limit.  The broadcast matrix is
-  `ray.put` once and read zero-copy in every task; the per-batch prune means
-  the global sort sees k rows per block, not the corpus.
-* IVF (inverted-file) variant: vectors assigned to their nearest of C seeded
-  centroids at index time; a query probes only the top-p centroid partitions.
-  This is the scale path — the probe reads 1/C of the data with p=1.
-* All-pairs near-dup: blocked E @ E.T with only the upper triangle emitted.
+  vector → local top-k prune → global sort + limit.  The per-batch prune
+  means the global sort sees k rows per block, not the corpus.
+* All-pairs near-dup (exact): distributed block-pair tasks — normalized
+  matrix blocks live in the object store, one Ray task per unordered block
+  pair; the driver holds only refs.  O(n²) compute is inherent to an exact
+  cosine threshold-join; the subquadratic path is `neardup_pairs_lsh`.
+* LSH near-dup (scale path): sign-random-projection sketches → banded
+  buckets → within-bucket exact verify.  Tunable recall, linear shuffle.
+* IVF (inverted-file): vectors assigned to their nearest of C seeded
+  centroids; `ivf_build_index` persists the layout partitioned by centroid so
+  a probe reads only the probed partitions' files from storage.
 
 The reference's analog is the Kuzu HNSW call QUERY_VECTOR_INDEX
 (/root/reference/query_search.py:49-111, k=10, efs=200); brute-force cosine is
@@ -22,6 +26,10 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_r", pa.float64())]
+)
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -54,7 +62,12 @@ def topk_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """Exact cosine top-k → (id_col, cos_r) sorted by (-cos_r, id)."""
+    """Exact cosine top-k → (id_col, cos_r) sorted by (-cos, id).
+
+    Ranking (local prune AND global sort) uses the EXACT cosine with an
+    explicit id tiebreak; floor4 is applied only to the emitted cos_r column
+    — floored ties at the k boundary therefore resolve identically to the
+    SQL oracle's ORDER BY exact-similarity, vec_id."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     q_ref = ray.put(q)
@@ -62,17 +75,84 @@ def topk_cosine(
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         E = _normalize(_batch_matrix(batch, vec_col))
-        cos = floor4(E @ qv)
+        cos = E @ qv
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if len(cos) > k:  # local prune: only k candidates leave this block
-            idx = np.argpartition(-cos, k - 1)[:k]
+        if len(cos) > k:  # local prune on (-cos, id) — k candidates per block
+            idx = np.lexsort((ids, -cos))[:k]
             cos, ids = cos[idx], ids[idx]
         return pa.Table.from_pydict(
-            {id_col: pa.array(ids, pa.int64()), "cos_r": pa.array(cos, pa.float64())}
+            {id_col: pa.array(ids, pa.int64()), "cos_exact": pa.array(cos, pa.float64())}
         )
 
     scored = ds.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["cos_r", id_col], descending=[True, False]).limit(k)
+    top = scored.sort(["cos_exact", id_col], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                id_col: b.column(id_col),
+                "cos_r": pa.array(
+                    floor4(b.column("cos_exact").to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _norm_vec_block(batch: pa.Table, vec_col: str, id_col: str) -> pa.Table:
+    """(id, fixed-size-list normalized vector) block for the pair tasks."""
+    E = _normalize(_batch_matrix(batch, vec_col))
+    n, dim = E.shape if E.size else (0, 0)
+    flat = pa.array(E.reshape(-1), pa.float64())
+    return pa.Table.from_pydict(
+        {
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "_nvec": pa.FixedSizeListArray.from_arrays(flat, dim) if n else
+            pa.array([], pa.list_(pa.float64(), 1)),
+        }
+    )
+
+
+def _fixed_matrix(tbl: pa.Table, col: str) -> np.ndarray:
+    arr = tbl.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dim = arr.type.list_size
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), dim)
+
+
+@ray.remote
+def _block_pair_matches(ref_a, ref_b, same: bool, threshold: float,
+                        id_col: str) -> pa.Table:
+    """Matches between two normalized blocks; pair emission fully vectorized
+    (one np.nonzero over the block mask, ids canonicalized a<b)."""
+    ta: pa.Table = ref_a
+    tb: pa.Table = ref_b
+    A, B = _fixed_matrix(ta, "_nvec"), _fixed_matrix(tb, "_nvec")
+    ids_a = ta.column(id_col).to_numpy(zero_copy_only=False)
+    ids_b = tb.column(id_col).to_numpy(zero_copy_only=False)
+    if not len(ids_a) or not len(ids_b):
+        return PAIRS_SCHEMA.empty_table()
+    sims = A @ B.T
+    mask = sims >= threshold
+    if same:
+        mask &= np.triu(np.ones(sims.shape, dtype=bool), k=1)  # each index pair once
+    else:
+        mask &= ids_a[:, None] != ids_b[None, :]
+    ii, jj = np.nonzero(mask)
+    if not len(ii):
+        return PAIRS_SCHEMA.empty_table()
+    a, b = ids_a[ii], ids_b[jj]
+    return pa.Table.from_pydict(
+        {
+            "id_a": pa.array(np.minimum(a, b), pa.int64()),
+            "id_b": pa.array(np.maximum(a, b), pa.int64()),
+            "cos_r": pa.array(floor4(sims[ii, jj]), pa.float64()),
+        },
+        schema=PAIRS_SCHEMA,
+    )
 
 
 def allpairs_cosine_threshold(
@@ -81,41 +161,135 @@ def allpairs_cosine_threshold(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_block_rows: int = 32768,
 ) -> rd.Dataset:
     """All pairs (a < b) with cosine ≥ threshold → (id_a, id_b, cos_r).
 
-    Blocked: the full normalized matrix is broadcast once; each task computes
-    its block's rows against it (O(n·dim) per block, upper triangle only).
-    The scale path replaces the broadcast side with LSH bucketing
-    (minhash/simhash in stages/dedup.py) — documented tradeoff."""
-    mat_ds = ds.select_columns([id_col, vec_col]).materialize()
-    tables = ray.get(mat_ds.to_arrow_refs())
-    full = pa.concat_tables([t for t in tables if t.num_columns], promote_options="default")
-    all_ids = full.column(id_col).to_numpy(zero_copy_only=False)
-    all_E = _normalize(_batch_matrix(full, vec_col))
-    ref = ray.put((all_ids, all_E))
+    Exact and complete: normalized blocks stay in the object store; one Ray
+    task per unordered block pair matmuls the two blocks and emits matches
+    via np.nonzero.  The driver holds only object refs — no whole-dataset
+    materialization, no per-row Python.  O(n²/2) compute is inherent to the
+    exact threshold-join; at corpus scale use `neardup_pairs_lsh` (tunable
+    recall, linear shuffle) and keep this as the verification oracle."""
+    mat = ds.map_batches(
+        lambda b: _norm_vec_block(b, vec_col, id_col), batch_format="pyarrow"
+    ).materialize()
+    n = mat.count()
+    nblocks = max(1, -(-n // target_block_rows))
+    if mat.num_blocks() > nblocks * 2:
+        mat = mat.repartition(nblocks).materialize()
+    refs = mat.to_arrow_refs()
+    out_refs = [
+        _block_pair_matches.remote(refs[i], refs[j], i == j, threshold, id_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(out_refs)
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_all, E_all = ray.get(ref)
+
+# ---------------------------------------------------------------------------
+# LSH near-dup: sign-random-projection sketch → banded buckets → exact verify
+# ---------------------------------------------------------------------------
+
+
+def _sign_planes(dim: int, n_planes: int, seed: int = 0x51C4) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def neardup_pairs_lsh(
+    ds: rd.Dataset,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 64,
+    bands: int = 16,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Near-duplicate pairs via sign-random-projection LSH + exact verify.
+
+    Shape: one linear pass sketches every vector (E @ R > 0 bits, banded into
+    `bands` bucket keys), a range-sort colocates bucket collisions, each
+    bucket run verifies its candidates with an exact within-run matmul, and a
+    final (id_a, id_b) groupby dedups pairs found in multiple bands.  Recall
+    is tunable via bands×r (more bands → higher recall, more candidates);
+    completeness is NOT guaranteed — `allpairs_cosine_threshold` is the
+    exact oracle."""
+    r = n_planes // bands
+    planes_ref: "ray.ObjectRef | None" = None
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
         E = _normalize(_batch_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sims = E @ E_all.T
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            mask = (sims[i] >= threshold) & (ids_all > ids[i])
-            for j in np.nonzero(mask)[0]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids_all[j]))
-                out_c.append(float(np.floor(sims[i, j] * 10000.0) / 10000.0))
+        if E.size == 0:
+            return pa.Table.from_pydict(
+                {"bkey": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "_nvec": pa.array([], pa.list_(pa.float64(), 1))}
+            )
+        R = _sign_planes(E.shape[1], n_planes)
+        bits = (E @ R) > 0  # (n, n_planes)
+        n = len(E)
+        keys = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            chunk = bits[:, b * r : (b + 1) * r]
+            val = np.zeros(n, dtype=np.int64)
+            for j in range(r):
+                val = (val << 1) | chunk[:, j]
+            keys[:, b] = (np.int64(b) << np.int64(48)) | val
+        flat = pa.array(E.reshape(-1), pa.float64())
+        nvec = pa.FixedSizeListArray.from_arrays(flat, E.shape[1])
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        idx = pa.array(np.repeat(np.arange(n), bands), pa.int64())
         return pa.Table.from_pydict(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "cos_r": pa.array(out_c, pa.float64()),
+                "bkey": pa.array(keys.reshape(-1), pa.int64()),
+                id_col: ids.take(idx),
+                "_nvec": nvec.take(idx),
             }
         )
 
-    return ds.map_batches(block, batch_format="pyarrow")
+    def verify_runs(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return PAIRS_SCHEMA.empty_table()
+        keys = block.column("bkey").to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = np.r_[change, n]
+        E = _fixed_matrix(block, "_nvec")
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub = E[s:e]
+            sims = sub @ sub.T
+            m = (sims >= threshold) & np.triu(np.ones(sims.shape, bool), k=1)
+            ii, jj = np.nonzero(m)
+            if len(ii):
+                a, b = ids[s:e][ii], ids[s:e][jj]
+                outs.append((np.minimum(a, b), np.maximum(a, b), sims[ii, jj]))
+        if not outs:
+            return PAIRS_SCHEMA.empty_table()
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        c = np.concatenate([o[2] for o in outs])
+        keep = a != b
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(a[keep], pa.int64()),
+             "id_b": pa.array(b[keep], pa.int64()),
+             "cos_r": pa.array(floor4(c[keep]), pa.float64())},
+            schema=PAIRS_SCHEMA,
+        )
+
+    cand = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .sort("bkey")
+        .map_batches(verify_runs, batch_format="pyarrow", batch_size=None)
+    )
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("cos_r", alias_name="cos_r"))
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +322,50 @@ def ivf_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def ivf_build_index(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF layout: parquet partitioned by centroid id, so a probe
+    reads ONLY the probed centroids' files (directory-level pruning — the
+    other partitions never leave storage)."""
+    ivf_assign(ds, centroids, vec_col=vec_col).write_parquet(
+        index_dir, partition_cols=["centroid"]
+    )
+
+
+def ivf_query_index(
+    index_dir: str,
+    centroids: np.ndarray,
+    query_vec: np.ndarray | list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Probe a persisted IVF index: read only the n_probe nearest centroids'
+    partition directories, brute-force inside."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+    import os
+
+    paths = [
+        os.path.join(d, f)
+        for d in (f"{index_dir}/centroid={p}" for p in probe)
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    subset = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return topk_cosine(subset, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_search(
     assigned: rd.Dataset,
     centroids: np.ndarray,
@@ -158,7 +376,10 @@ def ivf_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """Probe the n_probe centroids nearest the query, brute-force inside."""
+    """Probe the n_probe centroids nearest the query, brute-force inside.
+
+    In-memory variant (filter on the centroid column); the storage-pruning
+    variant is ivf_build_index + ivf_query_index."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     C = _normalize(np.asarray(centroids, dtype=np.float64))
