@@ -34,13 +34,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # overhead (the scaling-efficiency criterion measures compute, not setup).
 PAGES_PER_DOC = int(os.environ.get("KGRAY_PAGES_PER_DOC", "20"))
 
-ORACLE_QUERY_NAMES = [
-    "q_filter_project", "q_groupby_count", "q_doc_stats_by_source",
-    "q_topk_events", "q_sorted_limit", "q_join_agg", "q_semi_join",
-    "q_anti_join", "q_lineitem_agg", "q_events_hourly", "q_token_count",
-    "q_quality", "q_exact_dedup", "q_knn_top10", "q_neardup_pairs",
-    "q_lang_id", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
-]
+# every queries() entry is timed (driver-contract parity: the bench and the
+# correctness gate cover the same set); None = the full QUERIES dict
+BENCH_QUERY_NAMES = None
 
 
 def _sf_label(sf_dir: str) -> str:
@@ -116,7 +112,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from knowledgegraph_ray.pipelines.queries import QUERIES
 
     out: dict[str, float] = {}
-    for name in ORACLE_QUERY_NAMES:
+    for name in (BENCH_QUERY_NAMES or list(QUERIES)):
         t0 = time.monotonic()
         res = QUERIES[name](sf_dir)
         if isinstance(res, rd.Dataset):

@@ -50,8 +50,27 @@ def cmd_build(args: argparse.Namespace) -> int:
         concurrency=args.concurrency,
         num_partitions=args.num_partitions,
         resume=not args.no_resume,
+        embed=args.embed,
+        embed_dim=args.embed_dim,
     )
     print(json.dumps(res.metrics, default=str))
+    return 0
+
+
+def cmd_retry(args: argparse.Namespace) -> int:
+    """Re-drive failed extraction rows (RETRY_FAILED_EMAILS parity)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.kg_build import run_retry_failed
+
+    paths = sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    out = run_retry_failed(
+        paths, args.work, batch_size=args.batch_size, concurrency=args.concurrency
+    )
+    print(json.dumps(out))
     return 0
 
 
@@ -162,7 +181,16 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--concurrency", type=int, default=4)
     b.add_argument("--num-partitions", type=int, default=16)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--embed", action="store_true")
+    b.add_argument("--embed-dim", type=int, default=1024)
     b.set_defaults(fn=cmd_build)
+
+    t = sub.add_parser("retry")
+    t.add_argument("--input", required=True)
+    t.add_argument("--work", required=True)
+    t.add_argument("--batch-size", type=int, default=256)
+    t.add_argument("--concurrency", type=int, default=4)
+    t.set_defaults(fn=cmd_retry)
 
     m = sub.add_parser("merge")
     m.add_argument("--graph", required=True)

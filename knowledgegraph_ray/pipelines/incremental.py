@@ -217,17 +217,36 @@ def incremental_merge(
     out_dir: str,
     *,
     num_partitions: int = 8,
+    embed_dim: int = 1024,
+    embed_backend: Any = None,
 ) -> dict[str, Any]:
     """Merge new extraction results into an existing graph; writes the updated
-    nodes/ + edges/ under out_dir and returns counts."""
+    nodes/ + edges/ under out_dir and returns counts.
+
+    If the existing nodes carry an ``embedding`` column, the merged nodes do
+    too: unchanged nodes keep their stored vector, changed/new nodes are
+    re-embedded (D4 regenerate-on-change,
+    systematic_merge_provider.py:687-696)."""
     from ..stages.canonicalize import grouped_apply
 
-    pseudo = nodes_as_mentions(existing_nodes)
+    existing_sch = existing_nodes.schema()
+    has_embeddings = existing_sch is not None and "embedding" in existing_sch.names
+    existing_mat = existing_nodes.materialize() if has_embeddings else existing_nodes
+
+    pseudo = nodes_as_mentions(
+        existing_mat.drop_columns(["embedding"]) if has_embeddings else existing_mat
+    )
     new_mentions = new_extracted.map_batches(explode_mentions, batch_format="pyarrow")
     new_triples = new_extracted.map_batches(explode_triples, batch_format="pyarrow")
 
     mentions = pseudo.union(new_mentions).materialize()
     nodes, with_comp = canonicalize(mentions, num_partitions=num_partitions)
+    if has_embeddings:
+        from ..stages.embedder import reembed_changed_nodes
+
+        nodes = reembed_changed_nodes(
+            nodes, existing_mat, dim=embed_dim, backend=embed_backend
+        ).materialize()
 
     rename = _rename_map(nodes, with_comp)
     rewritten = _rewrite_existing_edges(existing_edges, rename).map_batches(

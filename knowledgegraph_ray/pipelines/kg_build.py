@@ -225,6 +225,128 @@ def _readback_stats(extract_dir: str, shards: list[str]) -> dict[str, dict[str, 
     return out
 
 
+def run_retry_failed(
+    input_paths: list[str],
+    work_dir: str,
+    *,
+    batch_size: int = 128,
+    concurrency: int | tuple[int, int] = 2,
+    backend_factory: Callable[[], Any] | None = None,
+) -> dict[str, Any]:
+    """Re-drive failed extraction rows (the reference's RETRY_FAILED_EMAILS
+    path, vespa_email_pipeline.py:262-263): rows whose ``error`` column is
+    non-empty are re-extracted from their source pages and replaced in the
+    stage-1 checkpoint, shard by shard (file-granular, resumable — a crash
+    mid-retry leaves untouched shards valid).
+
+    Failures are rare by construction (per-doc error records, not dead
+    tasks), so the per-shard failed-url set is small; the page re-read is
+    pruned to the affected shard files only."""
+    import pyarrow.compute as pc_
+
+    import ray.data as rd_
+
+    extract_dir = os.path.join(work_dir, "extracted")
+    manifest_dir = os.path.join(work_dir, "manifests")
+    # retryable = real extraction failures; "Empty content" is a permanent
+    # per-doc condition (entity_extractor.py:57-67), re-driving it can't help
+    failed = (
+        rd.read_parquet(extract_dir, columns=["url", "shard", "error"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.not_equal(pc.coalesce(b.column("error"), ""), ""),
+                    pc.not_equal(b.column("error"), "Empty content"),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_failed = failed.count()
+    if n_failed == 0:
+        return {"failed_rows": 0, "retried": 0, "shards_rewritten": 0}
+
+    from ..functions.joins import _dataset_to_table
+
+    failed_tbl = _dataset_to_table(failed)
+    by_shard: dict[str, set[str]] = {}
+    for sh, url in zip(
+        failed_tbl.column("shard").to_pylist(), failed_tbl.column("url").to_pylist()
+    ):
+        by_shard.setdefault(sh, set()).add(url)
+    path_by_shard = {shard_name(p): p for p in input_paths}
+
+    fn_kwargs = {}
+    if backend_factory is not None:
+        fn_kwargs["backend"] = backend_factory()
+
+    retried = 0
+    for sh, urls in sorted(by_shard.items()):
+        src = path_by_shard.get(sh)
+        if src is None:
+            continue
+        url_set = pa.array(sorted(urls), pa.string())
+        pages = rd_.read_parquet([src], include_paths=True).map_batches(
+            prepare_pages, batch_format="pyarrow"
+        ).map_batches(
+            lambda b, _u=url_set: b.filter(pc_.is_in(b.column("url"), value_set=_u)),
+            batch_format="pyarrow",
+        )
+        redo = pages.map_batches(
+            TripleExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=fn_kwargs,
+        )
+        redo_tbl = _dataset_to_table(redo.materialize()).drop_columns(["shard"])
+
+        part_dir = os.path.join(extract_dir, f"shard={sh}")
+        old_files = [
+            os.path.join(part_dir, f)
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        ]
+        kept = [
+            t
+            for t in (pq.read_table(f) for f in old_files)
+            if t.num_rows
+        ]
+        kept_tbl = pa.concat_tables(kept, promote_options="default")
+        kept_tbl = kept_tbl.filter(
+            pc_.invert(pc_.is_in(kept_tbl.column("url"), value_set=url_set))
+        )
+        merged = pa.concat_tables([kept_tbl, redo_tbl], promote_options="default")
+        tmp = os.path.join(part_dir, "_retry_tmp.parquet")
+        pq.write_table(merged, tmp)
+        for f in old_files:
+            os.remove(f)
+        os.rename(tmp, os.path.join(part_dir, "retry-00000.parquet"))
+        retried += redo_tbl.num_rows
+
+        st = _readback_stats(extract_dir, [sh]).get(sh, {})
+        write_manifest(
+            manifest_dir,
+            Manifest(
+                stage=EXTRACT_STAGE,
+                input_file=src,
+                shard=sh,
+                rows_in=_input_rows(src),
+                rows_out=int(st.get("rows", 0)),
+                entity_mentions=int(st.get("entities", 0)),
+                raw_triples=int(st.get("triples", 0)),
+                errors=int(st.get("errors", 0)),
+                wall_s=0.0,
+            ),
+        )
+    return {
+        "failed_rows": n_failed,
+        "retried": retried,
+        "shards_rewritten": len(by_shard),
+    }
+
+
 def run_graph_build(
     work_dir: str,
     *,
@@ -232,6 +354,9 @@ def run_graph_build(
     max_rounds: int = 8,
     output_partitions: int = 4,
     cc_driver_threshold: int = 20_000_000,
+    embed: bool = False,
+    embed_dim: int = 1024,
+    embed_concurrency: int = 2,
 ) -> dict[str, Any]:
     """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest)."""
     extract_dir = os.path.join(work_dir, "extracted")
@@ -258,8 +383,22 @@ def run_graph_build(
     )
     edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
 
-    nodes.repartition(output_partitions).write_parquet(nodes_dir)
-    edges_mat = edges.materialize()
+    if embed:
+        # schema.yaml:14 parity: every node/edge carries embedding FLOAT[dim]
+        # at merge time (actor-pool stage; the model backend plugs in here)
+        from ..stages.embedder import embed_edges, embed_nodes
+
+        nodes_out = embed_nodes(
+            nodes, dim=embed_dim, concurrency=embed_concurrency
+        )
+        edges_mat = embed_edges(
+            edges, dim=embed_dim, concurrency=embed_concurrency
+        ).materialize()
+    else:
+        nodes_out = nodes
+        edges_mat = edges.materialize()
+
+    nodes_out.repartition(output_partitions).write_parquet(nodes_dir)
     edges_mat.repartition(output_partitions).write_parquet(edges_dir)
 
     n_nodes = nodes.count()
@@ -297,6 +436,8 @@ def kg_build(
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
     cc_driver_threshold: int = 20_000_000,
+    embed: bool = False,
+    embed_dim: int = 1024,
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(
@@ -312,6 +453,8 @@ def kg_build(
         work_dir,
         num_partitions=num_partitions,
         cc_driver_threshold=cc_driver_threshold,
+        embed=embed,
+        embed_dim=embed_dim,
     )
     return KGBuildResult(
         work_dir=work_dir,

@@ -327,7 +327,8 @@ def _kg_result(sf_dir: str):
     base = f"/tmp/kgray_cache/{os.path.basename(os.path.normpath(sf_dir))}-{n_pages}"
     paths = write_pages(f"{base}/pages", n_pages=n_pages, seed=42, rows_per_file=500)
     res = kg_build(paths, f"{base}/work", batch_size=256, concurrency=2,
-                   num_partitions=8, wave_size=64, resume=True)
+                   num_partitions=8, wave_size=64, resume=True,
+                   embed=True, embed_dim=64)
     _KG_CACHE[sf_dir] = res
     return res
 
@@ -343,6 +344,27 @@ def q_kg_edges_by_type(sf_dir: str):
     return res.edges().groupby("type").aggregate(
         Count(alias_name="n_edges"), Max("strength", alias_name="max_strength")
     )
+
+
+def q_kg_search(sf_dir: str):
+    """Semantic node search over the flagship output's embedding column
+    (K1 over the KG, reference query_search.py:49-111): top-5 nodes by
+    cosine against a deterministic probe-text embedding."""
+    from ..stages.embedder import hash_embedding
+
+    res = _kg_result(sf_dir)
+    q = hash_embedding("Type: person\nName: probe query", dim=64)
+    return knn_mod.topk_cosine(
+        res.nodes().select_columns(["comp", "embedding"]),
+        q, k=5, vec_col="embedding", id_col="comp",
+    )
+
+
+def q_neardup_lsh(sf_dir: str):
+    """Subquadratic near-dup pairs: sign-random-projection LSH candidates +
+    exact cosine verify (the 100 TB path; allpairs is the exact oracle)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_mod.neardup_pairs_lsh(ds, threshold=NEARDUP_THRESHOLD, num_partitions=4)
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +503,8 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ivf_knn": q_ivf_knn,
+    "q_neardup_lsh": q_neardup_lsh,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
+    "q_kg_search": q_kg_search,
 }

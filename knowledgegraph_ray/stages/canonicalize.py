@@ -53,6 +53,28 @@ SEP = "\x1e"
 PAIR_SCHEMA = pa.schema([("key", pa.string()), ("mid", pa.int64())])
 
 
+def _with_registry(fn):
+    """Wrap a worker-side function with a driver-time ENTITY_TYPES snapshot.
+
+    Runtime-registered entity types (config.yaml_config.register_entity_config)
+    live in the driver's registry only; worker processes import the frozen
+    module table.  The snapshot travels in the closure and is installed into
+    the worker's live registry before the first call — config is captured at
+    pipeline construction, the Ray-idiomatic place."""
+    from ..config.entity_schema import ENTITY_TYPES as _driver_registry
+
+    snapshot = dict(_driver_registry)
+
+    def wrapped(*args, **kwargs):
+        from ..config.entity_schema import ENTITY_TYPES as live
+
+        if live is not snapshot and set(snapshot) - set(live):
+            live.update(snapshot)
+        return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def mention_keys(batch: pa.Table) -> pa.Table:
     """mentions → (key, mid) candidate pairs, one per matching-rule value."""
     keys: list[str] = []
@@ -609,7 +631,7 @@ def canonicalize(
     mentions_with_comp: the input mentions plus their component id, used by
     the edge-resolution join (stages/edges.py).
     """
-    pairs = mentions.map_batches(mention_keys, batch_format="pyarrow")
+    pairs = mentions.map_batches(_with_registry(mention_keys), batch_format="pyarrow")
     labels = connected_components(
         pairs,
         num_partitions=num_partitions,
@@ -628,7 +650,7 @@ def canonicalize(
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
     nodes = grouped_apply(
-        with_comp, ["comp"], merge_component_row, NODES_SCHEMA,
+        with_comp, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,
     ).materialize()
     return nodes, with_comp

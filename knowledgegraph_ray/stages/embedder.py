@@ -129,26 +129,118 @@ class Embedder:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = self.backend(self._texts(batch))
-        col = pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))
+        texts = self._texts(batch)
+        names = batch.column_names
+        if "_old_text" in names and "_old_embedding" in names:
+            # D4 regenerate-on-change (systematic_merge_provider.py:687-696):
+            # rows whose serialization text is unchanged KEEP the stored
+            # embedding — only changed/new rows hit the model backend.
+            old_t = batch.column("_old_text").to_pylist()
+            old_e = batch.column("_old_embedding").to_pylist()
+            out: list[list[float] | None] = [None] * len(texts)
+            to_embed = [
+                i
+                for i, (t, ot, oe) in enumerate(zip(texts, old_t, old_e))
+                if oe is None or ot != t
+            ]
+            if to_embed:
+                new_vecs = self.backend([texts[i] for i in to_embed])
+                for j, i in enumerate(to_embed):
+                    out[i] = [float(x) for x in new_vecs[j]]
+            for i, oe in enumerate(old_e):
+                if out[i] is None:
+                    out[i] = oe
+            batch = batch.drop_columns(["_old_text", "_old_embedding"])
+            col = pa.array(out, pa.list_(pa.float32()))
+        else:
+            vecs = self.backend(texts)
+            col = pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))
         if "embedding" in batch.column_names:
             batch = batch.drop_columns(["embedding"])
         return batch.append_column("embedding", col)
 
 
 def embed_nodes(nodes, *, dim: int = DEFAULT_DIM, concurrency: int = 2,
-                batch_size: int = 256, num_gpus: float | None = None):
+                batch_size: int = 256, num_gpus: float | None = None,
+                backend: Callable[[list[str]], np.ndarray] | None = None):
     """nodes Dataset → nodes + embedding column (actor pool)."""
     kwargs: dict[str, Any] = {}
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
+    ctor: dict[str, Any] = {"dim": dim, "mode": "node"}
+    if backend is not None:
+        ctor["backend"] = backend
     return nodes.map_batches(
         Embedder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "mode": "node"},
+        fn_constructor_kwargs=ctor,
         **kwargs,
+    )
+
+
+def node_embed_texts(batch: pa.Table) -> list[str]:
+    """Serialization text per node row (the Embedder's node mode, exposed so
+    the incremental change-detector computes identical texts)."""
+    return Embedder(mode="node")._texts(batch)
+
+
+def reembed_changed_nodes(
+    nodes_new,
+    existing_nodes,
+    *,
+    dim: int = DEFAULT_DIM,
+    backend: Callable[[list[str]], np.ndarray] | None = None,
+    concurrency: int = 2,
+    batch_size: int = 256,
+):
+    """Incremental D4 embedding refresh: merged nodes reuse the stored
+    embedding when their serialization text is unchanged, and re-embed
+    otherwise (reference systematic_merge_provider.py:687-696 — embeddings
+    regenerate when name/descriptions change on merge).
+
+    existing (type, name) → (old text, old embedding) is broadcast by object
+    refs; the per-row compare happens inside the embedder actors."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.joins import lookup_join
+
+    def old_cols(b: pa.Table) -> pa.Table:
+        texts = node_embed_texts(b)
+        emb = (
+            b.column("embedding")
+            if "embedding" in b.column_names
+            else pa.nulls(b.num_rows, pa.list_(pa.float32()))
+        )
+        return pa.Table.from_pydict(
+            {
+                "type": b.column("type"),
+                "name": b.column("name"),
+                "_old_text": pa.array(texts, pa.string()),
+                "_old_embedding": pc.cast(emb, pa.list_(pa.float32())),
+            }
+        )
+
+    old_map = existing_nodes.map_batches(old_cols, batch_format="pyarrow").materialize()
+    joined = lookup_join(
+        nodes_new, old_map.to_arrow_refs(), left_keys=["type", "name"], how="left",
+        right_schema=pa.schema(
+            [("type", pa.string()), ("name", pa.string()),
+             ("_old_text", pa.string()),
+             ("_old_embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    kwargs: dict[str, Any] = {"dim": dim, "mode": "node"}
+    if backend is not None:
+        kwargs["backend"] = backend
+    return joined.map_batches(
+        Embedder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=kwargs,
     )
 
 

@@ -59,6 +59,44 @@ REL_T = pa.struct(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# M4: data-type detection (prompt_factory.py:48-74).  The reference's enum has
+# exactly EMAIL and DOCUMENT (prompt_factory.py:7-9) — the code/meeting/chat
+# branches construct enum members that do not exist and are dead; the
+# REACHABLE semantics are: explicit data_type field wins (when valid), any
+# email-ish field present → email, otherwise the email default.
+# ---------------------------------------------------------------------------
+
+DATA_TYPES = ("email", "document")
+_EMAIL_FIELDS = ("from", "to", "subject", "sender", "recipient")
+
+
+def add_data_type(batch: pa.Table, out_col: str = "data_type") -> pa.Table:
+    """Vectorized per-row data-type detection → a dictionary-encoded column.
+
+    A record "has a field" when the column exists and the value is non-null
+    (the Arrow shape of the reference's dict-key checks)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    names = set(batch.column_names)
+    result = pa.array(["email"] * n, pa.string())  # default (prompt_factory.py:74)
+    # email-specific fields present → email (already the default; kept for
+    # parity with the priority chain should more types become reachable)
+    present = None
+    for f in _EMAIL_FIELDS:
+        if f in names:
+            m = pc.is_valid(batch.column(f))
+            present = m if present is None else pc.or_(present, m)
+    # explicit data_type field wins when it names a valid type
+    if "data_type" in names:
+        explicit = pc.utf8_lower(pc.cast(batch.column("data_type"), pa.string()))
+        valid = pc.is_in(explicit, value_set=pa.array(DATA_TYPES))
+        result = pc.if_else(pc.and_kleene(pc.is_valid(explicit), valid), explicit, result)
+        batch = batch.drop_columns(["data_type"])
+    return batch.append_column(out_col, pc.dictionary_encode(result))
+
+
 EXTRACTION_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -255,8 +293,13 @@ class TripleExtractor:
                 # Empty-content short circuit (entity_extractor.py:57-67).
                 error, ents, rels = "Empty content", [], []
             else:
-                raw = self.backend(text)
-                ents, rels = parse_tuple_output(raw, item_id=url)
+                try:
+                    raw = self.backend(text)
+                    ents, rels = parse_tuple_output(raw, item_id=url)
+                except Exception as exc:  # failed-doc record, not a dead task
+                    # (entity_extractor.py:39-41: LLM retries=0; the failure
+                    # is recorded and re-driven later via run_retry_failed)
+                    error, ents, rels = f"extraction failed: {exc}", [], []
                 if len(ents) > self.MENTIONS_PER_DOC_CAP:
                     ents = ents[: self.MENTIONS_PER_DOC_CAP]
 

@@ -115,3 +115,114 @@ def test_corrupt_manifest_ignored(tmp_path):
 
 def test_shard_name():
     assert shard_name("/a/b/pages-00003.parquet") == "pages-00003"
+
+
+# ---------------------------------------------------------------------------
+# Runtime YAML config loading (entity_config.py:21-168 parity)
+# ---------------------------------------------------------------------------
+
+
+def test_yaml_loader_reproduces_frozen_table():
+    """Loading the reference's own entity_config.yaml yields EXACTLY the
+    committed Python specs — the transcription is proven, and YAML is a
+    working extension surface."""
+    from knowledgegraph_ray.config.entity_schema import ENTITY_TYPES
+    from knowledgegraph_ray.config.yaml_config import load_entity_config
+
+    loaded = load_entity_config("/root/reference/entity_config.yaml")
+    assert sorted(loaded) == sorted(ENTITY_TYPES)
+    for name, spec in ENTITY_TYPES.items():
+        got = loaded[name]
+        assert set(got.llm_fields) == set(spec.llm_fields), name
+        fa, fb = got.field_map(), spec.field_map()
+        assert set(fa) == set(fb), name
+        for k in fa:
+            assert (fa[k].is_array, fa[k].strategy, fa[k].llm_field) == (
+                fb[k].is_array, fb[k].strategy, fb[k].llm_field
+            ), (name, k)
+        assert got.match_rules == spec.match_rules, name
+
+
+def test_register_new_entity_type_from_yaml_and_canonicalize(tmp_path):
+    """An 11th entity type is a YAML edit: register it, emit mentions of it,
+    and the canonicalizer groups them by the YAML-declared match rules."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.config.entity_schema import ENTITY_TYPES
+    from knowledgegraph_ray.config.yaml_config import register_entity_config
+    from knowledgegraph_ray.stages.canonicalize import canonicalize
+
+    cfg = tmp_path / "custom.yaml"
+    cfg.write_text(
+        """
+entity_schemas:
+  Dataset:
+    llm_fields: [name, alias, description, url]
+    mappings:
+      name:
+        type: "STRING PRIMARY KEY"
+        merge_strategy: "preserve_existing"
+        mapping: name
+      aliases:
+        type: "STRING[]"
+        merge_strategy: "append_unique"
+        mapping: aliases
+      url:
+        type: "STRING"
+        merge_strategy: "preserve_existing"
+        mapping: url
+      rawDescriptions:
+        type: "STRING[]"
+        merge_strategy: "append_unique"
+        mapping: description
+systematic_merge:
+  matching_rules:
+    Dataset:
+      - rule: "exact"
+        match: "url"
+        priority: 1
+        confidence: 0.95
+      - rule: "search"
+        match: "alias"
+        db: "aliases"
+        type: "list"
+        priority: 2
+        confidence: 0.7
+"""
+    )
+    added = register_entity_config(str(cfg))
+    try:
+        assert added == ["Dataset"]
+        rows = [
+            # same url → same entity despite different names
+            (1, "CC-Main", {"url": "https://data.example/cc", "description": "crawl"}),
+            (2, "CommonCrawl Main", {"url": "https://data.example/cc"}),
+            # alias overlap chains a third mention in
+            (3, "CC", {"aliases": ["CommonCrawl Main"]}),
+            # unrelated dataset stays separate
+            (4, "OtherSet", {"url": "https://data.example/other"}),
+        ]
+        mentions = rd.from_arrow(pa.table({
+            "mid": pa.array([r[0] for r in rows], pa.int64()),
+            "ord": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array(["doc://1"] * len(rows), pa.string()),
+            "entity_name": pa.array([r[1] for r in rows], pa.string()),
+            "entity_type": pa.array(["Dataset"] * len(rows), pa.string()),
+            "attributes_json": pa.array([json.dumps(r[2]) for r in rows], pa.string()),
+            "permissions_json": pa.array(["[]"] * len(rows), pa.string()),
+        }))
+        nodes, with_comp = canonicalize(mentions, num_partitions=2)
+        comp = {r["mid"]: r["comp"] for r in with_comp.take_all()}
+        # url-exact merges 1+2; alias-search ("CommonCrawl Main" is mention 2's
+        # primary name, emitted under the alias namespace by mention 3) — the
+        # reference matches alias values against names only via the aliases
+        # array namespace, so 3 joins iff a shared alias key exists
+        assert comp[1] == comp[2]
+        assert comp[4] not in (comp[1], comp[3])
+        names = {r["name"] for r in nodes.take_all() if r["type"] == "Dataset"}
+        assert "CC-Main" in names and "OtherSet" in names
+    finally:
+        ENTITY_TYPES.pop("Dataset", None)

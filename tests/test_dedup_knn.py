@@ -142,3 +142,83 @@ def test_ivf_assign_partitions_and_search_recall(vec_ds):
     assert approx == exact  # n_probe = all centroids → exact
     approx2 = [r["vec_id"] for r in ivf_search(assigned, cents, q, k=10, n_probe=2).take_all()]
     assert len(set(approx2) & set(exact)) >= 5  # decent recall at half probes
+
+
+# ---------------------------------------------------------------------------
+# LSH near-dup (scale path) + persisted IVF index
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vecs(n=300, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    E = rng.standard_normal((n, dim))
+    for i in range(0, 40, 2):  # inject near-dup pairs
+        E[i + 1] = E[i] + 0.05 * rng.standard_normal(dim)
+    return E
+
+
+def _vec_ds(E):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(E)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E], pa.list_(pa.float64())),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(4)
+
+
+def test_allpairs_block_tasks_match_numpy_oracle():
+    E = _clustered_vecs()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = En @ En.T
+    thr = 0.8
+    n = len(E)
+    oracle = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= thr}
+    rows = allpairs_cosine_threshold(_vec_ds(E), threshold=thr, target_block_rows=80).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == oracle
+    assert len(rows) == len(got)  # no duplicate pairs across block tasks
+
+
+def test_neardup_lsh_subset_of_exact_with_high_recall():
+    from knowledgegraph_ray.stages.knn import neardup_pairs_lsh
+
+    E = _clustered_vecs()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = En @ En.T
+    thr = 0.8
+    n = len(E)
+    oracle = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= thr}
+    got = {(r["id_a"], r["id_b"])
+           for r in neardup_pairs_lsh(_vec_ds(E), threshold=thr).take_all()}
+    assert got <= oracle  # exact verify → no false positives
+    assert len(got & oracle) >= 0.9 * len(oracle)  # high recall on near-dups
+
+
+def test_ivf_persisted_index_prunes_and_full_probe_is_exact(tmp_path):
+    from knowledgegraph_ray.stages.knn import (
+        ivf_build_index,
+        ivf_query_index,
+        seeded_centroids,
+    )
+    import os
+
+    E = _clustered_vecs(n=200)
+    ds = _vec_ds(E)
+    cents = seeded_centroids(16, 4)
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build_index(ds, cents, idx_dir)
+    parts = sorted(d for d in os.listdir(idx_dir) if d.startswith("centroid="))
+    assert len(parts) >= 2  # layout is partitioned → probes prune directories
+
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal(16)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ (q / np.linalg.norm(q))
+    exact = [int(i) for i in np.lexsort((np.arange(len(E)), -cos))[:5]]
+    got = [r["vec_id"] for r in
+           ivf_query_index(idx_dir, cents, q, k=5, n_probe=4).take_all()]
+    assert got == exact  # probing ALL partitions == brute force
+    approx = [r["vec_id"] for r in
+              ivf_query_index(idx_dir, cents, q, k=5, n_probe=1).take_all()]
+    assert len(approx) == 5  # single-partition probe still returns k

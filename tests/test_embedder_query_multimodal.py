@@ -158,3 +158,98 @@ def test_video_frame_sampler_flat_maps():
     assert {r["frame_idx"] for r in out} == {0, 1, 2, 3}
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(backend="ffmpeg")(media)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings as a first-class pipeline stage (schema.yaml:14 parity) + D4
+# regenerate-on-change (systematic_merge_provider.py:687-696)
+# ---------------------------------------------------------------------------
+
+
+def _mini_nodes_table(descs):
+    return pa.table(
+        {
+            "type": ["Person", "Company"],
+            "name": ["Sarah Jones", "Acme"],
+            "rawDescriptions": pa.array([descs, ["builds things"]], pa.list_(pa.string())),
+        }
+    )
+
+
+def test_kg_build_embed_flag_writes_embeddings(tmp_path):
+    from knowledgegraph_ray.pipelines.kg_build import kg_build
+    from knowledgegraph_ray.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path / "pages"), n_pages=60, seed=42, rows_per_file=30)
+    res = kg_build(paths, str(tmp_path / "work"), batch_size=32, concurrency=2,
+                   num_partitions=2, resume=False, embed=True, embed_dim=32)
+    nodes = res.nodes()
+    edges = res.edges()
+    assert "embedding" in nodes.schema().names
+    assert "embedding" in edges.schema().names
+    row = nodes.take(1)[0]
+    assert len(row["embedding"]) == 32
+    erow = edges.take(1)[0]
+    assert len(erow["embedding"]) == 32
+
+
+def test_reembed_changed_nodes_reuses_unchanged_and_regenerates_changed():
+    from knowledgegraph_ray.stages.embedder import (
+        node_embed_texts,
+        reembed_changed_nodes,
+    )
+
+    old_tbl = _mini_nodes_table(["engineer at acme"])
+    # existing graph: embedded with backend v1 (value 1.0 everywhere)
+    def backend_v1(texts):
+        return np.full((len(texts), 4), 1.0, dtype=np.float32)
+
+    def backend_v2(texts):
+        return np.full((len(texts), 4), 2.0, dtype=np.float32)
+
+    existing = rd.from_arrow(
+        old_tbl.append_column(
+            "embedding",
+            pa.array([[1.0] * 4, [1.0] * 4], pa.list_(pa.float32())),
+        )
+    )
+    # merged nodes: Sarah's description CHANGED, Acme unchanged
+    new_tbl = pa.table(
+        {
+            "type": ["Person", "Company"],
+            "name": ["Sarah Jones", "Acme"],
+            "rawDescriptions": pa.array(
+                [["now a manager"], ["builds things"]], pa.list_(pa.string())
+            ),
+        }
+    )
+    out = reembed_changed_nodes(
+        rd.from_arrow(new_tbl), existing, dim=4, backend=backend_v2
+    ).take_all()
+    by_name = {r["name"]: r["embedding"] for r in out}
+    # unchanged text → stored v1 embedding kept (backend v2 NOT invoked)
+    assert by_name["Acme"] == [1.0] * 4
+    # changed text → regenerated with the current backend
+    assert by_name["Sarah Jones"] == [2.0] * 4
+
+
+def test_incremental_merge_refreshes_embeddings(tmp_path, ray_session):
+    """End-to-end D4: an incremental merge over an embedded graph keeps the
+    embedding column and changes vectors only where the node text changed."""
+    from knowledgegraph_ray.pipelines.kg_build import kg_build
+    from knowledgegraph_ray.pipelines.incremental import incremental_merge
+    from knowledgegraph_ray.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path / "pages"), n_pages=40, seed=42, rows_per_file=20)
+    res = kg_build(paths, str(tmp_path / "work"), batch_size=32, concurrency=2,
+                   num_partitions=2, resume=False, embed=True, embed_dim=16)
+    nodes, edges = res.nodes(), res.edges()
+    extracted = rd.read_parquet(res.extract_dir)
+    out = incremental_merge(nodes, edges, extracted, str(tmp_path / "incr"),
+                            embed_dim=16)
+    merged = rd.read_parquet(out["nodes_dir"])
+    assert "embedding" in merged.schema().names
+    # idempotent merge: same inputs → same embeddings as the original graph
+    old = {(r["type"], r["name"]): r["embedding"] for r in nodes.take_all()}
+    new = {(r["type"], r["name"]): r["embedding"] for r in merged.take_all()}
+    assert old == new

@@ -91,3 +91,27 @@ def test_duplicate_surface_attrs_merge_first_wins_scalar_union_list():
     person = next(e for e in ents if e["entity_type"] == "Person")
     attrs = json.loads(person["attributes_json"])
     assert attrs["email"] == "s@a.com"  # first wins
+
+
+def test_add_data_type_detection():
+    """M4 (prompt_factory.py:48-74, reachable EMAIL/DOCUMENT semantics):
+    explicit data_type wins when valid; email fields → email; default email."""
+    import pyarrow as pa
+
+    from knowledgegraph_ray.stages.extract import add_data_type
+
+    batch = pa.table(
+        {
+            "url": ["a", "b", "c", "d", "e"],
+            "data_type": [None, "DOCUMENT", "bogus", None, "email"],
+            "subject": ["hi", None, None, None, None],
+        }
+    )
+    out = add_data_type(batch)
+    col = out.column("data_type")
+    assert pa.types.is_dictionary(col.type)  # dictionary-encoded
+    vals = col.to_pylist()
+    assert vals == ["email", "document", "email", "email", "email"]
+    # no explicit column at all → default email everywhere
+    out2 = add_data_type(pa.table({"url": ["x"], "text": ["t"]}))
+    assert out2.column("data_type").to_pylist() == ["email"]

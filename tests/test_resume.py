@@ -49,3 +49,59 @@ def test_resume_skips_done_shards_and_matches_fresh_run(pages_small, tmp_path_fa
 
     manifests = load_manifests(mdir, stage="extract")
     assert len(manifests) == len(paths)
+
+
+def test_retry_failed_rows_recovers_clean_graph(tmp_path):
+    """Failed-doc records (error column) are re-driven by run_retry_failed
+    (RETRY_FAILED_EMAILS parity): after retry with a working backend the
+    checkpoint has zero errors and the graph equals a clean run's."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.pipelines.kg_build import (
+        kg_build,
+        run_extraction,
+        run_graph_build,
+        run_retry_failed,
+    )
+    from knowledgegraph_ray.stages.extract import RuleBasedBackend
+    from knowledgegraph_ray.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path / "pages"), n_pages=80, seed=42, rows_per_file=20)
+
+    class FlakyBackend(RuleBasedBackend):
+        """Deterministically fails on a subset of documents."""
+
+        def __call__(self, text: str) -> str:
+            if "Issue" in text:
+                raise RuntimeError("backend unavailable")
+            return super().__call__(text)
+
+    work = str(tmp_path / "work")
+    run_extraction(paths, work, batch_size=32, concurrency=2, resume=False,
+                   backend_factory=FlakyBackend)
+    def count_errors(kind):
+        return (
+            rd.read_parquet(f"{work}/extracted", columns=["error"])
+            .map_batches(
+                lambda b: b.filter(pc.match_substring(b.column("error"), kind)),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+
+    errs = count_errors("extraction failed")
+    assert errs > 0, "fixture produced no failures"
+
+    out = run_retry_failed(paths, work, batch_size=32, concurrency=2)
+    assert out["failed_rows"] == errs
+    assert out["retried"] == errs
+    # real failures recovered; permanent "Empty content" records remain
+    assert count_errors("extraction failed") == 0
+
+    graph = run_graph_build(work, num_partitions=2)
+    clean = kg_build(paths, str(tmp_path / "clean"), batch_size=32, concurrency=2,
+                     num_partitions=2, resume=False)
+    assert graph["nodes"] == clean.metrics["graph"]["nodes"]
+    assert graph["edges"] == clean.metrics["graph"]["edges"]
