@@ -12,10 +12,11 @@ Prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
 The KG workload is the deterministic synthetic Common-Crawl-style page table
-(sources/pages.py) sized from the sf documents row count (pages = 4 × docs);
-page generation is fixture setup and excluded from timing.  The pipeline runs
-with the fully distributed connected-components path (cc_driver_threshold=0)
-so the shuffle stages are what is measured.
+(sources/pages.py) sized from the sf documents row count (default 20 pages
+per doc row); page generation is fixture setup and excluded from timing.
+The pipeline runs with the production-default adaptive CC config (the
+driver-side union-find fast path engages below 20M pairs, exactly as a real
+run at this scale would).
 """
 
 from __future__ import annotations
@@ -97,6 +98,7 @@ def run_kg(sf_dir: str, num_cpus: int) -> dict:
         "kg_wall_s": round(wall, 3),
         "extract_s": ext["wall_s"],
         "graph_s": graph["wall_s"],
+        "graph_stage_s": graph.get("stage_s", {}),
         "pages": n_pages,
         "raw_triples": triples,
         "nodes": graph["nodes"],
@@ -177,8 +179,12 @@ def main_scaling() -> dict:
         "unit": "efficiency",
         "sf": _sf_label(SF_DIR),
         "runs": {
-            "cpus_8": {k: runs[8][k] for k in ("kg_wall_s", "docs_per_sec", "triples_per_sec")},
-            "cpus_32": {k: runs[32][k] for k in ("kg_wall_s", "docs_per_sec", "triples_per_sec")},
+            "cpus_8": {k: runs[8][k] for k in
+                       ("kg_wall_s", "extract_s", "graph_s", "graph_stage_s",
+                        "docs_per_sec", "triples_per_sec")},
+            "cpus_32": {k: runs[32][k] for k in
+                        ("kg_wall_s", "extract_s", "graph_s", "graph_stage_s",
+                         "docs_per_sec", "triples_per_sec")},
         },
     }
 

@@ -139,6 +139,85 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def run_repl(nodes, edges, dim: int = 64, input_fn=input, print_fn=print) -> None:
+    """Interactive search loop (query_search.py:295-365 parity): free-text
+    semantic search plus the special commands help / stats / simple /
+    top N / details <name> <type> / relations <name> <type> / exit.
+
+    ``input_fn``/``print_fn`` are injectable so the loop is testable."""
+    from .stages.embedder import hash_embedding
+    from .stages import graph_query
+
+    max_results = 10
+    show_details = True
+    print_fn("Interactive Knowledge Graph Search — 'help' for commands, 'exit' to stop")
+    while True:
+        try:
+            query = input_fn("search> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not query:
+            continue
+        low = query.lower()
+        try:
+            if low in ("exit", "quit"):
+                break
+            elif low == "help":
+                print_fn(
+                    "commands: <free text search> | stats | simple | top <n> | "
+                    "details <name> <type> | relations <name> <type> | exit"
+                )
+            elif low == "stats":
+                print_fn(json.dumps(graph_query.stats(nodes, edges)))
+            elif low == "simple":
+                show_details = not show_details
+                print_fn(f"display: {'detailed' if show_details else 'simple'}")
+            elif low.startswith("top "):
+                try:
+                    max_results = max(1, min(50, int(query.split()[1])))
+                    print_fn(f"results limit: {max_results}")
+                except (IndexError, ValueError):
+                    print_fn("invalid format. use: top <number>")
+            elif low.startswith("details "):
+                parts = query.split()[1:]
+                if len(parts) >= 2:
+                    rows = graph_query.details(nodes, " ".join(parts[:-1]), parts[-1])
+                    print_fn(json.dumps(rows, default=str))
+                else:
+                    print_fn("invalid format. use: details <entity_name> <entity_type>")
+            elif low.startswith("relations "):
+                parts = query.split()[1:]
+                if len(parts) >= 2:
+                    rows = graph_query.relations(edges, " ".join(parts[:-1]))
+                    print_fn(json.dumps(rows, default=str))
+                else:
+                    print_fn("invalid format. use: relations <entity_name> <entity_type>")
+            else:
+                q = hash_embedding(query, dim)
+                rows = graph_query.search(nodes, q, k=max_results).take_all()
+                if not show_details:
+                    rows = [{"name": r.get("name")} for r in rows]
+                print_fn(json.dumps(rows, default=str))
+        except Exception as exc:  # REPL survives per-command errors
+            print_fn(f"error: {exc}")
+
+
+def cmd_repl(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.embedder import embed_nodes
+
+    nodes_dir, edges_dir = _graph_dirs(args.graph)
+    nodes = rd.read_parquet(nodes_dir)
+    if "embedding" not in nodes.schema().names:
+        nodes = embed_nodes(nodes, dim=args.dim, concurrency=2)
+    nodes = nodes.materialize()
+    edges = rd.read_parquet(edges_dir).materialize()
+    run_repl(nodes, edges, dim=args.dim)
+    return 0
+
+
 def cmd_admin(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .sources.io_json import backup_schema, clean_graph, graph_status
@@ -222,6 +301,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--dim", type=int, default=256)
     q.set_defaults(fn=cmd_search)
+
+    i = sub.add_parser("repl")
+    i.add_argument("--graph", required=True)
+    i.add_argument("--dim", type=int, default=64)
+    i.set_defaults(fn=cmd_repl)
 
     a = sub.add_parser("admin")
     a.add_argument("--graph", required=True)

@@ -34,18 +34,21 @@ _BROADCAST_CACHE: dict[str, tuple[pa.Table, pa.Array]] = {}
 
 _KEY_SEP = "\x1f"
 
-# Broadcast caps are per-WORKER heap: every worker materializes the lookup
-# table + hash index (~3-4× the Arrow bytes in Python-object form), so the
-# total footprint scales with worker count.  Above these caps the shuffle
-# join is cheaper and flat per worker.  Single-int64-keyed maps use a
-# sorted-array searchsorted index (~16 B/row) and get a much higher cap.
-DEFAULT_BROADCAST_ROWS = 2_000_000
-DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
+# Reserved column name: when present in the broadcast right side, it holds the
+# precomputed hash_key_columns() value per row (producers compute it in
+# parallel inside map_batches; the index-build task then only argsorts).
+PREHASH_COL = "__kh"
+
+# Broadcast caps bound the ONE shared index object (built once in a task,
+# read zero-copy by every worker from the object store — per-worker heap cost
+# is ~0), so they are object-store-level limits, not per-worker ones.  Above
+# them the hash-shuffle join moves each row once instead of holding the whole
+# map resident.  On a multi-node cluster the same caps bound the per-node
+# object-store copy of the broadcast side.
+DEFAULT_BROADCAST_ROWS = 20_000_000
+DEFAULT_BROADCAST_BYTES = 1536 * 1024 * 1024
 INT_BROADCAST_ROWS = 50_000_000
-# Int-keyed maps use a ~16 B/row searchsorted index, but every worker still
-# materializes the payload table — cap the Arrow bytes too (per-worker heap),
-# not just the row count.
-INT_BROADCAST_BYTES = 1024 * 1024 * 1024
+INT_BROADCAST_BYTES = 2048 * 1024 * 1024
 
 
 def _combined_key(table: pa.Table, keys: list[str]) -> pa.Array:
@@ -110,7 +113,13 @@ def _build_lookup_index(refs: list, rk: list[str], empty_tbl: pa.Table):
             keys_np = rt.column(rk[0]).to_numpy(zero_copy_only=False)
             order = np.argsort(keys_np, kind="stable")
             return rt, "int", keys_np[order], order
-        h = hash_key_columns(rt, rk)
+        if PREHASH_COL in rt.column_names:
+            # producer hashed the key columns in parallel (map_batches over
+            # its blocks) — the serial build step is just an argsort
+            h = rt.column(PREHASH_COL).to_numpy(zero_copy_only=False).astype(np.uint64)
+            rt = rt.drop_columns([PREHASH_COL])
+        else:
+            h = hash_key_columns(rt, rk)
         order = np.argsort(h, kind="stable")  # stable: equal keys keep
         hs = h[order]                          # first-wins table order
         dup = np.flatnonzero(hs[1:] == hs[:-1])
@@ -163,7 +172,8 @@ def lookup_join(
         else:
             sample = pa.table({})
     ren = dict(rename or {})
-    payload_cols = [c for c in sample.column_names if c not in right_keys]
+    payload_cols = [c for c in sample.column_names
+                    if c not in right_keys and c != PREHASH_COL]
     rk = list(right_keys)
     lk = list(left_keys)
 
@@ -218,6 +228,8 @@ def lookup_join(
 
         from knowledgegraph_ray.functions.hashing import hash_key_columns
 
+        import os as _os
+
         rt, (kind, index, order) = _resolve()
         if kind in ("int", "h64") and len(index):
             if kind == "int":
@@ -242,6 +254,27 @@ def lookup_join(
             pos = index.get_indexer(lkey) if len(index) else np.full(len(lkey), -1)
         else:
             pos = np.full(batch.num_rows, -1)
+        if _os.environ.get("KGRAY_JOIN_VALIDATE") and kind == "int":
+            # debug invariant: every matched pos must point at a row whose
+            # key equals the probe value
+            hit = pos >= 0
+            if hit.any():
+                rk_np = rt.column(rk[0]).to_numpy(zero_copy_only=False)
+                lv = batch.column(lk[0]).to_numpy(zero_copy_only=False)
+                ok = rk_np[pos[hit]] == lv[hit]
+                if not ok.all():
+                    import json as _json
+                    nbad = int((~ok).sum())
+                    i0 = int(np.flatnonzero(hit)[np.flatnonzero(~ok)[0]])
+                    raise RuntimeError(_json.dumps({
+                        "join_validate": "MISMATCH", "pid": _os.getpid(),
+                        "nbad": nbad, "lval": int(lv[i0]), "pos": int(pos[i0]),
+                        "rt_key_at_pos": int(rk_np[pos[i0]]),
+                        "index_len": int(len(index)),
+                        "index_zeros": int((index == 0).sum()),
+                        "order_zeros": int((order == 0).sum()),
+                        "index_sorted": bool((np.diff(index) >= 0).all()),
+                    }))
         if how == "inner":
             valid = pos >= 0
             batch = batch.filter(pa.array(valid))

@@ -166,8 +166,10 @@ def _rewrite_existing_edges(edges: rd.Dataset, rename: pa.Table) -> rd.Dataset:
     e = lookup_join(e, dst_map, left_keys=["dst", "dst_type"], how="left")
 
     def apply(b: pa.Table) -> pa.Table:
-        src = pc.coalesce(b.column("src_new"), b.column("src"))
-        dst = pc.coalesce(b.column("dst_new"), b.column("dst"))
+        from ..functions.arrow_utils import safe_coalesce
+
+        src = safe_coalesce(b.column("src_new"), b.column("src"))
+        dst = safe_coalesce(b.column("dst_new"), b.column("dst"))
         b = b.set_column(b.column_names.index("src"), "src", src)
         b = b.set_column(b.column_names.index("dst"), "dst", dst)
         return b.drop_columns(["src_new", "dst_new"])

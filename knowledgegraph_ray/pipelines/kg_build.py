@@ -255,7 +255,7 @@ def run_retry_failed(
         .map_batches(
             lambda b: b.filter(
                 pc.and_(
-                    pc.not_equal(pc.coalesce(b.column("error"), ""), ""),
+                    pc.not_equal(pc.coalesce(b.column("error").combine_chunks(), ""), ""),
                     pc.not_equal(b.column("error"), "Empty content"),
                 )
             ),
@@ -353,7 +353,7 @@ def run_graph_build(
     num_partitions: int = 16,
     max_rounds: int = 8,
     output_partitions: int = 4,
-    cc_driver_threshold: int = 20_000_000,
+    cc_driver_threshold: int = 2_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
     embed_concurrency: int = 2,
@@ -367,13 +367,20 @@ def run_graph_build(
     shutil.rmtree(edges_dir, ignore_errors=True)
 
     t0 = time.monotonic()
+    stage_s: dict[str, float] = {}
+
+    def _tick(name: str, since: float) -> float:
+        now = time.monotonic()
+        stage_s[name] = round(now - since, 3)
+        return now
+
     extracted = rd.read_parquet(extract_dir)
     # mentions feed two consumers (pair generation + component attach):
     # materialize once instead of re-reading + re-exploding the checkpoint.
     mentions = extracted.map_batches(
         explode_mentions, batch_format="pyarrow"
     ).materialize()
-    triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
+    t = _tick("explode_mentions", t0)
 
     nodes, with_comp = canonicalize(
         mentions,
@@ -381,6 +388,8 @@ def run_graph_build(
         max_rounds=max_rounds,
         cc_driver_threshold=cc_driver_threshold,
     )
+    t = _tick("canonicalize", t)
+    triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
     edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
 
     if embed:
@@ -397,9 +406,11 @@ def run_graph_build(
     else:
         nodes_out = nodes
         edges_mat = edges.materialize()
+    t = _tick("edges", t)
 
     nodes_out.repartition(output_partitions).write_parquet(nodes_dir)
     edges_mat.repartition(output_partitions).write_parquet(edges_dir)
+    t = _tick("write", t)
 
     n_nodes = nodes.count()
     n_edges = edges_mat.count()
@@ -422,6 +433,7 @@ def run_graph_build(
         "nodes_dir": nodes_dir,
         "edges_dir": edges_dir,
         "wall_s": round(wall, 3),
+        "stage_s": stage_s,
     }
 
 
@@ -435,7 +447,7 @@ def kg_build(
     wave_size: int = 64,
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
-    cc_driver_threshold: int = 20_000_000,
+    cc_driver_threshold: int = 2_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
 ) -> KGBuildResult:

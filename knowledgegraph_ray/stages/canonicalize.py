@@ -280,7 +280,7 @@ def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    driver_threshold: int = 20_000_000,
+    driver_threshold: int = 2_000_000,
     edge_driver_threshold: int = 50_000_000,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
@@ -297,7 +297,10 @@ def connected_components(
     Pair sets at or below ``driver_threshold`` rows short-circuit to a
     sequential driver-side union-find (identical labels — comp = min mid of
     the component — with no shuffle rounds); pass 0 to force the distributed
-    path."""
+    path.  The default is deliberately conservative: above ~2M pairs the
+    single-threaded driver pass stops scaling with added CPUs (measured 166s
+    vs 66s distributed at 5.8M pairs on 32 cpus) and the parallel
+    sort+contract path wins."""
     pairs_mat = pairs.materialize()
     n_pairs = pairs_mat.count()
     if n_pairs == 0:
@@ -392,7 +395,9 @@ def attach_components(
     )
 
     def fill(batch: pa.Table) -> pa.Table:
-        comp = pc.coalesce(batch.column("comp"), batch.column("mid"))
+        from ..functions.arrow_utils import safe_coalesce
+
+        comp = safe_coalesce(batch.column("comp"), batch.column("mid"))
         i = batch.column_names.index("comp")
         return batch.set_column(i, "comp", comp)
 
@@ -623,7 +628,7 @@ def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    cc_driver_threshold: int = 20_000_000,
+    cc_driver_threshold: int = 2_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 

@@ -85,6 +85,9 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
     ).sort(["url", "entity_name"])
 
     def last_per_run(block: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_key_columns
+        from ..functions.joins import PREHASH_COL
+
         n = block.num_rows
         out_schema = pa.schema(
             [
@@ -92,6 +95,7 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                 ("surface", pa.string()),
                 ("canonical", pa.string()),
                 ("entity_type", pa.string()),
+                (PREHASH_COL, pa.uint64()),
             ]
         )
         if n == 0:
@@ -112,15 +116,18 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         idx = pc.index_in(
             picked.column("comp"), value_set=pa.array(comp_ids, pa.int64())
         )
-        return pa.Table.from_pydict(
+        out = pa.Table.from_pydict(
             {
                 "url": picked.column("url"),
                 "surface": picked.column("entity_name"),
                 "canonical": canon_names.take(idx),
                 "entity_type": canon_types.take(idx),
-            },
-            schema=out_schema,
+            }
         )
+        # precompute the lookup-join key hash here, in parallel, so the
+        # one-shot index build only argsorts (PREHASH_COL protocol)
+        kh = hash_key_columns(out, ["url", "surface"])
+        return out.append_column(PREHASH_COL, pa.array(kh, pa.uint64())).cast(out_schema)
 
     return s.map_batches(last_per_run, batch_format="pyarrow", batch_size=None)
 
@@ -155,6 +162,11 @@ def resolve_triples(
             rename={"canonical": "canonical_dst", "entity_type": "dst_type"},
         )
         return t
+    from ..functions.joins import PREHASH_COL
+
+    sch = alias_map.schema()
+    if sch is not None and PREHASH_COL in sch.names:
+        alias_map = alias_map.drop_columns([PREHASH_COL])
     src_map = alias_map.rename_columns(
         {"surface": "source_entity", "canonical": "canonical_src",
          "entity_type": "src_type"}

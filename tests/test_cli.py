@@ -52,3 +52,37 @@ def test_cli_search_and_admin(built_graph, capsys, tmp_path):
                            "--out", str(tmp_path / "g.json"), "--stamp", "t0"])
     doc = json.load(open(export["written"]))
     assert doc["metadata"]["total_nodes"] > 0
+
+
+def test_repl_commands(tmp_path):
+    """S-interactive REPL (query_search.py:295-365): search + special
+    commands drive the query layer through an injectable input loop."""
+    import json
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.cli import run_repl
+    from knowledgegraph_ray.pipelines.kg_build import kg_build
+    from knowledgegraph_ray.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path / "pages"), n_pages=40, seed=42, rows_per_file=20)
+    res = kg_build(paths, str(tmp_path / "work"), batch_size=32, concurrency=2,
+                   num_partitions=2, resume=False, embed=True, embed_dim=16)
+    nodes = res.nodes().materialize()
+    edges = res.edges().materialize()
+
+    script = iter([
+        "help", "stats", "top 3", "simple", "acme organization", "exit",
+    ])
+    out: list[str] = []
+    run_repl(nodes, edges, dim=16,
+             input_fn=lambda _: next(script), print_fn=out.append)
+    text = "\n".join(out)
+    assert "commands:" in text          # help
+    assert '"total_entities"' in text   # stats JSON
+    assert "results limit: 3" in text   # top N
+    assert "display: simple" in text    # simple toggle
+    # the free-text search returned at most 3 simple rows of (name, type)
+    results = [json.loads(l) for l in out if l.startswith("[")]
+    assert results and len(results[-1]) <= 3
+    assert set(results[-1][0]) == {"name"}

@@ -226,3 +226,35 @@ systematic_merge:
         assert "CC-Main" in names and "OtherSet" in names
     finally:
         ENTITY_TYPES.pop("Dataset", None)
+
+
+def test_pyarrow_coalesce_chunk_bug_workaround():
+    """pyarrow 16.1.0 regression guard: variadic coalesce over chunked inputs
+    with differing chunk layouts resolves nulls to 0 instead of the fallback
+    value; safe_coalesce must not."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from knowledgegraph_ray.functions.arrow_utils import safe_coalesce
+
+    rng = np.random.default_rng(0)
+    n = 18783
+    comp_np = rng.integers(0, 1000, n)
+    null_pos = [9000, 15000]
+    comp_list = comp_np.tolist()
+    for p in null_pos:
+        comp_list[p] = None
+    comp = pa.chunked_array([pa.array(comp_list, pa.int64())])
+    mid_np = rng.integers(10_000, 20_000, n)
+    chunks, off = [], 0
+    while off < n:
+        s = min(int(rng.integers(100, 1500)), n - off)
+        chunks.append(pa.array(mid_np[off : off + s], pa.int64()))
+        off += s
+    mid = pa.chunked_array(chunks)
+    out = safe_coalesce(comp, mid).to_pylist()
+    for p in null_pos:
+        assert out[p] == mid_np[p], f"null at {p} must take fallback, got {out[p]}"
+    # everything else unchanged
+    assert out[0] == comp_list[0] and out[-1] == comp_list[-1]
