@@ -16,6 +16,10 @@ import pyarrow.compute as pc
 # arithmetic wraps mod 2^64 by construction.
 _POLY_B = np.uint64(0x100000001B3)
 _POLY_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+# independent second base (odd) for 128-bit composite keys: a raw collision
+# must happen under BOTH polynomials for the (kh, kl) pair to collide
+_POLY_B2 = np.uint64(0x9E3779B97F4A7C15)
+_POLY_B2INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
 
 def mix64(h: np.ndarray) -> np.ndarray:
@@ -88,21 +92,23 @@ def _scratch(name: str, size: int) -> np.ndarray:
     return buf[:size]
 
 
-def _prefix_into(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _prefix_into(data: np.ndarray, variant: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """prefix_arrays into reused per-process scratch (no fresh allocations —
     the prefix machinery costs 24 B per input byte, which as first-touch
-    page faults dominated the whole index build before reuse)."""
+    page faults dominated the whole index build before reuse).  ``variant``
+    selects the polynomial base (independent hash families)."""
+    B, BINV = (_POLY_B, _POLY_BINV) if variant == 0 else (_POLY_B2, _POLY_B2INV)
     n = data.size
-    bpow = _scratch("bpow", n + 1)
-    bpow.fill(_POLY_B)
+    bpow = _scratch(f"bpow{variant}", n + 1)
+    bpow.fill(B)
     bpow[0] = 1
     np.cumprod(bpow, out=bpow)
-    binv = _scratch("binv", n)
+    binv = _scratch(f"binv{variant}", n)
     if n:
-        binv.fill(_POLY_BINV)
+        binv.fill(BINV)
         binv[0] = 1
         np.cumprod(binv, out=binv)
-    S = _scratch("S", n + 1)
+    S = _scratch(f"S{variant}", n + 1)
     S[0] = 0
     if n:
         tmp = _scratch("tmp", n)
@@ -111,11 +117,26 @@ def _prefix_into(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return bpow, S
 
 
-def hash_string_array(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+def mix64b(h: np.ndarray) -> np.ndarray:
+    """Second, independent finalizer (murmur3 fmix constants) — combined with
+    a segment hash it yields a 128-bit-effective key when paired with the
+    splitmix variant (collisions must co-occur in both)."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def hash_string_array(col: "pa.Array | pa.ChunkedArray", variant: int = 0) -> np.ndarray:
     """Mixed 64-bit hash per row of a string column (nulls hash like '').
 
-    Processed in ~4 MB byte-buffer chunks over reused scratch arrays so the
-    transient memory is O(chunk), not O(8 × column bytes)."""
+    ``variant=1`` produces an independent second hash (different pre-xor and
+    finalizer) for 128-bit composite keys.  Processed in ~1 MB byte-buffer
+    chunks over reused scratch arrays so the transient memory is O(chunk),
+    not O(8 × column bytes)."""
     data, offsets = string_flat_bytes(col)
     n_rows = len(offsets) - 1
     out = np.empty(n_rows, dtype=np.uint64)
@@ -126,11 +147,13 @@ def hash_string_array(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         end_row = int(np.searchsorted(offsets, start_byte + _HASH_CHUNK, side="right")) - 1
         end_row = min(max(end_row, row + 1), n_rows)
         seg = data[start_byte : int(offsets[end_row])]
-        bpow, S = _prefix_into(seg)
+        bpow, S = _prefix_into(seg, variant)
         st = offsets[row:end_row] - start_byte
         en = offsets[row + 1 : end_row + 1] - start_byte
         out[row:end_row] = segment_hashes(bpow, S, st, en)
         row = end_row
+    if variant:
+        out = mix64b(out)
     return out
 
 

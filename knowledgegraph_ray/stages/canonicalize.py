@@ -50,7 +50,15 @@ from ..functions.normalize import norm_string
 
 SEP = "\x1e"
 
-PAIR_SCHEMA = pa.schema([("key", pa.string()), ("mid", pa.int64())])
+# Candidate pairs carry a 128-bit key hash (two independent 64-bit rolling
+# polynomials) instead of the raw key string: the CC sort then shuffles 16 B
+# per row instead of ~60 B, and the per-block contraction works on ints.
+# A pair collides only if BOTH polynomials collide (~1e-19 at 10^10 keys).
+PAIR_SCHEMA = pa.schema([("kh", pa.int64()), ("kl", pa.int64()), ("mid", pa.int64())])
+
+
+def _pair_key_cols(names) -> list[str]:
+    return ["kh", "kl"] if "kh" in names else ["key"]
 
 
 def _with_registry(fn):
@@ -75,8 +83,9 @@ def _with_registry(fn):
     return wrapped
 
 
-def mention_keys(batch: pa.Table) -> pa.Table:
-    """mentions → (key, mid) candidate pairs, one per matching-rule value."""
+def mention_key_strings(batch: pa.Table) -> tuple[list[str], list[int]]:
+    """Raw candidate key strings per mention (namespace semantics; the
+    shuffled pair table carries only their 128-bit hashes)."""
     keys: list[str] = []
     mids: list[int] = []
     for mid, etype, aj in zip(
@@ -111,7 +120,26 @@ def mention_keys(batch: pa.Table) -> pa.Table:
                     if nv:
                         keys.append(f"{etype}{SEP}{rule.db}{SEP}{nv}")
                         mids.append(mid)
-    return pa.Table.from_pydict({"key": keys, "mid": mids}, schema=PAIR_SCHEMA)
+    return keys, mids
+
+
+def mention_keys(batch: pa.Table) -> pa.Table:
+    """mentions → (kh, kl, mid) candidate pairs, one per matching-rule value
+    (keys hashed to a 128-bit pair — see PAIR_SCHEMA)."""
+    import numpy as np
+
+    from ..functions.hashing import hash_string_array
+
+    keys, mids = mention_key_strings(batch)
+    karr = pa.array(keys, pa.string())
+    return pa.Table.from_pydict(
+        {
+            "kh": pa.array(hash_string_array(karr, 0).astype(np.int64), pa.int64()),
+            "kl": pa.array(hash_string_array(karr, 1).astype(np.int64), pa.int64()),
+            "mid": pa.array(mids, pa.int64()),
+        },
+        schema=PAIR_SCHEMA,
+    )
 
 
 def _batch_min_by(group_col: str, value_col: str, out_col: str):
@@ -145,12 +173,22 @@ def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
         b for b in pairs_mat.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
     ]
     t = pa.concat_tables(tables).combine_chunks()
-    # Factorize in C: arrow dictionary_encode for the string keys, np.unique
-    # for the int mids — no Python string objects anywhere.
-    enc = pc.dictionary_encode(t.column("key"))
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # Factorize in C — no Python key objects anywhere: 128-bit (kh, kl) keys
+    # via lexsort run-detection; legacy single "key" via dictionary_encode.
+    if "kh" in t.column_names:
+        kh = t.column("kh").to_numpy(zero_copy_only=False)
+        kl = t.column("kl").to_numpy(zero_copy_only=False)
+        korder0 = np.lexsort((kl, kh))
+        khs, kls = kh[korder0], kl[korder0]
+        newk = np.r_[True, (khs[1:] != khs[:-1]) | (kls[1:] != kls[:-1])]
+        codes_sorted = np.cumsum(newk) - 1
+        kcodes = np.empty(len(kh), dtype=np.int64)
+        kcodes[korder0] = codes_sorted
+    else:
+        enc = pc.dictionary_encode(t.column("key"))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     mids_np = t.column("mid").to_numpy(zero_copy_only=False)
     muniq, mcodes = np.unique(mids_np, return_inverse=True)
     n_keys = int(kcodes.max()) + 1 if len(kcodes) else 0
@@ -229,14 +267,19 @@ def _contract_level0(batch: pa.Table) -> pa.Table:
     distinct mid emits one row pointing at its local min root.  Keys never
     leave this level (range sort keeps equal keys in one block)."""
     uf = _UF()
-    key_first: dict[str, int] = {}
-    for k, m in zip(batch.column("key").to_pylist(), batch.column("mid").to_pylist()):
+    key_first: dict = {}
+    mids_list = batch.column("mid").to_pylist()
+    if "kh" in batch.column_names:
+        keys_list = list(zip(batch.column("kh").to_pylist(), batch.column("kl").to_pylist()))
+    else:
+        keys_list = batch.column("key").to_pylist()
+    for k, m in zip(keys_list, mids_list):
         f = key_first.get(k)
         if f is None:
             key_first[k] = m
         else:
             uf.union(f, m)
-    nodes = sorted(set(batch.column("mid").to_pylist()))
+    nodes = sorted(set(mids_list))
     return pa.Table.from_pydict(
         {
             "a": pa.array([uf.find(x) for x in nodes], pa.int64()),
@@ -314,8 +357,9 @@ def connected_components(
     # mentions; a per-block union-find contracts them into int64 claim edges
     # (local root, node).  This does all the string handling and most of the
     # merging in parallel; the residual graph is one edge per (node, block).
+    sch = pairs_mat.schema()
     E = (
-        pairs_mat.sort("key")
+        pairs_mat.sort(_pair_key_cols(sch.names if sch is not None else ["key"]))
         .map_batches(_contract_level0, batch_format="pyarrow", batch_size=None)
         .materialize()
     )

@@ -149,8 +149,9 @@ def test_mention_keys_namespaces():
         [{"mid": 0, "name": "X", "attrs": {"name": "X", "email": "e@a.com",
                                            "aliases": ["Y", "Z"]}}]
     )
-    pairs = mention_keys(t)
-    keys = pairs.column("key").to_pylist()
+    from knowledgegraph_ray.stages.canonicalize import mention_key_strings
+
+    keys, _ = mention_key_strings(t)
     assert any("\x1eemails\x1ee@a.com" in k for k in keys)
     assert any("\x1ename\x1ex" in k for k in keys)
     # alias values land in the aliases namespace, never the name namespace
