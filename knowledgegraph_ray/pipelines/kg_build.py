@@ -400,6 +400,10 @@ def run_graph_build(
         cc_driver_threshold=cc_driver_threshold,
     )
     t = _tick("canonicalize", t)
+    from ..stages.canonicalize import LAST_TIMINGS as _canon_t
+
+    for _k, _v in _canon_t.items():
+        stage_s[f"canon.{_k}"] = _v
     triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
     edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
 

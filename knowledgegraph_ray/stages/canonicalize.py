@@ -33,6 +33,7 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
@@ -161,17 +162,30 @@ def _batch_min_by(group_col: str, value_col: str, out_col: str):
 
 
 def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
-    """Small-side fast path: pull the (key, mid) pair table to the driver and
-    run fully vectorized min-label propagation (pandas factorize + numpy
+    """Small-side fast path: fully vectorized min-label propagation over the
+    whole pair table in ONE zero-CPU worker task (numpy factorize +
     scatter-min per round — no per-row Python).  Produces exactly the labels
     the distributed paths converge to (comp = min mid of the component), the
     same way a broadcast join replaces a shuffle join when one side is small.
+    Runs in a task, not on the driver: worker arenas are warm from block
+    processing while a cold driver pays first-touch page faults for every
+    array (measured as a 10-50 s run-to-run swing on this class of host).
     The pair table is O(mentions × rules) — tiny next to the corpus."""
+    refs = pairs_mat.to_arrow_refs()
+    return rd.from_arrow(ray.get(_union_find_pairs_task.remote(refs)))
+
+
+@ray.remote(num_cpus=0)
+def _union_find_pairs_task(refs: list) -> pa.Table:
+    tables = [b for b in ray.get(list(refs)) if b.num_rows]
+    return _union_find_pairs_table(tables)
+
+
+def _union_find_pairs_table(tables: list[pa.Table]) -> pa.Table:
     import numpy as np
 
-    tables = [
-        b for b in pairs_mat.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
-    ]
+    if not tables:
+        return pa.schema([("mid", pa.int64()), ("comp", pa.int64())]).empty_table()
     t = pa.concat_tables(tables).combine_chunks()
     # Factorize in C — no Python key objects anywhere: 128-bit (kh, kl) keys
     # via lexsort run-detection; legacy single "key" via dictionary_encode.
@@ -221,13 +235,11 @@ def _driver_union_find(pairs_mat: rd.Dataset) -> rd.Dataset:
             break
         label = new_lab
 
-    return rd.from_arrow(
-        pa.Table.from_pydict(
-            {
-                "mid": pa.array(muniq, pa.int64()),
-                "comp": pa.array(label, pa.int64()),
-            }
-        )
+    return pa.Table.from_pydict(
+        {
+            "mid": pa.array(muniq, pa.int64()),
+            "comp": pa.array(label, pa.int64()),
+        }
     )
 
 
@@ -319,6 +331,37 @@ def _contract_round(batch: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote(num_cpus=0)
+def _merge_claims_task(refs: list) -> pa.Table:
+    """Claim-edge merge: vectorized min-label propagation over (a, b) int
+    pairs (no per-edge Python)."""
+    import numpy as np
+
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows]
+    if not blocks:
+        return pa.schema([("mid", pa.int64()), ("comp", pa.int64())]).empty_table()
+    t = pa.concat_tables(blocks).combine_chunks()
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    label = nodes.copy()
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        new = label.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.Table.from_pydict(
+        {
+            "mid": pa.array(nodes, pa.int64()),
+            "comp": pa.array(label, pa.int64()),
+        }
+    )
+
+
 def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
@@ -369,35 +412,14 @@ def connected_components(
     ).materialize()
 
     if claims.count() <= edge_driver_threshold:
-        # Level 1 (driver): merge the contracted claim edges — O(nodes) int
-        # pairs, orders of magnitude below the raw pair/corpus volume.
-        # Fully vectorized min-label propagation (no per-edge Python).
-        import numpy as np
-
-        blocks = [b for b in claims.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
-        t = pa.concat_tables(blocks).combine_chunks()
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-        ia, ib = inv[: len(a)], inv[len(a):]
-        label = nodes.copy()
-        while True:
-            m = np.minimum(label[ia], label[ib])
-            new = label.copy()
-            np.minimum.at(new, ia, m)
-            np.minimum.at(new, ib, m)
-            if np.array_equal(new, label):
-                break
-            label = new
-        root_tbl = pa.Table.from_pydict(
-            {
-                "mid": pa.array(nodes, pa.int64()),
-                "comp": pa.array(label, pa.int64()),
-            }
-        )
-        # Nodes with only self-claims (a == b everywhere) are their own comp;
-        # they are simply absent here and attach_components fills comp = mid.
-        return rd.from_arrow(root_tbl)
+        # Level 1: merge the contracted claim edges — O(nodes) int pairs,
+        # orders of magnitude below the raw pair/corpus volume.  Runs in a
+        # zero-CPU worker task (same cold-driver-page-fault rationale as
+        # _driver_union_find).  Nodes with only self-claims (a == b
+        # everywhere) are their own comp; they are simply absent here and
+        # attach_components fills comp = mid.
+        refs = claims.to_arrow_refs()
+        return rd.from_arrow(ray.get(_merge_claims_task.remote(refs)))
 
     # Fallback for residuals beyond driver memory: alternating star
     # contraction.  Fixpoint detection is exact and monotone: every round can
@@ -668,6 +690,11 @@ def grouped_apply(
     )
 
 
+# Sub-stage wall times of the last canonicalize() call (driver-side, for
+# bench attribution; keys: cc, attach, merge).
+LAST_TIMINGS: dict[str, float] = {}
+
+
 def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
@@ -680,6 +707,9 @@ def canonicalize(
     mentions_with_comp: the input mentions plus their component id, used by
     the edge-resolution join (stages/edges.py).
     """
+    import time as _time
+
+    t0 = _time.monotonic()
     pairs = mentions.map_batches(_with_registry(mention_keys), batch_format="pyarrow")
     labels = connected_components(
         pairs,
@@ -687,6 +717,9 @@ def canonicalize(
         max_rounds=max_rounds,
         driver_threshold=cc_driver_threshold,
     )
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS["cc"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     # Materialize the small intermediates: both are consumed by more than one
     # downstream stage (node write + alias-map join), and keeping several
     # hash-shuffle operators inside one lazy DAG both recomputes the branch
@@ -695,6 +728,8 @@ def canonicalize(
     with_comp = attach_components(
         mentions, labels, num_partitions=num_partitions
     ).materialize()
+    LAST_TIMINGS["attach"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     # The identity rebatch after map_groups is load-bearing: map_groups emits
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
@@ -702,4 +737,5 @@ def canonicalize(
         with_comp, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,
     ).materialize()
+    LAST_TIMINGS["merge"] = round(_time.monotonic() - t0, 3)
     return nodes, with_comp
