@@ -144,6 +144,7 @@ def lookup_join(
     how: str = "inner",
     rename: dict[str, str] | None = None,
     right_schema: pa.Schema | None = None,
+    exclude_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Broadcast join of a Dataset against a small unique-keyed Arrow table.
 
@@ -163,8 +164,17 @@ def lookup_join(
         sample = right
     else:
         right_refs = list(right)
-        if right_refs:
-            sample = ray.get(right_refs[0])
+        # schema sample: first block WITH COLUMNS — materialized datasets can
+        # carry zero-column empty placeholder blocks (pa.table({})) that would
+        # silently empty payload_cols and make the join a no-op
+        sample = None
+        for _r in right_refs:
+            _s = ray.get(_r)
+            if _s.num_columns > 0:
+                sample = _s
+                break
+        if sample is not None:
+            pass
         elif right_schema is not None:
             # empty refs would otherwise lose the right-side schema and
             # silently drop payload columns from a left join
@@ -172,8 +182,9 @@ def lookup_join(
         else:
             sample = pa.table({})
     ren = dict(rename or {})
+    skip = set(exclude_cols or ())
     payload_cols = [c for c in sample.column_names
-                    if c not in right_keys and c != PREHASH_COL]
+                    if c not in right_keys and c != PREHASH_COL and c not in skip]
     rk = list(right_keys)
     lk = list(left_keys)
 

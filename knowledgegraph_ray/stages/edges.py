@@ -48,6 +48,52 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
+def _hash2_cols(table: pa.Table, keys: list[str]):
+    """Independent second composite hash (variant-1 family) — paired with
+    PREHASH_COL it forms a 128-bit row key (collision needs both)."""
+    import numpy as np
+
+    from ..functions.hashing import hash_string_array, mix64
+
+    out = None
+    for k in keys:
+        col = table.column(k)
+        h = hash_string_array(col, 1)
+        out = h if out is None else mix64(out * np.uint64(0xFF51AFD7ED558CCD) ^ h)
+    return out
+
+
+def _loser_mids_task_fn(refs: list):
+    """Cross-block duplicate resolution over (h1, h2, mid) projections: rows
+    sharing a 128-bit (url, surface) hash keep only the max mid (the
+    reference dict's last-write-wins).  Returns the int64 mids to DROP —
+    empty in the common case (explode_mentions emits one row per
+    (url, surface)), so callers skip the filter pass entirely."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ..functions.joins import PREHASH_COL
+
+    tables = [
+        t.select([PREHASH_COL, "h2", "mid"])
+        for t in _ray.get(list(refs))
+        if t.num_rows
+    ]
+    if not tables:
+        return np.array([], dtype=np.int64)
+    t = pa.concat_tables(tables).combine_chunks()
+    h1 = t.column(PREHASH_COL).to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    mid = t.column("mid").to_numpy(zero_copy_only=False)
+    # lexsort by (h1, h2, mid): within each 128-bit key run, the LAST row has
+    # the max mid and wins; all earlier rows are losers
+    order = np.lexsort((mid, h2, h1))
+    h1s, h2s, mids = h1[order], h2[order], mid[order]
+    run_end = np.r_[(h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]), True]
+    return mids[~run_end]
+
+
 def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                     num_partitions: int = 16) -> rd.Dataset:
     """(url, surface) → (canonical name, entity type) lookup.
@@ -57,9 +103,14 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
     Later mentions overwrite earlier ones for the same surface in a document
     (python dict assignment order) — we keep the max-mid row.
 
-    Fully vectorized: one range sort + per-block run-boundary scan (equal
-    keys are colocated by the sort) + a broadcast comp→(name, type) lookup;
-    no hash aggregate, no per-group Python."""
+    NO global sort: a (url, surface) pair nearly always occurs exactly once
+    (explode_mentions emits one mention row per entity per document), so the
+    range sort this stage used to run moved every row to establish an order
+    nothing needed.  Instead: per-block last-wins (vectorized in-block
+    sort + run scan), then ONE zero-CPU task over a 20-byte/row (h1, h2, mid)
+    projection finds cross-block duplicates by 128-bit key hash; only when
+    duplicates exist (rare) does a broadcast anti-filter drop the losers.
+    Correct under any block layout — no colocation assumption."""
     import numpy as np
 
     import ray
@@ -77,14 +128,7 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         )
     )
 
-    # Sort on the group keys ONLY: range partitioning colocates equal sort
-    # keys, but including mid could split one (url, surface) run across
-    # partitions at a mid boundary; mid order is restored in-block below.
-    s = mentions_with_comp.select_columns(
-        ["url", "entity_name", "mid", "comp"]
-    ).sort(["url", "entity_name"])
-
-    def last_per_run(block: pa.Table) -> pa.Table:
+    def last_per_block(block: pa.Table) -> pa.Table:
         from ..functions.hashing import hash_key_columns
         from ..functions.joins import PREHASH_COL
 
@@ -96,11 +140,12 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                 ("canonical", pa.string()),
                 ("entity_type", pa.string()),
                 (PREHASH_COL, pa.uint64()),
+                ("h2", pa.uint64()),
+                ("mid", pa.int64()),
             ]
         )
         if n == 0:
             return out_schema.empty_table()
-        # partition-sort orders by (url, entity_name); add mid for last-wins
         order = pc.sort_indices(
             block,
             sort_keys=[("url", "ascending"), ("entity_name", "ascending"),
@@ -127,9 +172,34 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         # precompute the lookup-join key hash here, in parallel, so the
         # one-shot index build only argsorts (PREHASH_COL protocol)
         kh = hash_key_columns(out, ["url", "surface"])
-        return out.append_column(PREHASH_COL, pa.array(kh, pa.uint64())).cast(out_schema)
+        out = out.append_column(PREHASH_COL, pa.array(kh, pa.uint64()))
+        out = out.append_column(
+            "h2", pa.array(_hash2_cols(out, ["url", "surface"]), pa.uint64())
+        )
+        out = out.append_column("mid", picked.column("mid"))
+        return out.cast(out_schema)
 
-    return s.map_batches(last_per_run, batch_format="pyarrow", batch_size=None)
+    partial = mentions_with_comp.select_columns(
+        ["url", "entity_name", "mid", "comp"]
+    ).map_batches(last_per_block, batch_format="pyarrow").materialize()
+
+    # One zero-CPU task scans the block refs (zero-copy plasma reads,
+    # column-projected inside the task) for cross-block duplicates.
+    loser_mids = ray.get(
+        ray.remote(num_cpus=0)(_loser_mids_task_fn).remote(partial.to_arrow_refs())
+    )
+    if len(loser_mids):
+        loser_set = pa.array(loser_mids, pa.int64())
+        partial = partial.map_batches(
+            lambda t, _l=loser_set: t.filter(
+                pc.invert(pc.is_in(t.column("mid"), value_set=_l))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    # NOTE: the helper columns (h2, mid) ride along — the lookup-join probes
+    # exclude them (exclude_cols) and the shuffle fallback drops them, so the
+    # alias map is materialized exactly once on the common path.
+    return partial
 
 
 def resolve_triples(
@@ -154,19 +224,23 @@ def resolve_triples(
             left_keys=["url", "source_entity"], right_keys=["url", "surface"],
             how="inner",
             rename={"canonical": "canonical_src", "entity_type": "src_type"},
+            exclude_cols=["h2", "mid"],
         )
         t = lookup_join(
             t, alias_map,
             left_keys=["url", "target_entity"], right_keys=["url", "surface"],
             how="inner",
             rename={"canonical": "canonical_dst", "entity_type": "dst_type"},
+            exclude_cols=["h2", "mid"],
         )
         return t
     from ..functions.joins import PREHASH_COL
 
     sch = alias_map.schema()
-    if sch is not None and PREHASH_COL in sch.names:
-        alias_map = alias_map.drop_columns([PREHASH_COL])
+    drop = [c for c in (PREHASH_COL, "h2", "mid")
+            if sch is not None and c in sch.names]
+    if drop:
+        alias_map = alias_map.drop_columns(drop)
     src_map = alias_map.rename_columns(
         {"surface": "source_entity", "canonical": "canonical_src",
          "entity_type": "src_type"}

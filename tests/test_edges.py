@@ -122,3 +122,28 @@ def test_endpoints_rewritten_to_canonical_names():
     assert edges[0]["src"] == "Sarah Jones"  # canonical (first-seen) name
     assert edges[0]["src_type"] == "Person"
     assert edges[0]["dst_type"] == "Organization"
+
+
+def test_alias_map_cross_block_duplicate_last_wins():
+    """Same (url, surface) in two different blocks → the max-mid mention's
+    canonical wins (the reference dict's last-write-wins,
+    systematic_merge_provider.py:444-459), resolved without a global sort."""
+    from knowledgegraph_ray.stages.edges import build_alias_map
+
+    a = _mentions([
+        {"mid": 0, "url": "d1", "name": "X", "attrs": {"name": "P1"}},
+        # earlier mention anchoring the winning component's canonical name
+        {"mid": 10, "url": "d2", "name": "P2 Canonical", "attrs": {"name": "P2"}},
+    ])
+    b = _mentions([
+        {"mid": 50, "url": "d1", "name": "X", "attrs": {"name": "P2"}},
+    ])
+    mentions = rd.from_arrow(a).union(rd.from_arrow(b))
+    nodes, with_comp = canonicalize(mentions, num_partitions=2)
+    alias = build_alias_map(with_comp, nodes, num_partitions=2)
+    rows = {(r["url"], r["surface"]): r["canonical"] for r in alias.take_all()}
+    assert len(rows) == 2
+    # mid 50 beats mid 0: (d1, X) maps into the P2 component, whose
+    # canonical name comes from its min-mid mention's surface
+    assert rows[("d1", "X")] == "P2 Canonical"
+    assert rows[("d2", "P2 Canonical")] == "P2 Canonical"
