@@ -238,6 +238,50 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_minutes=30)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each event picks the latest order (same customer,
+    o_orderdate <= event ts; date ties broken by max o_orderkey).  Left
+    semantics — events with no prior order keep nulls."""
+    from ..stages.temporal import asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "o_price_cents").select(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_price_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_price_cents"],
+        right_order="o_orderkey",
+    )
+    return joined.select_columns(["event_id", "user_id", "o_orderkey", "o_price_cents"])
+
+
+def q_range_join(sf_dir: str):
+    """Bounded-lookahead self range join: event pairs per user within 60
+    minutes (strictly after)."""
+    from ..stages.temporal import range_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return range_join(
+        events, key="user_id", ts="ts", id_col="event_id", width_us=60 * 60 * 1_000_000
+    )
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -440,6 +484,27 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM e GROUP BY user_id
     """,
+    "q_asof_join": """
+        SELECT e.event_id, e.user_id, m.o_orderkey, m.o_price_cents
+        FROM events e
+        LEFT JOIN (
+          SELECT e2.event_id AS eid, o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_price_cents,
+                 row_number() OVER (
+                   PARTITION BY e2.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                 ) AS rn
+          FROM events e2
+          JOIN orders o ON e2.user_id = o.o_custkey AND o.o_orderdate <= e2.ts
+        ) m ON m.eid = e.event_id AND m.rn = 1
+    """,
+    "q_range_join": """
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a
+        JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts
+                     AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
@@ -492,6 +557,8 @@ QUERIES = {
     "q_lineitem_agg": q_lineitem_agg,
     "q_events_hourly": q_events_hourly,
     "q_sessionize": q_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,

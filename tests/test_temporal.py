@@ -1,0 +1,149 @@
+"""Unit tests for the temporal join operators (stages/temporal.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.temporal import asof_join, range_join
+
+US = 1_000_000
+
+
+def _ts(sec: int) -> int:
+    return sec * US
+
+
+def _events(rows, num_blocks=1):
+    t = pa.Table.from_pylist(
+        [
+            {"event_id": r[0], "user_id": r[1], "ts": _ts(r[2])}
+            for r in rows
+        ],
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us"))]
+        ),
+    )
+    ds = rd.from_arrow(t)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+def _orders(rows):
+    return rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"o_custkey": r[0], "o_orderdate": _ts(r[1]), "o_orderkey": r[2],
+                 "o_price_cents": r[3]}
+                for r in rows
+            ],
+            schema=pa.schema(
+                [("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+                 ("o_orderkey", pa.int64()), ("o_price_cents", pa.int64())]
+            ),
+        )
+    )
+
+
+def _asof_rows(left, right):
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_price_cents"], right_order="o_orderkey",
+    )
+    return {r["event_id"]: (r["o_orderkey"], r["o_price_cents"])
+            for r in out.take_all()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_basic_latest_at_or_before():
+    left = _events([(1, 7, 100), (2, 7, 250), (3, 7, 50)])
+    right = _orders([(7, 100, 11, 1000), (7, 200, 12, 2000), (7, 300, 13, 3000)])
+    got = _asof_rows(left, right)
+    # event 1 at t=100: order at exactly t=100 qualifies (inclusive)
+    assert got[1] == (11, 1000)
+    # event 2 at t=250: latest <= 250 is t=200
+    assert got[2] == (12, 2000)
+    # event 3 at t=50: nothing at or before → nulls
+    assert got[3] == (None, None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_tie_on_right_ts_takes_max_order():
+    left = _events([(1, 7, 500)])
+    right = _orders([(7, 400, 21, 100), (7, 400, 23, 300), (7, 400, 22, 200)])
+    got = _asof_rows(left, right)
+    assert got[1] == (23, 300)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_key_isolation_across_runs():
+    """A left row must never pick up a right row from a different key, even
+    though the fill accumulator runs globally across key runs."""
+    left = _events([(1, 1, 100), (2, 2, 100)])
+    right = _orders([(1, 50, 31, 111)])  # only user 1 has history
+    got = _asof_rows(left, right)
+    assert got[1] == (31, 111)
+    assert got[2] == (None, None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_multiblock_matches_singleblock():
+    rng = np.random.default_rng(7)
+    left = [(i, int(rng.integers(0, 5)), int(rng.integers(0, 1000))) for i in range(200)]
+    right = [(k, int(rng.integers(0, 1000)), 1000 + j, j)
+             for j, k in enumerate(rng.integers(0, 5, size=80).tolist())]
+    a = _asof_rows(_events(left), _orders(right))
+    b = _asof_rows(_events(left, num_blocks=7), _orders(right))
+    assert a == b
+    assert len(a) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_bounds_and_strictness():
+    ds = _events([
+        (1, 7, 0), (2, 7, 0),      # equal ts: never pair (strict >)
+        (3, 7, 30), (4, 7, 60),    # within 60s of event 1/2/3 chains
+        (5, 7, 121),               # 121 > 60+60 → only pairs with 4? 121-60=61 > 60 → none
+    ])
+    out = range_join(ds, key="user_id", ts="ts", id_col="event_id", width_us=60 * US)
+    pairs = {(r["id_a"], r["id_b"]): r["gap_us"] for r in out.take_all()}
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+    assert pairs[(1, 3)] == 30 * US and pairs[(2, 3)] == 30 * US
+    assert pairs[(1, 4)] == 60 * US  # boundary inclusive
+    assert (3, 5) not in pairs  # 91s gap > 60s
+    assert set(pairs) == {(1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_runs_with_restarting_timestamps():
+    """Key runs restart at lower timestamps — the global searchsorted must
+    not leak matches across keys (monotonized-shift correctness)."""
+    ds = _events([
+        (1, 1, 1000), (2, 1, 1010),
+        (3, 2, 5), (4, 2, 15),      # ts restarts far below key 1's run
+    ])
+    out = range_join(ds, key="user_id", ts="ts", id_col="event_id", width_us=60 * US)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.take_all()}
+    assert pairs == {(1, 2), (3, 4)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_bruteforce_multiblock():
+    rng = np.random.default_rng(11)
+    rows = [(i, int(rng.integers(0, 4)), int(rng.integers(0, 500)))
+            for i in range(150)]
+    # make ids with equal (user, ts) possible to exercise determinism
+    out = range_join(
+        _events(rows, num_blocks=5), key="user_id", ts="ts",
+        id_col="event_id", width_us=40 * US,
+    )
+    got = {(r["id_a"], r["id_b"], r["gap_us"]) for r in out.take_all()}
+    want = set()
+    for (ia, ua, ta) in rows:
+        for (ib, ub, tb) in rows:
+            if ua == ub and _ts(tb) > _ts(ta) and _ts(tb) <= _ts(ta) + 40 * US:
+                want.add((ia, ib, _ts(tb) - _ts(ta)))
+    assert got == want
