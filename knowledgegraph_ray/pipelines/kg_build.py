@@ -364,7 +364,7 @@ def run_graph_build(
     num_partitions: int = 16,
     max_rounds: int = 8,
     output_partitions: int = 4,
-    cc_driver_threshold: int = 32_000_000,
+    cc_driver_threshold: int = 3_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
     embed_concurrency: int = 2,
@@ -462,7 +462,7 @@ def kg_build(
     wave_size: int = 64,
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
-    cc_driver_threshold: int = 32_000_000,
+    cc_driver_threshold: int = 3_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
 ) -> KGBuildResult:

@@ -282,6 +282,43 @@ def q_range_join(sf_dir: str):
     )
 
 
+def q_rolling_sum(sf_dir: str):
+    """SQL RANGE-frame rolling sum: per event, the sum of value-cents over
+    the same user's events in the trailing 60 minutes (inclusive)."""
+    from ..stages.windows import rolling_range_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").select(
+            ["event_id", "user_id", "ts", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return rolling_range_sum(
+        ds, key_col="user_id", ts_col="ts", value_col="value_cents",
+        id_col="event_id", width_us=60 * 60 * 1_000_000,
+    )
+
+
+def q_top3_orders(sf_dir: str):
+    """Top-3 orders per customer by price (row_number window ≤ 3)."""
+    from ..stages.windows import topn_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents").select(
+            ["o_custkey", "o_orderkey", "price_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return topn_per_group(
+        ds, key_col="o_custkey", order_col="price_cents", n=3,
+        descending=True, tiebreak_col="o_orderkey",
+    )
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -505,6 +542,26 @@ ORACLE_SQL: dict[str, str] = {
         JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts
                      AND b.ts <= a.ts + INTERVAL 60 MINUTE
     """,
+    "q_rolling_sum": """
+        SELECT event_id,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_sum
+        FROM events
+    """,
+    "q_top3_orders": """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                            o_orderkey ASC
+                 ) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
@@ -559,6 +616,8 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_rolling_sum": q_rolling_sum,
+    "q_top3_orders": q_top3_orders,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,

@@ -357,7 +357,7 @@ def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    driver_threshold: int = 32_000_000,
+    driver_threshold: int = 3_000_000,
     edge_driver_threshold: int = 50_000_000,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
@@ -374,15 +374,14 @@ def connected_components(
     Pair sets at or below ``driver_threshold`` rows short-circuit to a
     single-task vectorized union-find (identical labels — comp = min mid of
     the component — with no shuffle rounds); pass 0 to force the distributed
-    path.  The threshold is sized like a broadcast-join cap: 32M pairs is
-    ~768 MB in one worker task, far under a node's heap.  Measured (real
-    1.17M-pair workload, this host): single task 1.5-4 s warm vs the
-    distributed path's 14 s warm — the distributed level-0 contraction
-    barely shrinks the claim set (a mention's keys scatter across key-hash
-    partitions, so claims ≈ pairs) and its final merge task does the same
-    work the single task would, after paying a full shuffle.  The
-    distributed path remains the scale story for >32M pairs, where the
-    shuffle amortizes and one task's heap no longer fits the pair set."""
+    path.  The threshold sits between two measurements on this host: at
+    1.17M pairs the single task wins (1.5-4 s vs the distributed path's
+    14 s — level-0 contraction barely shrinks the claim set, so the final
+    merge does the same work after paying a full shuffle), but at 5.8M
+    pairs the single serial task is memory-latency-bound and bimodal
+    (79-202 s observed) while the distributed path holds ~39 s and, unlike
+    the serial task, still gains from added CPUs.  Above the threshold the
+    parallel sort+contract path is both faster and the scale story."""
     pairs_mat = pairs.materialize()
     n_pairs = pairs_mat.count()
     if n_pairs == 0:
@@ -695,7 +694,7 @@ def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    cc_driver_threshold: int = 32_000_000,
+    cc_driver_threshold: int = 3_000_000,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 

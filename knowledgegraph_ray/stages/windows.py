@@ -82,3 +82,110 @@ def sessionize(
         )
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def rolling_range_sum(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    width_us: int,
+) -> rd.Dataset:
+    """SQL RANGE-frame rolling sum: per row, the sum of ``value_col`` over
+    rows with the same key and timestamp in ``[ts - width_us, ts]`` —
+    inclusive both ends, so equal-timestamp peers are always included
+    regardless of any secondary order (exactly DuckDB's
+    ``RANGE BETWEEN <width> PRECEDING AND CURRENT ROW``).
+
+    Output: (id_col, roll_sum) with int64 sums (canonicalize values to int
+    before calling — float accumulation order would be nondeterministic).
+
+    Shape: key-only range sort (key runs colocate), then per block an
+    in-block C sort, a prefix sum, and two searchsorted calls over per-run
+    monotonized timestamps (the same shift trick as stages/temporal.py — a
+    ``-width`` query can never reach the previous key's run)."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("roll_sum", pa.int64())])
+    s = events.select_columns([key_col, ts_col, value_col, id_col]).sort([key_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        k = block.column(key_col).to_numpy(zero_copy_only=False)
+        t = pc.cast(block.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(block.column(value_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ids = pc.cast(block.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, k))
+        ks, tss, vs, idss = k[order], t[order], v[order], ids[order]
+        run_start = np.r_[True, ks[1:] != ks[:-1]]
+        run_id = np.cumsum(run_start) - 1
+        starts_idx = np.flatnonzero(run_start)
+        run_ends = np.r_[starts_idx[1:], n]
+        rel = tss - tss.min()
+        run_min = rel[starts_idx]
+        run_max = rel[run_ends - 1]
+        shift = np.zeros(len(starts_idx), dtype=np.int64)
+        if len(starts_idx) > 1:
+            delta = np.maximum(run_max[:-1] - run_min[1:] + width_us + 1, 0)
+            shift[1:] = np.cumsum(delta)
+        adj = rel + shift[run_id]
+        psum = np.concatenate([[0], np.cumsum(vs)])
+        lo = np.searchsorted(adj, adj - width_us, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(idss, pa.int64()),
+                "roll_sum": pa.array(psum[hi] - psum[lo], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def topn_per_group(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> rd.Dataset:
+    """Top-``n`` rows per key by ``order_col`` (``tiebreak_col`` ascending
+    breaks order ties deterministically — required when order_col admits
+    duplicates).  Emits the input columns plus an int64 ``rn`` rank (1-based),
+    exactly SQL ``row_number() OVER (PARTITION BY key ORDER BY ...)`` ≤ n.
+
+    Key-only range sort for colocation; rank is a vectorized
+    position-minus-run-start inside each block.  The per-block output is at
+    most n rows per key, so downstream stages see |keys| × n rows."""
+    import pyarrow.compute as pc
+
+    s = ds.sort([key_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        m = block.num_rows
+        if m == 0:
+            return block.append_column("rn", pa.array([], pa.int64()))
+        block = block.combine_chunks()
+        keys = [(key_col, "ascending"),
+                (order_col, "descending" if descending else "ascending")]
+        if tiebreak_col is not None:
+            keys.append((tiebreak_col, "ascending"))
+        order = pc.sort_indices(block, sort_keys=keys)
+        block = block.take(order)
+        k = block.column(key_col).to_numpy(zero_copy_only=False)
+        run_start = np.r_[True, k[1:] != k[:-1]]
+        starts_idx = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        rank = np.arange(m, dtype=np.int64) - starts_idx[run_id] + 1
+        out = block.append_column("rn", pa.array(rank, pa.int64()))
+        return out.filter(pa.array(rank <= n))
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)

@@ -147,3 +147,88 @@ def test_range_join_matches_bruteforce_multiblock():
             if ua == ub and _ts(tb) > _ts(ta) and _ts(tb) <= _ts(ta) + 40 * US:
                 want.add((ia, ib, _ts(tb) - _ts(ta)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Window operators (stages/windows.py): rolling range sum, top-n per group
+# ---------------------------------------------------------------------------
+
+
+def _valued_events(rows, num_blocks=1):
+    t = pa.Table.from_pylist(
+        [
+            {"event_id": r[0], "user_id": r[1], "ts": _ts(r[2]), "v": r[3]}
+            for r in rows
+        ],
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us")), ("v", pa.int64())]
+        ),
+    )
+    ds = rd.from_arrow(t)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_sum_range_frame_includes_equal_ts_peers():
+    from knowledgegraph_ray.stages.windows import rolling_range_sum
+
+    ds = _valued_events([
+        (1, 7, 0, 10), (2, 7, 0, 20),   # equal ts: RANGE frame includes both
+        (3, 7, 30, 5),                   # covers t in [-30, 30] → all three
+        (4, 7, 100, 1),                  # covers [70, 100] → itself only
+    ])
+    out = rolling_range_sum(ds, key_col="user_id", ts_col="ts",
+                            value_col="v", id_col="event_id", width_us=30 * US)
+    got = {r["event_id"]: r["roll_sum"] for r in out.take_all()}
+    assert got == {1: 30, 2: 30, 3: 35, 4: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_sum_key_isolation_with_restarting_ts():
+    from knowledgegraph_ray.stages.windows import rolling_range_sum
+
+    ds = _valued_events([
+        (1, 1, 1000, 100), (2, 1, 1010, 1),
+        (3, 2, 1005, 7),    # inside user 1's window range but another key
+    ])
+    out = rolling_range_sum(ds, key_col="user_id", ts_col="ts",
+                            value_col="v", id_col="event_id", width_us=60 * US)
+    got = {r["event_id"]: r["roll_sum"] for r in out.take_all()}
+    assert got == {1: 100, 2: 101, 3: 7}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_sum_matches_bruteforce_multiblock():
+    from knowledgegraph_ray.stages.windows import rolling_range_sum
+
+    rng = np.random.default_rng(3)
+    rows = [(i, int(rng.integers(0, 4)), int(rng.integers(0, 300)),
+             int(rng.integers(-50, 50))) for i in range(120)]
+    out = rolling_range_sum(_valued_events(rows, num_blocks=5),
+                            key_col="user_id", ts_col="ts", value_col="v",
+                            id_col="event_id", width_us=25 * US)
+    got = {r["event_id"]: r["roll_sum"] for r in out.take_all()}
+    want = {}
+    for (i, u, t, v) in rows:
+        want[i] = sum(v2 for (_, u2, t2, v2) in rows
+                      if u2 == u and _ts(t) - 25 * US <= _ts(t2) <= _ts(t))
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topn_per_group_rank_and_ties():
+    from knowledgegraph_ray.stages.windows import topn_per_group
+
+    t = pa.Table.from_pylist([
+        {"k": 1, "score": 50, "oid": 3},
+        {"k": 1, "score": 70, "oid": 1},
+        {"k": 1, "score": 70, "oid": 2},   # tie on score: oid asc breaks it
+        {"k": 1, "score": 60, "oid": 4},
+        {"k": 2, "score": 10, "oid": 5},
+    ])
+    out = topn_per_group(rd.from_arrow(t).repartition(3), key_col="k",
+                         order_col="score", n=3, descending=True,
+                         tiebreak_col="oid")
+    rows = {(r["k"], r["rn"]): r["oid"] for r in out.take_all()}
+    assert rows == {(1, 1): 1, (1, 2): 2, (1, 3): 4, (2, 1): 5}
