@@ -319,6 +319,34 @@ def q_top3_orders(sf_dir: str):
     )
 
 
+def q_value_median(sf_dir: str):
+    """Exact per-type discrete median of event value-cents
+    (quantile_disc 0.5 semantics)."""
+    from ..stages.aggregates import grouped_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").select(
+            ["event_type", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_median(
+        ds, key_col="event_type", value_col="value_cents", out_col="median_cents"
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """Per-type distinct user count with map-side partial dedup."""
+    from ..stages.aggregates import grouped_count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_count_distinct(
+        ds, key_col="event_type", value_col="user_id", out_col="n_users"
+    )
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -562,6 +590,16 @@ ORACLE_SQL: dict[str, str] = {
           FROM orders
         ) WHERE rn <= 3
     """,
+    "q_value_median": """
+        SELECT event_type,
+               quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
+                 AS median_cents
+        FROM events GROUP BY event_type
+    """,
+    "q_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
@@ -618,6 +656,8 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_rolling_sum": q_rolling_sum,
     "q_top3_orders": q_top3_orders,
+    "q_value_median": q_value_median,
+    "q_distinct_users": q_distinct_users,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,

@@ -87,7 +87,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_semi_join", "q_anti_join", "q_lineitem_agg", "q_events_hourly",
     "q_token_count", "q_quality", "q_exact_dedup", "q_knn_top10",
     "q_neardup_pairs", "q_asof_join", "q_range_join", "q_rolling_sum",
-    "q_top3_orders",
+    "q_top3_orders", "q_value_median", "q_distinct_users",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
