@@ -406,6 +406,10 @@ def run_graph_build(
         stage_s[f"canon.{_k}"] = _v
     triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
     edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
+    from ..stages.edges import LAST_TIMINGS as _edge_t
+
+    for _k, _v in _edge_t.items():
+        stage_s[f"edges.{_k}"] = _v
 
     if embed:
         # schema.yaml:14 parity: every node/edge carries embedding FLOAT[dim]

@@ -143,6 +143,121 @@ def mention_keys(batch: pa.Table) -> pa.Table:
     )
 
 
+def _rule_fields_snapshot():
+    """(scalar_fields, list_fields) the registered match rules read, or None
+    when a field name is used both ways (fast decode not applicable)."""
+    from ..config.entity_schema import ENTITY_TYPES
+
+    scalars: set[str] = set()
+    lists_: set[str] = set()
+    for et in ENTITY_TYPES:
+        for r in match_rules_for(et):
+            scalars.add(r.match)
+            if r.rule != "exact" and r.db:
+                lists_.add(r.db)
+    if scalars & lists_:
+        return None
+    return sorted(scalars), sorted(lists_)
+
+
+def mention_keys_fast(batch: pa.Table) -> pa.Table:
+    """Vectorized mention_keys: ONE polars JSON decode (C, fixed struct
+    dtype over exactly the fields the match rules read) + Arrow kernels for
+    normalization, key concatenation and list explosion — no per-mention
+    Python.  Produces the same (kh, kl, mid) pair SET as mention_keys (row
+    order differs; CC is order-insensitive).
+
+    Falls back to the Python row path whenever the JSON shape defeats the
+    fixed dtype (list-valued scalar field, non-string values, malformed
+    JSON) — the reference's semantics for those shapes live there.  The
+    fallback is per batch, so one odd document only slows its own batch."""
+    import numpy as np
+
+    from ..functions.hashing import hash_string_array
+
+    fields = _rule_fields_snapshot()
+    if fields is None or batch.num_rows == 0:
+        return mention_keys(batch)
+    try:
+        import polars as pl
+    except ImportError:
+        return mention_keys(batch)
+    scalar_f, list_f = fields
+    aj = batch.column("attributes_json")
+    if isinstance(aj, pa.ChunkedArray):
+        aj = aj.combine_chunks()
+    aj = pc.fill_null(aj, "{}")
+    aj = pc.if_else(pc.equal(aj, ""), pa.scalar("{}"), aj)
+    dtype = pl.Struct(
+        {**{f: pl.Utf8 for f in scalar_f}, **{f: pl.List(pl.Utf8) for f in list_f}}
+    )
+    try:
+        dec = pl.Series("a", aj).str.json_decode(dtype).to_arrow()
+    except Exception:
+        return mention_keys(batch)
+    if isinstance(dec, pa.ChunkedArray):
+        dec = dec.combine_chunks()
+    et_col = batch.column("entity_type")
+    if isinstance(et_col, pa.ChunkedArray):
+        et_col = et_col.combine_chunks()
+    mids = batch.column("mid")
+    if isinstance(mids, pa.ChunkedArray):
+        mids = mids.combine_chunks()
+
+    key_parts: list[pa.Array] = []
+    mid_parts: list[pa.Array] = []
+
+    def emit(prefix: str, vals, vmids) -> None:
+        vals = pc.cast(vals, pa.string())
+        nv = pc.utf8_trim_whitespace(pc.utf8_lower(vals))
+        ok = pc.fill_null(
+            pc.and_kleene(pc.is_valid(nv), pc.not_equal(nv, "")), False
+        )
+        keys = pc.binary_join_element_wise(pa.scalar(prefix), nv.filter(ok), "")
+        if len(keys):
+            key_parts.append(pc.cast(keys, pa.string()))
+            mid_parts.append(vmids.filter(ok))
+
+    for et in pc.unique(et_col).to_pylist():
+        rules = match_rules_for(et)
+        if not rules:
+            continue
+        mask = pc.equal(et_col, et)
+        sub = dec.filter(mask)
+        sub_mids = mids.filter(mask)
+        for rule in rules:
+            if rule.rule == "exact":
+                emit(f"{et}{SEP}{rule.match}{SEP}", sub.field(rule.match), sub_mids)
+            else:
+                ns = f"{et}{SEP}{rule.db}{SEP}"
+                emit(ns, sub.field(rule.match), sub_mids)
+                lst = sub.field(rule.db)
+                emit(ns, pc.list_flatten(lst),
+                     sub_mids.take(pc.list_parent_indices(lst)))
+
+    if not key_parts:
+        return PAIR_SCHEMA.empty_table()
+
+    def _one(arrs):
+        arrs = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in arrs]
+        flat = []
+        for a in arrs:
+            flat.extend(a.chunks) if isinstance(a, pa.ChunkedArray) else flat.append(a)
+        return pa.concat_arrays(flat)
+
+    karr = _one(key_parts)
+    marr = _one(mid_parts)
+    return pa.Table.from_pydict(
+        {
+            "kh": pa.array(hash_string_array(karr, 0).astype(np.int64), pa.int64()),
+            "kl": pa.array(hash_string_array(karr, 1).astype(np.int64), pa.int64()),
+            "mid": pc.cast(marr, pa.int64()),
+        },
+        schema=PAIR_SCHEMA,
+    )
+
+
 def _batch_min_by(group_col: str, value_col: str, out_col: str):
     """Per-batch partial min — runs before the groupby shuffle so hub keys
     contribute at most one row per block to the exchange (skew mitigation)."""
@@ -769,7 +884,9 @@ def canonicalize(
     import time as _time
 
     t0 = _time.monotonic()
-    pairs = mentions.map_batches(_with_registry(mention_keys), batch_format="pyarrow")
+    pairs = mentions.map_batches(
+        _with_registry(mention_keys_fast), batch_format="pyarrow"
+    )
     labels = connected_components(
         pairs,
         num_partitions=num_partitions,

@@ -340,6 +340,12 @@ def merge_edge_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([merge_edge_row(group)], schema=EDGES_SCHEMA)
 
 
+# Sub-stage wall times of the last materialize_edges() call (driver-side,
+# for bench attribution; keys: alias, resolve — the grouped merge is lazy
+# and lands in the caller's edges wall).
+LAST_TIMINGS: dict[str, float] = {}
+
+
 def materialize_edges(
     triples: rd.Dataset,
     mentions_with_comp: rd.Dataset,
@@ -351,10 +357,16 @@ def materialize_edges(
     alias_map is materialized: it is probed twice (src and dst joins), and a
     sequential execution of the two hash joins avoids aggregator-actor-pool
     contention on small CPU counts.  Its size is O(distinct (url, surface)
-    pairs), far below the corpus."""
+    pairs), far below the corpus.  resolved is materialized for timing
+    attribution — the grouped merge's range sort is an all-to-all barrier
+    that materializes its input anyway, so this adds no extra pass."""
+    import time as _time
+
     from ..functions.joins import DEFAULT_BROADCAST_ROWS
     from .canonicalize import grouped_apply
 
+    LAST_TIMINGS.clear()
+    t0 = _time.monotonic()
     alias_ds = build_alias_map(mentions_with_comp, nodes, num_partitions).materialize()
     if alias_ds.count() <= DEFAULT_BROADCAST_ROWS:
         # broadcast by object refs: blocks stay in the object store, each
@@ -362,7 +374,10 @@ def materialize_edges(
         alias_map: "rd.Dataset | list" = alias_ds.to_arrow_refs()
     else:
         alias_map = alias_ds
-    resolved = resolve_triples(triples, alias_map, num_partitions)
+    LAST_TIMINGS["alias"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
+    resolved = resolve_triples(triples, alias_map, num_partitions).materialize()
+    LAST_TIMINGS["resolve"] = round(_time.monotonic() - t0, 3)
     return grouped_apply(
         resolved,
         ["canonical_src", "canonical_dst", "relationship_type"],

@@ -204,3 +204,73 @@ def test_connected_components_three_paths_agree():
     assert driver == expected
     assert twolevel == expected
     assert starloop == expected
+
+
+def test_mention_keys_fast_matches_python_path(ray_session):
+    """The vectorized pair generator must emit exactly the same
+    (kh, kl, mid) pair set as the per-row Python path, including list
+    fields, empties, whitespace, nulls and missing attributes."""
+    import json
+
+    import pyarrow as pa
+
+    from knowledgegraph_ray.stages.canonicalize import (
+        mention_keys,
+        mention_keys_fast,
+    )
+
+    rows = [
+        {"mid": 1, "entity_type": "Person",
+         "attributes_json": json.dumps({"name": "  Ada  ", "email": "A@x.io",
+                                        "aliases": ["Lady A", " ada "]})},
+        {"mid": 2, "entity_type": "Person",
+         "attributes_json": json.dumps({"name": "", "alias": "nick",
+                                        "emails": ["b@x.io", ""]})},
+        {"mid": 3, "entity_type": "Organization",
+         "attributes_json": json.dumps({"name": "Acme", "domain": "acme.io"})},
+        {"mid": 4, "entity_type": "Repository",
+         "attributes_json": json.dumps({"url": "https://g/x", "name": None})},
+        {"mid": 5, "entity_type": "Issue", "attributes_json": ""},
+        {"mid": 6, "entity_type": "Team", "attributes_json": None},
+        {"mid": 7, "entity_type": "Topic",
+         "attributes_json": json.dumps({"name": "Graphs", "aliases": []})},
+    ]
+    batch = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("mid", pa.int64()), ("entity_type", pa.string()),
+         ("attributes_json", pa.string())]))
+    slow = mention_keys(batch)
+    fast = mention_keys_fast(batch)
+    key = lambda t: sorted(zip(t.column("kh").to_pylist(),
+                               t.column("kl").to_pylist(),
+                               t.column("mid").to_pylist()))
+    assert key(slow) == key(fast)
+    assert len(key(slow)) > 0
+
+
+def test_mention_keys_fast_falls_back_on_odd_shapes(ray_session):
+    """List-valued scalar field / numeric values defeat the fixed decode
+    dtype; the fast path must return the Python path's answer, not raise."""
+    import json
+
+    import pyarrow as pa
+
+    from knowledgegraph_ray.stages.canonicalize import (
+        mention_keys,
+        mention_keys_fast,
+    )
+
+    rows = [
+        {"mid": 1, "entity_type": "Person",
+         "attributes_json": json.dumps({"name": ["ListName", "Second"]})},
+        {"mid": 2, "entity_type": "Issue",
+         "attributes_json": json.dumps({"id": 42, "name": "Issue 42"})},
+    ]
+    batch = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("mid", pa.int64()), ("entity_type", pa.string()),
+         ("attributes_json", pa.string())]))
+    slow = mention_keys(batch)
+    fast = mention_keys_fast(batch)
+    key = lambda t: sorted(zip(t.column("kh").to_pylist(),
+                               t.column("kl").to_pylist(),
+                               t.column("mid").to_pylist()))
+    assert key(slow) == key(fast)
