@@ -124,6 +124,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 
 def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
+    """KG build timed KGRAY_BENCH_RUNS times (default 3), median reported.
+
+    This host's first-touch page-fault rate is bimodal (BASELINE.md): identical
+    runs differ 2-5x. A single sample is a lottery; the median of three is the
+    honest point estimate. All runs share one Ray session (the workload clears
+    its own work dir, so runs are independent)."""
     import ray
 
     if not ray.is_initialized():
@@ -133,7 +139,10 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    kg = run_kg(SF_DIR, num_cpus)
+    n_runs = max(1, int(os.environ.get("KGRAY_BENCH_RUNS", "3")))
+    kgs = [run_kg(SF_DIR, num_cpus) for _ in range(n_runs)]
+    kgs.sort(key=lambda r: r["kg_wall_s"])
+    kg = kgs[len(kgs) // 2]  # median by wall
     queries = run_queries(SF_DIR) if with_queries else {}
     ray.shutdown()
     return {
@@ -143,6 +152,7 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
         "queries": queries,
         "sf": _sf_label(SF_DIR),
         "num_cpus": num_cpus,
+        "kg_runs_all_wall_s": [r["kg_wall_s"] for r in kgs],
         **kg,
     }
 
@@ -162,6 +172,9 @@ def main_scaling() -> dict:
             RAY_GRAFT_CPUS=str(n),
             PYTHONPATH="/root/repo",
             KGRAY_PAGES_PER_DOC=scaling_ppd,
+            # one KG run per scaling child: the efficiency ratio comes from a
+            # campaign of interleaved --scaling invocations, medianed outside
+            KGRAY_BENCH_RUNS=os.environ.get("KGRAY_SCALING_RUNS_PER_CHILD", "1"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(n)],
