@@ -354,6 +354,15 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_bpe_tokens(sf_dir: str):
+    from ..stages.textops import add_bpe_token_count
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_bpe_token_count(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_quality(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_quality_score(b).select(["doc_id", "n_tokens", "n_punct", "quality_score"]),
@@ -603,6 +612,14 @@ ORACLE_SQL: dict[str, str] = {
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
+    # same RE2 engine on both sides — counts agree exactly (incl. unicode)
+    "q_bpe_tokens": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               )) AS n_bpe_tokens
+        FROM documents
+    """,
     "q_quality": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
@@ -659,6 +676,7 @@ QUERIES = {
     "q_value_median": q_value_median,
     "q_distinct_users": q_distinct_users,
     "q_token_count": q_token_count,
+    "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
     "q_knn_top10": q_knn_top10,

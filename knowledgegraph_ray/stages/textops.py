@@ -33,6 +33,20 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(pc.list_value_length(toks), pa.int64()))
 
 
+# GPT-2-style pretokenizer pattern (BPE-ish), RE2-compatible (no lookahead —
+# pyarrow and DuckDB both run RE2, so counts agree bit-for-bit).
+BPE_TOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_bpe_tokens per row: non-overlapping matches of the GPT-2-style
+    pretokenizer regex (contractions, letter runs, digit runs, punct runs,
+    whitespace) — the standard proxy for BPE token cost without a merges
+    table.  == DuckDB len(regexp_extract_all(text, pattern))."""
+    n = pc.count_substring_regex(batch.column(text_col), pattern=BPE_TOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def add_punct_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = pc.count_substring_regex(batch.column(text_col), pattern=_PUNCT_RE)
     return batch.append_column("n_punct", pc.cast(n, pa.int64()))
