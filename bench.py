@@ -132,6 +132,12 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
     its own work dir, so runs are independent)."""
     import ray
 
+    # Pin library thread pools to the simulated cluster size BEFORE ray.init:
+    # workers inherit the env at spawn, before polars' import-time pool sizing
+    # (the in-task setdefault is a no-op once polars is imported). Without
+    # this an "8-cpu" run borrows all machine cores inside zero-CPU kernel
+    # tasks and the two-parallelism scaling measurement is dishonest.
+    os.environ["POLARS_MAX_THREADS"] = str(num_cpus)
     if not ray.is_initialized():
         ray.init(
             address="local",
