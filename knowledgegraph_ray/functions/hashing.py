@@ -171,3 +171,18 @@ def hash_key_columns(table: pa.Table, keys: list[str]) -> np.ndarray:
         out = h if out is None else mix64(out * np.uint64(0x9E3779B97F4A7C15) ^ h)
     assert out is not None
     return out
+
+
+def hash2_key_columns(table: pa.Table, keys: list[str]) -> np.ndarray:
+    """Independent second composite row hash (variant-1 family).  Paired with
+    hash_key_columns it forms a 128-bit row key: a cross-row collision needs
+    both polynomial families to collide (~1e-19 at 10^10 rows)."""
+    out: np.ndarray | None = None
+    for k in keys:
+        col = table.column(k)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        h = hash_string_array(col, 1)
+        out = h if out is None else mix64(out * np.uint64(0xFF51AFD7ED558CCD) ^ h)
+    assert out is not None
+    return out

@@ -826,6 +826,7 @@ def grouped_apply(
     row_fn,
     schema: pa.Schema,
     num_partitions: int = 16,
+    hash_sort: bool = False,
 ) -> rd.Dataset:
     """Hash-partitioned grouped apply emitting ONE block per partition.
 
@@ -835,13 +836,40 @@ def grouped_apply(
     hash-repartitioned on the keys (equal keys provably colocate) and sorted
     within each partition, group runs are found with a vectorized
     adjacent-difference scan, the per-group reducer returns a plain dict, and
-    each partition becomes exactly one output table."""
+    each partition becomes exactly one output table.
+
+    ``hash_sort=True`` sorts by a 128-bit composite key hash (two int64
+    columns) instead of the raw key columns: the range sort compares 16
+    fixed bytes per row instead of several variable-length strings, and the
+    run scan reads uint64 arrays zero-copy instead of materializing Python
+    string objects.  Two groups merge only if BOTH independent polynomial
+    hash families collide (~1e-19 at 10^10 groups) — the collision model the
+    CC pair keys and the alias map already accept."""
     import numpy as np
 
     # NOTE: ds.sort range-partitions with equal keys colocated (ties cannot
     # straddle a boundary); key-hash repartition would be preferable but
     # requires the global HASH_SHUFFLE strategy in Ray 2.49.
-    s = ds.sort(keys)
+    if hash_sort:
+        from ..functions.hashing import hash2_key_columns, hash_key_columns
+
+        def add_gh(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(
+                    "_gh1", pa.array([], pa.uint64())
+                ).append_column("_gh2", pa.array([], pa.uint64()))
+            t = t.combine_chunks()
+            return t.append_column(
+                "_gh1", pa.array(hash_key_columns(t, keys), pa.uint64())
+            ).append_column(
+                "_gh2", pa.array(hash2_key_columns(t, keys), pa.uint64())
+            )
+
+        s = ds.map_batches(add_gh, batch_format="pyarrow").sort(["_gh1", "_gh2"])
+        run_cols = ["_gh1", "_gh2"]
+    else:
+        s = ds.sort(keys)
+        run_cols = keys
 
     def apply_block(block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -849,9 +877,11 @@ def grouped_apply(
             return schema.empty_table()
         change = np.zeros(n, dtype=bool)
         change[0] = True
-        for k in keys:
+        for k in run_cols:
             col = block.column(k).to_numpy(zero_copy_only=False)
             change[1:] |= col[1:] != col[:-1]
+        if hash_sort:
+            block = block.drop_columns(["_gh1", "_gh2"])
         idx = np.flatnonzero(change).tolist()
         idx.append(n)
         rows = [

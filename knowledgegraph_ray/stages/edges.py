@@ -48,19 +48,7 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
-def _hash2_cols(table: pa.Table, keys: list[str]):
-    """Independent second composite hash (variant-1 family) — paired with
-    PREHASH_COL it forms a 128-bit row key (collision needs both)."""
-    import numpy as np
-
-    from ..functions.hashing import hash_string_array, mix64
-
-    out = None
-    for k in keys:
-        col = table.column(k)
-        h = hash_string_array(col, 1)
-        out = h if out is None else mix64(out * np.uint64(0xFF51AFD7ED558CCD) ^ h)
-    return out
+from ..functions.hashing import hash2_key_columns as _hash2_cols
 
 
 def _loser_mids_task_fn(refs: list):
@@ -146,17 +134,25 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         )
         if n == 0:
             return out_schema.empty_table()
-        order = pc.sort_indices(
-            block,
-            sort_keys=[("url", "ascending"), ("entity_name", "ascending"),
-                       ("mid", "ascending")],
+        if isinstance(block, pa.Table):
+            block = block.combine_chunks()
+        # last-wins per 128-bit (url, surface) hash via int lexsort — no
+        # 3-string-key Arrow sort, no per-row string objects.  Hash identity
+        # is exactly what the cross-block loser scan already uses, so in-block
+        # and cross-block dedup share one collision model (two independent
+        # polynomial families must both collide).
+        keyed = pa.Table.from_pydict(
+            {"url": block.column("url"), "surface": block.column("entity_name")}
         )
-        block = block.take(order)
-        urls = block.column("url").to_numpy(zero_copy_only=False)
-        names = block.column("entity_name").to_numpy(zero_copy_only=False)
+        h1 = hash_key_columns(keyed, ["url", "surface"])
+        h2 = _hash2_cols(keyed, ["url", "surface"])
+        mids_np = block.column("mid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mids_np, h2, h1))
+        h1s, h2s = h1[order], h2[order]
         last = np.ones(n, dtype=bool)
-        last[:-1] = (urls[1:] != urls[:-1]) | (names[1:] != names[:-1])
-        picked = block.filter(pa.array(last))
+        last[:-1] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        take_idx = order[last]
+        picked = block.take(pa.array(take_idx, pa.int64()))
         comp_ids, canon_names, canon_types = ray.get(canon_ref)
         idx = pc.index_in(
             picked.column("comp"), value_set=pa.array(comp_ids, pa.int64())
@@ -169,13 +165,10 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                 "entity_type": canon_types.take(idx),
             }
         )
-        # precompute the lookup-join key hash here, in parallel, so the
-        # one-shot index build only argsorts (PREHASH_COL protocol)
-        kh = hash_key_columns(out, ["url", "surface"])
-        out = out.append_column(PREHASH_COL, pa.array(kh, pa.uint64()))
-        out = out.append_column(
-            "h2", pa.array(_hash2_cols(out, ["url", "surface"]), pa.uint64())
-        )
+        # the lookup-join key hashes (PREHASH_COL protocol) are the same
+        # values just computed — reuse, no second hashing pass
+        out = out.append_column(PREHASH_COL, pa.array(h1[take_idx], pa.uint64()))
+        out = out.append_column("h2", pa.array(h2[take_idx], pa.uint64()))
         out = out.append_column("mid", picked.column("mid"))
         return out.cast(out_schema)
 
@@ -384,4 +377,7 @@ def materialize_edges(
         merge_edge_row,
         EDGES_SCHEMA,
         num_partitions=num_partitions,
+        # 16-byte int sort keys instead of three variable-length strings:
+        # the edge-merge range sort is the widest shuffle in the graph stage
+        hash_sort=True,
     )
