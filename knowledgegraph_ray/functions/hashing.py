@@ -79,7 +79,11 @@ def segment_hashes(bpow: np.ndarray, S: np.ndarray,
     return mix64(out)
 
 
-_HASH_CHUNK = 1 << 20  # string bytes per pass; prefix arrays are 8 B per byte
+# String bytes per pass.  Sized so the scratch set (7 arrays × 8 B/byte)
+# stays ~14 MB: on this host first-touch page faults run at 30-50 MB/s, and
+# a 1 MB chunk's 56 MB scratch cost 6-7 s of cold faults in EVERY worker
+# process (measured; warm throughput is identical at 256 KB).
+_HASH_CHUNK = 1 << 18
 _SCRATCH: dict[str, np.ndarray] = {}
 
 

@@ -160,6 +160,25 @@ def _rule_fields_snapshot():
     return sorted(scalars), sorted(lists_)
 
 
+def _key_pass_plan():
+    """Batched emission plan: one entry per distinct (field, namespace, kind)
+    triple across ALL entity types, with the set of types whose rules read it.
+    The dominant rule ('name' exact on every type) becomes ONE whole-batch
+    kernel pass instead of a pass per type — and no per-type copy of the
+    decoded struct column is ever made."""
+    from ..config.entity_schema import ENTITY_TYPES
+
+    plan: dict[tuple[str, str, bool], list[str]] = {}
+    for et in sorted(ENTITY_TYPES):
+        for r in match_rules_for(et):
+            if r.rule == "exact":
+                plan.setdefault((r.match, r.match, False), []).append(et)
+            else:
+                plan.setdefault((r.match, r.db, False), []).append(et)
+                plan.setdefault((r.db, r.db, True), []).append(et)
+    return [(f, ns, is_list, types) for (f, ns, is_list), types in plan.items()]
+
+
 def mention_keys_fast(batch: pa.Table) -> pa.Table:
     """Vectorized mention_keys: ONE polars JSON decode (C, fixed struct
     dtype over exactly the fields the match rules read) + Arrow kernels for
@@ -206,34 +225,33 @@ def mention_keys_fast(batch: pa.Table) -> pa.Table:
 
     key_parts: list[pa.Array] = []
     mid_parts: list[pa.Array] = []
+    batch_types = set(pc.unique(et_col).to_pylist())
 
-    def emit(prefix: str, vals, vmids) -> None:
-        vals = pc.cast(vals, pa.string())
+    for field, ns, is_list, types in _key_pass_plan():
+        if is_list:
+            lst = dec.field(field)
+            parent = pc.list_parent_indices(lst)
+            vals = pc.cast(pc.list_flatten(lst), pa.string())
+            ets = et_col.take(parent)
+            vmids = mids.take(parent)
+        else:
+            vals = pc.cast(dec.field(field), pa.string())
+            ets = et_col
+            vmids = mids
         nv = pc.utf8_trim_whitespace(pc.utf8_lower(vals))
-        ok = pc.fill_null(
-            pc.and_kleene(pc.is_valid(nv), pc.not_equal(nv, "")), False
+        ok = pc.and_kleene(pc.is_valid(nv), pc.not_equal(nv, ""))
+        if not batch_types <= set(types):
+            ok = pc.and_kleene(
+                ok, pc.is_in(ets, value_set=pa.array(types, pa.string()))
+            )
+        ok = pc.fill_null(ok, False)
+        ets_f = ets.filter(ok)
+        keys = pc.binary_join_element_wise(
+            ets_f, pa.scalar(ns), nv.filter(ok), SEP
         )
-        keys = pc.binary_join_element_wise(pa.scalar(prefix), nv.filter(ok), "")
         if len(keys):
             key_parts.append(pc.cast(keys, pa.string()))
             mid_parts.append(vmids.filter(ok))
-
-    for et in pc.unique(et_col).to_pylist():
-        rules = match_rules_for(et)
-        if not rules:
-            continue
-        mask = pc.equal(et_col, et)
-        sub = dec.filter(mask)
-        sub_mids = mids.filter(mask)
-        for rule in rules:
-            if rule.rule == "exact":
-                emit(f"{et}{SEP}{rule.match}{SEP}", sub.field(rule.match), sub_mids)
-            else:
-                ns = f"{et}{SEP}{rule.db}{SEP}"
-                emit(ns, sub.field(rule.match), sub_mids)
-                lst = sub.field(rule.db)
-                emit(ns, pc.list_flatten(lst),
-                     sub_mids.take(pc.list_parent_indices(lst)))
 
     if not key_parts:
         return PAIR_SCHEMA.empty_table()
@@ -532,6 +550,11 @@ def _merge_claims_task(refs: list) -> pa.Table:
     )
 
 
+# Sub-stage wall times of the last connected_components() call (driver-side
+# diagnostics; keys: pairs, contract, solve).
+CC_TIMINGS: dict[str, float] = {}
+
+
 def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
@@ -561,14 +584,22 @@ def connected_components(
     (79-202 s observed) while the distributed path holds ~39 s and, unlike
     the serial task, still gains from added CPUs.  Above the threshold the
     parallel sort+contract path is both faster and the scale story."""
+    import time as _time
+
+    t0 = _time.monotonic()
     pairs_mat = pairs.materialize()
     n_pairs = pairs_mat.count()
+    CC_TIMINGS.clear()
+    CC_TIMINGS["pairs"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
     if n_pairs == 0:
         return rd.from_arrow(
             pa.schema([("mid", pa.int64()), ("comp", pa.int64())]).empty_table()
         )
     if driver_threshold and n_pairs <= driver_threshold:
-        return _driver_union_find(pairs_mat)
+        out = _driver_union_find(pairs_mat)
+        CC_TIMINGS["solve"] = round(_time.monotonic() - t0, 3)
+        return out
 
     # Level 0 (distributed): range-sort by key colocates every key's
     # mentions; a per-block union-find contracts them into int64 claim edges
@@ -584,6 +615,8 @@ def connected_components(
         lambda t: t.filter(pc.not_equal(t.column("a"), t.column("b"))),
         batch_format="pyarrow",
     ).materialize()
+    CC_TIMINGS["contract"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
 
     if claims.count() <= edge_driver_threshold:
         # Level 1: merge the contracted claim edges — O(nodes) int pairs,
@@ -593,7 +626,9 @@ def connected_components(
         # everywhere) are their own comp; they are simply absent here and
         # attach_components fills comp = mid.
         refs = claims.to_arrow_refs()
-        return rd.from_arrow(ray.get(_merge_claims_task.remote(refs)))
+        out = rd.from_arrow(ray.get(_merge_claims_task.remote(refs)))
+        CC_TIMINGS["solve"] = round(_time.monotonic() - t0, 3)
+        return out
 
     # Fallback for residuals beyond driver memory: alternating star
     # contraction.  Fixpoint detection is exact and monotone: every round can
@@ -925,6 +960,8 @@ def canonicalize(
     )
     LAST_TIMINGS.clear()
     LAST_TIMINGS["cc"] = round(_time.monotonic() - t0, 3)
+    for _k, _v in CC_TIMINGS.items():
+        LAST_TIMINGS[f"cc.{_k}"] = _v
     t0 = _time.monotonic()
     # Materialize the small intermediates: both are consumed by more than one
     # downstream stage (node write + alias-map join), and keeping several

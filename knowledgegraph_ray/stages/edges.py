@@ -82,6 +82,85 @@ def _loser_mids_task_fn(refs: list):
     return mids[~run_end]
 
 
+# Above this many projection rows the cross-block dedup runs as a distributed
+# groupby instead of one in-process scan (20 B/row: 50M rows ≈ 1 GB).
+LOSER_SCAN_INLINE_ROWS = 50_000_000
+
+
+def _loser_mids_distributed(proj: rd.Dataset):
+    """Scale path for the cross-block duplicate scan: ONE groupby over the
+    20-byte/row (h1, h2, mid) projection finds keys with >1 row (rare by
+    construction), then a broadcast filter pass collects the non-max mids.
+    Linear shuffle of the projection only — never the alias payload."""
+    import numpy as np
+
+    import ray
+
+    from ..functions.joins import PREHASH_COL, _dataset_to_table
+
+    from ray.data.aggregate import Count, Max
+
+    def _view_i64(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.view(pa.int64())
+
+    def as_i64(b: pa.Table) -> pa.Table:
+        # bit-reinterpret the uint64 hashes: Ray's aggregate converts uint64
+        # above int64-max to pickled Python objects; equality (all the
+        # grouping needs) survives the view
+        return pa.Table.from_pydict(
+            {
+                PREHASH_COL: _view_i64(b.column(PREHASH_COL)),
+                "h2": _view_i64(b.column("h2")),
+                "mid": b.column("mid"),
+            }
+        )
+
+    proj = proj.map_batches(as_i64, batch_format="pyarrow")
+    agg = proj.groupby([PREHASH_COL, "h2"]).aggregate(
+        Max("mid", alias_name="max_mid"), Count(alias_name="n")
+    )
+    dup_tbl = _dataset_to_table(agg.filter(expr="n > 1").materialize())
+    if dup_tbl.num_rows == 0:
+        return np.array([], dtype=np.int64)
+    d1 = dup_tbl.column(PREHASH_COL).to_numpy(zero_copy_only=False)
+    d2 = dup_tbl.column("h2").to_numpy(zero_copy_only=False)
+    dmax = dup_tbl.column("max_mid").to_numpy(zero_copy_only=False)
+    ord_ = np.lexsort((d2, d1))
+    dup_ref = ray.put((d1[ord_], d2[ord_], dmax[ord_]))
+
+    def losers(b: pa.Table) -> pa.Table:
+        d1s, d2s, dmaxs = ray.get(dup_ref)
+        h1 = b.column(PREHASH_COL).to_numpy(zero_copy_only=False)
+        h2 = b.column("h2").to_numpy(zero_copy_only=False)
+        mid = b.column("mid").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(d1s, h1, side="left")
+        hi = np.searchsorted(d1s, h1, side="right")
+        # single-slot runs resolve vectorized; multi-slot d1 runs (a 64-bit
+        # h1 collision between distinct keys inside the *duplicate* subset)
+        # fall to an exact per-row scan of just those rows
+        one = hi - lo == 1
+        p = np.where(one, lo, 0)
+        hit = one & (d1s[p] == h1) & (d2s[p] == h2) & (dmaxs[p] != mid)
+        for i in np.flatnonzero(hi - lo > 1):
+            for j in range(lo[i], hi[i]):
+                if d2s[j] == h2[i]:
+                    hit[i] = dmaxs[j] != mid[i]
+                    break
+        return pa.Table.from_pydict({"mid": pa.array(mid[hit], pa.int64())})
+
+    out = pa.concat_tables(
+        ray.get(
+            [
+                ray.remote(num_cpus=0)(losers).remote(ref)
+                for ref in proj.to_arrow_refs()
+            ]
+        )
+    )
+    return out.column("mid").to_numpy(zero_copy_only=False)
+
+
 def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
                     num_partitions: int = 16) -> rd.Dataset:
     """(url, surface) → (canonical name, entity type) lookup.
@@ -99,12 +178,15 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
     projection finds cross-block duplicates by 128-bit key hash; only when
     duplicates exist (rare) does a broadcast anti-filter drop the losers.
     Correct under any block layout — no colocation assumption."""
+    import time as _time
+
     import numpy as np
 
     import ray
 
     from ..functions.joins import _dataset_to_table
 
+    t0 = _time.monotonic()
     canon_tbl = _dataset_to_table(
         nodes.select_columns(["comp", "name", "type"]).materialize()
     )
@@ -115,6 +197,7 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
             canon_tbl.column("type"),
         )
     )
+    LAST_TIMINGS["alias.nodes"] = round(_time.monotonic() - t0, 3)
 
     def last_per_block(block: pa.Table) -> pa.Table:
         from ..functions.hashing import hash_key_columns
@@ -172,15 +255,30 @@ def build_alias_map(mentions_with_comp: rd.Dataset, nodes: rd.Dataset,
         out = out.append_column("mid", picked.column("mid"))
         return out.cast(out_schema)
 
+    t0 = _time.monotonic()
     partial = mentions_with_comp.select_columns(
         ["url", "entity_name", "mid", "comp"]
     ).map_batches(last_per_block, batch_format="pyarrow").materialize()
+    LAST_TIMINGS["alias.partial"] = round(_time.monotonic() - t0, 3)
 
-    # One zero-CPU task scans the block refs (zero-copy plasma reads,
-    # column-projected inside the task) for cross-block duplicates.
-    loser_mids = ray.get(
-        ray.remote(num_cpus=0)(_loser_mids_task_fn).remote(partial.to_arrow_refs())
-    )
+    t0 = _time.monotonic()
+    # Cross-block duplicate scan over a 20-byte/row (h1, h2, mid) projection,
+    # materialized as its own small dataset (parallel column slice).  The
+    # scan itself runs IN-PROCESS on the driver: its input is bounded
+    # (24 B × alias rows), the driver's imports and allocator are warm, and a
+    # zero-CPU worker task was measured spending 10-16 s on worker cold-start
+    # and module imports to do ~0.5 s of numpy.  Beyond the inline row bound
+    # the scan becomes one distributed groupby over the projection.
+    from ..functions.joins import PREHASH_COL
+
+    proj = partial.select_columns([PREHASH_COL, "h2", "mid"]).materialize()
+    LAST_TIMINGS["alias.proj"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
+    if proj.count() <= LOSER_SCAN_INLINE_ROWS:
+        loser_mids = _loser_mids_task_fn(proj.to_arrow_refs())
+    else:
+        loser_mids = _loser_mids_distributed(proj)
+    LAST_TIMINGS["alias.scan"] = round(_time.monotonic() - t0, 3)
     if len(loser_mids):
         loser_set = pa.array(loser_mids, pa.int64())
         partial = partial.map_batches(

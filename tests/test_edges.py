@@ -147,3 +147,39 @@ def test_alias_map_cross_block_duplicate_last_wins():
     # canonical name comes from its min-mid mention's surface
     assert rows[("d1", "X")] == "P2 Canonical"
     assert rows[("d2", "P2 Canonical")] == "P2 Canonical"
+
+
+def test_loser_scan_distributed_matches_inline(ray_session):
+    """The distributed cross-block duplicate scan (groupby + broadcast
+    filter) must drop exactly the mids the inline lexsort scan drops,
+    including multi-duplicate keys and blocks with no duplicates."""
+    import numpy as np
+
+    import ray
+
+    from knowledgegraph_ray.functions.joins import PREHASH_COL
+    from knowledgegraph_ray.stages.edges import (
+        _loser_mids_distributed,
+        _loser_mids_task_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    # ~10% duplicate keys, some triplicates
+    base = rng.integers(0, n // 2, size=n).astype(np.uint64)
+    h1 = base * np.uint64(0x9E3779B97F4A7C15)
+    h2 = base * np.uint64(0xFF51AFD7ED558CCD) + np.uint64(7)
+    mid = np.arange(n, dtype=np.int64)
+    rng.shuffle(mid)
+    t = pa.Table.from_pydict(
+        {
+            PREHASH_COL: pa.array(h1, pa.uint64()),
+            "h2": pa.array(h2, pa.uint64()),
+            "mid": pa.array(mid, pa.int64()),
+        }
+    )
+    proj = rd.from_arrow(t).repartition(7).materialize()
+    inline = set(_loser_mids_task_fn(proj.to_arrow_refs()).tolist())
+    dist = set(_loser_mids_distributed(proj).tolist())
+    assert len(inline) > 0
+    assert dist == inline
