@@ -163,6 +163,94 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
     }
 
 
+def run_compute_only(sf_dir: str, num_cpus: int) -> dict:
+    """Compute-bound scaling probe: the extraction stage's map chain
+    (read → prepare_pages → TripleExtractor actor pool) consumed by an
+    aggregate — no partitioned write, no shuffle, no checkpoint barrier.
+
+    This isolates the per-document compute the 100-TB budget goes to (at
+    scale a real LLM/GPU backend dominates here) from the single-box
+    shuffle/write stages, so the two-parallelism criterion can distinguish
+    "the engine doesn't scale" from "one VM's memory bus doesn't"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.pipelines.kg_build import prepare_pages
+    from knowledgegraph_ray.stages.extract import TripleExtractor
+
+    paths, n_pages = _pages_fixture(sf_dir)
+    t0 = time.monotonic()
+    ds = rd.read_parquet(paths, include_paths=True)
+    ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
+    ds = ds.map_batches(
+        TripleExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=max(2, num_cpus - 2),
+    )
+    total = ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"n": [b.num_rows], "triples": [pc.sum(b.column("relationship_count")).as_py() or 0]}
+        ),
+        batch_format="pyarrow",
+    ).sum(["n", "triples"])
+    wall = time.monotonic() - t0
+    return {
+        "compute_wall_s": round(wall, 3),
+        "pages": int(total["sum(n)"]),
+        "raw_triples": int(total["sum(triples)"]),
+        "docs_per_sec": round(total["sum(n)"] / wall, 1),
+    }
+
+
+def main_compute_child(num_cpus: int) -> dict:
+    import ray
+
+    os.environ["POLARS_MAX_THREADS"] = str(num_cpus)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    n_runs = max(1, int(os.environ.get("KGRAY_BENCH_RUNS", "3")))
+    runs = sorted(
+        (run_compute_only(SF_DIR, num_cpus) for _ in range(n_runs)),
+        key=lambda r: r["compute_wall_s"],
+    )
+    ray.shutdown()
+    med = runs[len(runs) // 2]
+    return {**med, "num_cpus": num_cpus,
+            "all_wall_s": [r["compute_wall_s"] for r in runs]}
+
+
+def main_scaling_compute() -> dict:
+    """Two-parallelism criterion on the compute-bound stage alone."""
+    runs = {}
+    for n in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            PYTHONPATH="/root/repo",
+            KGRAY_PAGES_PER_DOC=os.environ.get("KGRAY_SCALING_PAGES_PER_DOC", "100"),
+            KGRAY_BENCH_RUNS=os.environ.get("KGRAY_SCALING_RUNS_PER_CHILD", "3"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-compute", str(n)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+        time.sleep(15)
+    eff = (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / (32 / 8)
+    return {
+        "metric": "compute-stage scaling efficiency, 8→32 cpus (no shuffle/write)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_label(SF_DIR),
+        "runs": {"cpus_8": runs[8], "cpus_32": runs[32]},
+    }
+
+
 def main_scaling() -> dict:
     """North-rule two-cluster-size criterion, sandbox-adapted: the same job at
     8 and 32 CPUs in fresh processes; efficiency = speedup / cpu-ratio.
@@ -211,10 +299,16 @@ def main_scaling() -> dict:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-compute", action="store_true")
     ap.add_argument("--child", type=int, default=0)
+    ap.add_argument("--child-compute", type=int, default=0)
     args = ap.parse_args()
     if args.child:
         print(json.dumps(main_bench(args.child, with_queries=False)))
+    elif args.child_compute:
+        print(json.dumps(main_compute_child(args.child_compute)))
+    elif args.scaling_compute:
+        print(json.dumps(main_scaling_compute()))
     elif args.scaling:
         print(json.dumps(main_scaling()))
     else:

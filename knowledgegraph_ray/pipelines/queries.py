@@ -370,6 +370,32 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_norm_text(sf_dir: str):
+    from ..stages.textops import add_normalized_text
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_normalized_text(b).select(["doc_id", "norm_text"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_sample_uniform(sf_dir: str):
+    from ..stages.sampling import sample_uniform
+
+    return sample_uniform(
+        _docs(sf_dir, ["doc_id", "source"]), 0.1, id_col="doc_id", method="md5"
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    from ..stages.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(sf_dir, ["doc_id", "source"]), 0.2,
+        group_col="source", id_col="doc_id", method="md5",
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -637,6 +663,27 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_dups
         FROM documents GROUP BY 1
     """,
+    # identical NFC/lower/RE2 pipeline on both sides (utf8proc vs ICU agree
+    # on this corpus; trim(characters=" ") == SQL trim)
+    "q_norm_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                 AS norm_text
+        FROM documents
+    """,
+    # deterministic hash sampling: bucket = first 16 md5 hex chars as uint64
+    # mod 1e6 — the exact predicate stages/sampling.py applies per batch
+    "q_sample_uniform": """
+        SELECT doc_id, source FROM documents
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 1000000 < 100000
+    """,
+    "q_sample_stratified": """
+        SELECT doc_id, source FROM documents
+        WHERE CAST(CONCAT('0x',
+                   substr(md5(CONCAT(source, '|', CAST(doc_id AS VARCHAR))), 1, 16))
+                   AS UBIGINT) % 1000000 < 200000
+    """,
     "q_knn_top10": f"""
         SELECT vec_id,
                floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -679,6 +726,9 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
+    "q_norm_text": q_norm_text,
+    "q_sample_uniform": q_sample_uniform,
+    "q_sample_stratified": q_sample_stratified,
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)

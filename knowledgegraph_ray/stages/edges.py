@@ -74,10 +74,25 @@ def _loser_mids_task_fn(refs: list):
     h1 = t.column(PREHASH_COL).to_numpy(zero_copy_only=False)
     h2 = t.column("h2").to_numpy(zero_copy_only=False)
     mid = t.column("mid").to_numpy(zero_copy_only=False)
+    # Duplicates are RARE (one row per key per block; cross-block repeats
+    # only).  A full 3-key lexsort is 3 indirect argsorts with random-access
+    # gathers — measured 20-28 s at 3.7M rows on this host's slow memory.
+    # Instead: one cache-friendly VALUE sort of h1 finds the duplicated
+    # hashes, a vectorized searchsorted marks candidate rows, and only those
+    # few rows pay the exact (h1, h2, mid) lexsort.
+    h1_sorted = np.sort(h1)
+    rep = h1_sorted[1:] == h1_sorted[:-1]
+    if not rep.any():
+        return np.array([], dtype=np.int64)
+    dupvals = np.unique(h1_sorted[:-1][rep])
+    pos = np.searchsorted(dupvals, h1)
+    pos[pos == len(dupvals)] = 0
+    cand = dupvals[pos] == h1
+    h1c, h2c, midc = h1[cand], h2[cand], mid[cand]
     # lexsort by (h1, h2, mid): within each 128-bit key run, the LAST row has
     # the max mid and wins; all earlier rows are losers
-    order = np.lexsort((mid, h2, h1))
-    h1s, h2s, mids = h1[order], h2[order], mid[order]
+    order = np.lexsort((midc, h2c, h1c))
+    h1s, h2s, mids = h1c[order], h2c[order], midc[order]
     run_end = np.r_[(h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]), True]
     return mids[~run_end]
 

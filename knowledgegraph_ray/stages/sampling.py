@@ -1,0 +1,124 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100-TB corpus is sampled constantly — eval holdouts, ablation subsets,
+per-source quotas. Random sampling is not reproducible across runs/block
+layouts; these operators sample by a *hash of the row id*, so the same row
+set is selected at any parallelism, any block layout, any engine (the DuckDB
+oracle expresses the identical predicate over md5).
+
+* ``sample_uniform``  — keep rows whose id-hash bucket < fraction·buckets.
+* ``sample_stratified`` — same predicate with the group column mixed into the
+  hash, giving an (approximately) equal fraction *within every group* while
+  remaining a pure per-row filter: no shuffle, no groupby, no state.
+
+Two hash methods:
+
+* ``md5``  (default) — bucket = first 16 hex chars of md5(str(id)) mod
+  buckets. Matches DuckDB ``md5()`` exactly (the oracle), at per-row hashlib
+  cost — fine for the correctness gate and for id-cardinality ≪ data bytes.
+* ``fast`` — the engine's vectorized mix64 over the int64 id (one numpy pass
+  per batch, no Python loop). Same determinism guarantees, not
+  SQL-expressible; the 100-TB path.
+
+Both are filters inside ``map_batches`` — streaming, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import mix64
+
+_BUCKETS = 1_000_000
+
+
+def _md5_bucket(ids: list, salt: str = "") -> np.ndarray:
+    """First 8 bytes of md5(salt + str(id)) as uint64 mod _BUCKETS —
+    bit-identical to DuckDB:
+    CAST(CONCAT('0x', substr(md5(<salt> || CAST(id AS VARCHAR)), 1, 16)) AS UBIGINT)
+    % 1000000."""
+    out = np.empty(len(ids), dtype=np.uint64)
+    for i, v in enumerate(ids):
+        h = hashlib.md5((salt + str(v)).encode()).hexdigest()[:16]
+        out[i] = int(h, 16)
+    return out % np.uint64(_BUCKETS)
+
+
+def _fast_bucket(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    return mix64(ids.astype(np.uint64) ^ np.uint64(salt)) % np.uint64(_BUCKETS)
+
+
+def _bucket_column(
+    batch: pa.Table, id_col: str, method: str, salt: str | int
+) -> np.ndarray:
+    col = batch.column(id_col)
+    if method == "md5":
+        return _md5_bucket(col.to_pylist(), str(salt) if salt else "")
+    ids = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+    return _fast_bucket(ids, int(salt) if salt else 0)
+
+
+def sample_uniform(
+    ds: rd.Dataset,
+    fraction: float,
+    *,
+    id_col: str = "doc_id",
+    method: str = "md5",
+    salt: str | int = "",
+) -> rd.Dataset:
+    """Deterministic ~fraction sample: keep rows with hash-bucket(id) <
+    fraction·1e6. Pure streaming filter — no shuffle, reproducible under any
+    block layout or cluster size."""
+    cut = int(fraction * _BUCKETS)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        b = _bucket_column(batch, id_col, method, salt)
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_stratified(
+    ds: rd.Dataset,
+    fraction: float,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    method: str = "md5",
+) -> rd.Dataset:
+    """~fraction of every group, deterministically: the group value is the
+    hash salt, so selection within one group is independent of every other
+    group while staying a per-row filter (no groupby/shuffle; exact-count
+    per-group sampling would need one)."""
+    cut = int(fraction * _BUCKETS)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        col = batch.column(id_col)
+        if method == "md5":
+            ids = col.to_pylist()
+            b = np.empty(len(ids), dtype=np.uint64)
+            for i, (g, v) in enumerate(zip(groups, ids)):
+                h = hashlib.md5((str(g) + "|" + str(v)).encode()).hexdigest()[:16]
+                b[i] = int(h, 16)
+            b %= np.uint64(_BUCKETS)
+        else:
+            # per-distinct-group salt from md5 (stable across processes —
+            # never builtins.hash), vectorized mix64 over the int ids
+            ids = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            salts: dict = {}
+            for g in groups:
+                if g not in salts:
+                    salts[g] = int(hashlib.md5(str(g).encode()).hexdigest()[:16], 16)
+            gh = np.fromiter((salts[g] for g in groups), dtype=np.uint64,
+                             count=len(groups))
+            b = mix64(ids.astype(np.uint64) ^ gh) % np.uint64(_BUCKETS)
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

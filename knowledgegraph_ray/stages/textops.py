@@ -47,6 +47,19 @@ def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
 
 
+def add_normalized_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """norm_text: NFC-normalize → lowercase → collapse ASCII whitespace runs
+    to one space → strip spaces.  All Arrow kernels (utf8proc + RE2), chosen
+    to be bit-identical to DuckDB
+    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+    (trim(characters=" ") matches SQL trim(); RE2 \\s on both sides)."""
+    t = pc.utf8_normalize(batch.column(text_col), form="NFC")
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim(t, characters=" ")
+    return batch.append_column("norm_text", t)
+
+
 def add_punct_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = pc.count_substring_regex(batch.column(text_col), pattern=_PUNCT_RE)
     return batch.append_column("n_punct", pc.cast(n, pa.int64()))

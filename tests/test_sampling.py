@@ -1,0 +1,73 @@
+"""Deterministic hash-sampling operators (stages/sampling.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs_ds(n=2000, groups=("a", "b", "c", "d")):
+    rng = np.random.default_rng(3)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([groups[i] for i in rng.integers(0, len(groups), n)]),
+    }))
+
+
+def test_sample_uniform_fraction_and_determinism(ray_session):
+    from knowledgegraph_ray.stages.sampling import sample_uniform
+
+    ds = _docs_ds()
+    for method in ("md5", "fast"):
+        a = sorted(r["doc_id"] for r in sample_uniform(
+            ds, 0.25, id_col="doc_id", method=method).take_all())
+        b = sorted(r["doc_id"] for r in sample_uniform(
+            ds.repartition(7), 0.25, id_col="doc_id", method=method).take_all())
+        assert a == b, method  # block-layout independent
+        assert 0.18 < len(a) / 2000 < 0.32, (method, len(a))
+
+
+def test_sample_uniform_salt_changes_selection(ray_session):
+    from knowledgegraph_ray.stages.sampling import sample_uniform
+
+    ds = _docs_ds()
+    a = {r["doc_id"] for r in sample_uniform(ds, 0.3, method="fast").take_all()}
+    b = {r["doc_id"] for r in sample_uniform(ds, 0.3, method="fast", salt=99).take_all()}
+    assert a != b
+    assert len(a & b) > 0  # independent ~30% samples overlap
+
+
+def test_sample_stratified_per_group_fraction(ray_session):
+    from knowledgegraph_ray.stages.sampling import sample_stratified
+
+    ds = _docs_ds(4000)
+    for method in ("md5", "fast"):
+        out = sample_stratified(
+            ds, 0.5, group_col="source", id_col="doc_id", method=method
+        ).take_all()
+        tot = {g: 0 for g in "abcd"}
+        for r in _docs_ds(4000).take_all():
+            tot[r["source"]] += 1
+        got = {g: 0 for g in "abcd"}
+        for r in out:
+            got[r["source"]] += 1
+        for g in "abcd":
+            frac = got[g] / tot[g]
+            assert 0.4 < frac < 0.6, (method, g, frac)
+
+
+def test_md5_bucket_matches_duckdb():
+    """The Python md5 bucket must equal the oracle SQL's expression."""
+    import duckdb
+
+    from knowledgegraph_ray.stages.sampling import _md5_bucket
+
+    ids = [0, 1, 42, 999_999_937]
+    got = _md5_bucket(ids).tolist()
+    con = duckdb.connect()
+    for i, v in enumerate(ids):
+        want = con.execute(
+            "SELECT CAST(CONCAT('0x', substr(md5(CAST(? AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) % 1000000", [v]
+        ).fetchone()[0]
+        assert got[i] == want, (v, got[i], want)
