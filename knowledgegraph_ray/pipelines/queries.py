@@ -396,6 +396,14 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_join
+
+    return ngram_jaccard_join(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8, k=5, num_partitions=4
+    )
+
+
 def q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -663,6 +671,28 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_dups
         FROM documents GROUP BY 1
     """,
+    # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
+    # full O(n²) shingle self-join (char shingles == byte shingles on this
+    # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
+    "q_ngram_jaccard": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
+          FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               floor(i / CAST(sa.s + sb.s - i AS DOUBLE) * 10000.0) / 10000.0
+                 AS jaccard_r
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.8
+    """,
     # identical NFC/lower/RE2 pipeline on both sides (utf8proc vs ICU agree
     # on this corpus; trim(characters=" ") == SQL trim)
     "q_norm_text": r"""
@@ -726,6 +756,7 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_norm_text": q_norm_text,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,

@@ -855,6 +855,55 @@ def merge_component_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([merge_component_row(group)], schema=NODES_SCHEMA)
 
 
+def merge_component_block(block: pa.Table, starts) -> pa.Table:
+    """Block reducer: all components of one sorted block at once (rows
+    pre-sorted by (comp run, mid) by grouped_apply).  Semantics identical to
+    merge_component_row per run; each column converts to Python ONCE per
+    block and JSON payloads parse once per distinct string — the per-group
+    Arrow overhead (sort_indices/take/to_pylist × 10^5 groups) was a
+    measured graph-stage cost."""
+    import numpy as np
+
+    n = block.num_rows
+    ends = np.r_[starts[1:], n]
+    etype_l = block.column("entity_type").to_pylist()
+    names_l = block.column("entity_name").to_pylist()
+    attrs_raw = block.column("attributes_json").to_pylist()
+    perms_raw = block.column("permissions_json").to_pylist()
+    urls_l = block.column("url").to_pylist()
+    comps_l = block.column("comp").to_pylist()
+    ords_l = block.column("ord").to_pylist()
+    acache: dict[str, Any] = {}
+    pcache: dict[str, Any] = {}
+
+    def _ja(s: str):
+        v = acache.get(s)
+        if v is None:
+            v = acache[s] = json.loads(s) if s else {}
+        return v
+
+    def _jp(s: str):
+        v = pcache.get(s)
+        if v is None:
+            v = pcache[s] = json.loads(s) if s else []
+        return v
+
+    rows = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        row = _merge_group_rows(
+            etype_l[s],
+            names_l[s:e],
+            [_ja(a) for a in attrs_raw[s:e]],
+            urls_l[s:e],
+            [_jp(p) for p in perms_raw[s:e]],
+        )
+        row["comp"] = comps_l[s]
+        row["min_ord"] = ords_l[s]
+        row["n_mentions"] = e - s
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
+
+
 def grouped_apply(
     ds: rd.Dataset,
     keys: list[str],
@@ -862,6 +911,8 @@ def grouped_apply(
     schema: pa.Schema,
     num_partitions: int = 16,
     hash_sort: bool = False,
+    block_fn=None,
+    order_col: str | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned grouped apply emitting ONE block per partition.
 
@@ -915,6 +966,19 @@ def grouped_apply(
         for k in run_cols:
             col = block.column(k).to_numpy(zero_copy_only=False)
             change[1:] |= col[1:] != col[:-1]
+        if block_fn is not None:
+            # block reducer path: ONE in-run sort + ONE take per block, then
+            # the whole block converts at once — no per-group Arrow calls
+            # (slice / sort_indices / take / to_pylist per group was the
+            # measured cost at 10^5 groups).
+            if order_col is not None:
+                run_id = np.cumsum(change) - 1
+                ordv = block.column(order_col).to_numpy(zero_copy_only=False)
+                order = np.lexsort((ordv, run_id))
+                block = block.take(pa.array(order, pa.int64()))
+            if hash_sort:
+                block = block.drop_columns(["_gh1", "_gh2"])
+            return block_fn(block, np.flatnonzero(change))
         if hash_sort:
             block = block.drop_columns(["_gh1", "_gh2"])
         idx = np.flatnonzero(change).tolist()
@@ -979,6 +1043,7 @@ def canonicalize(
     nodes = grouped_apply(
         with_comp, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,
+        block_fn=_with_registry(merge_component_block), order_col="mid",
     ).materialize()
     LAST_TIMINGS["merge"] = round(_time.monotonic() - t0, 3)
     return nodes, with_comp

@@ -271,6 +271,216 @@ def minhash_lsh_components(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix-filter + verify)
+# ---------------------------------------------------------------------------
+
+JACCARD_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard_r", pa.float64())]
+)
+
+
+def _doc_shingle_lists(
+    batch: pa.Table, *, text_col: str, id_col: str, k: int
+) -> pa.Table:
+    """(doc_id, sh list<int64> ascending-unique, n) per doc — one rolling-hash
+    pass over the batch's flat byte buffer (shared with MinHash), one C
+    np.unique per doc segment."""
+    col = batch.column(text_col)
+    data, offsets = _string_flat_bytes(col)
+    n_docs = len(offsets) - 1
+    H_all = (_window_hashes(data, k) & _MERSENNE).astype(np.int64)
+    starts, ends = offsets[:-1], offsets[1:]
+    counts = np.maximum(ends - starts - k + 1, 0)
+    seg_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+    # valid-window mask via the same boundary-diff scan as MinHash
+    marks = np.zeros(H_all.size + 1, dtype=np.int32)
+    long_docs = counts > 0
+    np.add.at(marks, starts[long_docs], 1)
+    np.add.at(marks, (starts + counts)[long_docs], -1)
+    valid = np.cumsum(marks[:-1]) > 0 if H_all.size else np.zeros(0, bool)
+    H_valid = H_all[valid]
+    parts: list[np.ndarray] = []
+    sizes = np.zeros(n_docs, dtype=np.int64)
+    pos = 0
+    for d in range(n_docs):
+        c = int(counts[d])
+        u = np.unique(H_valid[pos : pos + c])  # sorted ascending
+        pos += c
+        parts.append(u)
+        sizes[d] = u.size
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    offs = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offs[1:])
+    sh = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat, pa.int64()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+            "sh": sh,
+            "n_sh": pa.array(sizes, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_join(
+    ds: rd.Dataset,
+    *,
+    threshold: float,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT and COMPLETE set-similarity join: all doc pairs (a < b) with
+    k-byte-shingle Jaccard ≥ threshold → (id_a, id_b, jaccard_r).
+
+    Prefix-filter shape (PPJoin family, no all-pairs):
+      1. one pass builds each doc's sorted-unique shingle-hash set;
+      2. each doc emits only its PREFIX — the first ``|S| - ceil(t·|S|) + 1``
+         hashes under the global ascending-hash order.  Theorem: two sets
+         with Jaccard ≥ t must share at least one prefix element under ANY
+         fixed total order, so candidate generation is complete;
+      3. a range sort colocates equal prefix hashes (single sort key — full-
+         key ties land in one block); per-run pair emission yields candidate
+         (id_a, id_b) rows, deduped by a C++ groupby;
+      4. candidates join back to the shingle sets (adaptive broadcast/shuffle
+         on int keys) and verify with an exact sorted-array intersection.
+
+    Shuffle bytes are prefix rows (16 B) + candidate pairs, never the corpus;
+    the verify join's right side is O(corpus) and selects shuffle mode past
+    the broadcast caps.  Hot shingles shared by many docs make quadratic
+    runs in step 3 — inherent to exactness (every such pair IS a candidate);
+    at 100 TB tune k upward or pre-drop boilerplate with exact dedup first."""
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import adaptive_join
+
+    sigs = ds.map_batches(
+        lambda b: _doc_shingle_lists(b, text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        sh = batch.column("sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        sizes = batch.column("n_sh").to_numpy(zero_copy_only=False)
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        plen = np.clip(plen, 0, sizes)
+        offs = sh.offsets.to_numpy(zero_copy_only=False)[:-1]
+        flat = sh.values.to_numpy(zero_copy_only=False)
+        idx = np.concatenate(
+            [np.arange(o, o + p) for o, p in zip(offs, plen)]
+        ) if len(offs) else np.zeros(0, np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "psh": pa.array(flat[idx], pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, plen), pa.int64()),
+            }
+        )
+
+    def run_pairs(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        keys = block.column("psh").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = np.r_[change, n]
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub = ids[s:e]
+            L = len(sub)
+            # strip emission bounds peak allocation for hot-shingle runs
+            # (all L·(L-1)/2 pairs ARE candidates — exactness requires them —
+            # but never as one L² index block)
+            for i0 in range(0, L - 1, 512):
+                i1 = min(i0 + 512, L - 1)
+                ii, jj = np.triu_indices(i1 - i0, k=1)
+                # pairs fully inside the strip
+                a, b = sub[i0 + ii], sub[i0 + jj]
+                # pairs from the strip to the tail
+                tail = sub[i1:]
+                if tail.size:
+                    ri = np.repeat(np.arange(i0, i1), tail.size)
+                    a = np.concatenate([a, sub[ri]])
+                    b = np.concatenate([b, np.tile(tail, i1 - i0)])
+                keep = a != b
+                outs_a.append(np.minimum(a, b)[keep])
+                outs_b.append(np.maximum(a, b)[keep])
+        if not outs_a:
+            return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        return pa.Table.from_pydict(
+            {
+                "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs.map_batches(prefix_rows, batch_format="pyarrow")
+        .sort("psh")
+        .map_batches(run_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def _side(side: str) -> rd.Dataset:
+        return sigs.map_batches(
+            lambda b, _s=side: pa.Table.from_pydict(
+                {
+                    f"id_{_s}": b.column("doc_id"),
+                    f"sh_{_s}": b.column("sh"),
+                    f"n_{_s}": b.column("n_sh"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = adaptive_join(
+        cand, _side("a"), left_keys=["id_a"], num_partitions=num_partitions
+    )
+    joined = adaptive_join(
+        joined, _side("b"), left_keys=["id_b"], num_partitions=num_partitions
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return JACCARD_SCHEMA.empty_table()
+        sa = batch.column("sh_a")
+        sb = batch.column("sh_b")
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        jac = np.zeros(batch.num_rows, dtype=np.float64)
+        for i in range(batch.num_rows):  # candidates are rare; intersect is C
+            a = sa[i].values.to_numpy(zero_copy_only=False)
+            b = sb[i].values.to_numpy(zero_copy_only=False)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac[i] = inter / (na[i] + nb[i] - inter)
+        keep = jac >= threshold
+        return pa.Table.from_pydict(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard_r": pa.array(
+                    np.floor(jac[keep] * 10000.0) / 10000.0, pa.float64()
+                ),
+            },
+            schema=JACCARD_SCHEMA,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

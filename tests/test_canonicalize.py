@@ -274,3 +274,43 @@ def test_mention_keys_fast_falls_back_on_odd_shapes(ray_session):
                                t.column("kl").to_pylist(),
                                t.column("mid").to_pylist()))
     assert key(slow) == key(fast)
+
+
+def test_merge_component_block_matches_row_reducer(ray_session):
+    """Block reducer == per-group row reducer (aliases overflow, attr JSON,
+    permissions union, shuffled mids)."""
+    import numpy as np
+
+    from knowledgegraph_ray.stages.canonicalize import (
+        NODES_SCHEMA,
+        merge_component_block,
+        merge_component_row,
+    )
+
+    rows = []
+    for g in range(4):
+        for i in range(3):
+            rows.append({
+                "mid": g * 10 + (2 - i),  # descending within group
+                "url": f"u{i}",
+                "ord": g * 10 + (2 - i),
+                "entity_name": f"Entity {g}" if i == 0 else f"Alias {g}-{i}",
+                "entity_type": "Person",
+                "attributes_json": (
+                    '{"name": "Entity %d", "description": ["d%d"], '
+                    '"emails": ["e%d@x.com"]}' % (g, i, i)
+                ),
+                "permissions_json": '["grp1"]' if i else '["grp0"]',
+                "comp": g,
+            })
+    tbl = pa.Table.from_pylist(rows)
+    starts = np.arange(0, 12, 3)
+    run_id = np.repeat(np.arange(4), 3)
+    mids = tbl.column("mid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((mids, run_id))
+    got = merge_component_block(tbl.take(pa.array(order, pa.int64())), starts)
+    want = pa.Table.from_pylist(
+        [merge_component_row(tbl.slice(s, 3).sort_by("mid")) for s in starts],
+        schema=NODES_SCHEMA,
+    )
+    assert got.equals(want)

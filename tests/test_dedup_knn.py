@@ -222,3 +222,45 @@ def test_ivf_persisted_index_prunes_and_full_probe_is_exact(tmp_path):
     approx = [r["vec_id"] for r in
               ivf_query_index(idx_dir, cents, q, k=5, n_probe=1).take_all()]
     assert len(approx) == 5  # single-partition probe still returns k
+
+
+def test_ngram_jaccard_join_matches_bruteforce(ray_session):
+    """Prefix-filter join == brute-force O(n^2) Jaccard over shingle-hash
+    sets, including exact duplicates, near-dups, and unrelated docs."""
+    from knowledgegraph_ray.stages.dedup import (
+        _shingle_hashes,
+        ngram_jaccard_join,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and the band plays on")
+    texts = [
+        base,
+        base,                                   # exact dup of 0
+        base.replace("quick", "swift"),         # near dup
+        base.replace("the", "a"),               # moderate
+        "completely different content about graph engines and ray data " * 2,
+        "another unrelated document concerning parquet files and arrow " * 2,
+        base + " extra tail words appended here",  # near dup, longer
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_r"]
+        for r in ngram_jaccard_join(ds, threshold=t, k=5).take_all()
+    }
+    sets = [set(_shingle_hashes(x, 5).tolist()) for x in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= t:
+                want[(i, j)] = np.floor(jac * 10000.0) / 10000.0
+    assert set(got) == set(want)
+    for k2 in want:
+        assert abs(got[k2] - want[k2]) < 1e-12
+    assert (0, 1) in got and got[(0, 1)] == 1.0

@@ -183,3 +183,41 @@ def test_loser_scan_distributed_matches_inline(ray_session):
     dist = set(_loser_mids_distributed(proj).tolist())
     assert len(inline) > 0
     assert dist == inline
+
+
+def test_merge_edge_block_matches_row_reducer(ray_session):
+    """Block reducer == per-group row reducer on a multi-group block with
+    duplicate descriptions, JSON payloads, and out-of-order ords."""
+    import numpy as np
+
+    from knowledgegraph_ray.stages.edges import (
+        EDGES_SCHEMA,
+        merge_edge_block,
+        merge_edge_row,
+    )
+
+    rows = []
+    for g in range(5):
+        for i in range(4):
+            rows.append({
+                "canonical_src": f"S{g}", "canonical_dst": f"D{g}",
+                "relationship_type": "works_with",
+                "src_type": "Person", "dst_type": "Person",
+                "description": f"desc-{i % 2}",
+                "permissions_json": '["p1","p2"]' if i % 2 else '["p2"]',
+                "sources_json": f'["u{i}"]',
+                "strength": float(10 - i),
+                "ord": 100 - i,  # descending: exercises the in-run sort
+            })
+    tbl = pa.Table.from_pylist(rows)
+    # group runs are contiguous already; starts at multiples of 4
+    starts = np.arange(0, 20, 4)
+    # block path pre-sorts by (run, ord) — emulate grouped_apply
+    run_id = np.repeat(np.arange(5), 4)
+    ordv = tbl.column("ord").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ordv, run_id))
+    got = merge_edge_block(tbl.take(pa.array(order, pa.int64())), starts)
+    want = pa.Table.from_pylist(
+        [merge_edge_row(tbl.slice(s, 4)) for s in starts], schema=EDGES_SCHEMA
+    )
+    assert got.equals(want)
