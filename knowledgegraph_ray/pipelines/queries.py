@@ -370,6 +370,28 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_pii_mask(sf_dir: str):
+    from ..stages.textops import add_pii_masked
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_pii_masked(b).select(
+            ["doc_id", "n_emails", "n_phones", "masked_text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_gopher_quality(sf_dir: str):
+    from ..stages.textops import add_gopher_flags
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_gopher_flags(b).select(
+            ["doc_id", "n_tokens", "mean_word_len", "symbol_ratio", "gopher_keep"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_norm_text(sf_dir: str):
     from ..stages.textops import add_normalized_text
 
@@ -693,6 +715,44 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.8
     """,
+    # same RE2 engine both sides; email masked first, then phone runs on the
+    # already-masked text (order pinned in stages/textops.py:add_pii_masked)
+    "q_pii_mask": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9\-\s()]{6,}[0-9]')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9\-\s()]{6,}[0-9]', '<PHONE>', 'g') AS masked_text
+        FROM documents
+    """,
+    # Gopher-rule gates (ratios floor4-canonicalized on both sides; the keep
+    # gate compares the canonicalized values)
+    "q_gopher_quality": r"""
+        WITH g AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 floor(length(replace(text, ' ', ''))
+                       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+                       * 10000.0) / 10000.0 AS mean_word_len,
+                 floor((len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\.\.\.')))
+                       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+                       * 10000.0) / 10000.0 AS symbol_ratio
+          FROM documents)
+        SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+               (n_tokens BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio < 0.1) AS gopher_keep
+        FROM g
+    """,
     # identical NFC/lower/RE2 pipeline on both sides (utf8proc vs ICU agree
     # on this corpus; trim(characters=" ") == SQL trim)
     "q_norm_text": r"""
@@ -757,6 +817,8 @@ QUERIES = {
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_pii_mask": q_pii_mask,
+    "q_gopher_quality": q_gopher_quality,
     "q_norm_text": q_norm_text,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,

@@ -95,6 +95,89 @@ def add_md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# PII masking (email / phone) — RE2 kernels, bit-identical to DuckDB
+# regexp_replace(..., 'g') (both engines run RE2; no lookarounds used)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9\-\s()]{6,}[0-9]"
+
+
+def add_pii_masked(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """masked_text + n_emails/n_phones: emails → <EMAIL> first, then phone
+    runs → <PHONE> on the already-email-masked text (order pinned so the
+    SQL oracle composes the same two regexp_replace calls)."""
+    t = batch.column(text_col)
+    n_emails = pc.cast(pc.count_substring_regex(t, pattern=_EMAIL_RE), pa.int64())
+    masked = pc.replace_substring_regex(t, pattern=_EMAIL_RE, replacement="<EMAIL>")
+    n_phones = pc.cast(pc.count_substring_regex(masked, pattern=_PHONE_RE), pa.int64())
+    masked = pc.replace_substring_regex(masked, pattern=_PHONE_RE, replacement="<PHONE>")
+    return (
+        batch.append_column("n_emails", n_emails)
+        .append_column("n_phones", n_phones)
+        .append_column("masked_text", masked)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gates (Rae et al. 2021, "Scaling Language Models:
+# Gopher" §A1.1 heuristics) — pure Arrow kernels, SQL-reproducible
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def _floor4_pc(x: pa.Array):
+    return pc.divide(pc.floor(pc.multiply(x, 10000.0)), 10000.0)
+
+
+def add_gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-rule quality columns: mean_word_len (chars-without-spaces /
+    n_tokens), symbol_ratio (('#' + '...') occurrences / n_tokens), and the
+    combined gopher_keep gate — 50 ≤ n_tokens ≤ 100k, 3 ≤ mwl ≤ 10,
+    symbol_ratio < 0.1.  Ratios are floor4-canonicalized so Arrow and DuckDB
+    produce bit-identical doubles, and the gate compares the CANONICALIZED
+    values on both sides."""
+    if "n_tokens" not in batch.column_names:
+        batch = add_token_count(batch, text_col)
+    t = batch.column(text_col)
+    n_tok = pc.cast(batch.column("n_tokens"), pa.float64())
+    safe_tok = pc.max_element_wise(n_tok, 1.0)
+    nospace = pc.cast(
+        pc.utf8_length(pc.replace_substring(t, pattern=" ", replacement="")),
+        pa.float64(),
+    )
+    mwl = _floor4_pc(pc.divide(nospace, safe_tok))
+    n_sym = pc.cast(
+        pc.add(pc.count_substring(t, pattern="#"), pc.count_substring(t, pattern="...")),
+        pa.float64(),
+    )
+    sym_ratio = _floor4_pc(pc.divide(n_sym, safe_tok))
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tok, float(GOPHER_MIN_TOKENS)),
+                pc.less_equal(n_tok, float(GOPHER_MAX_TOKENS)),
+            ),
+            pc.and_(
+                pc.greater_equal(mwl, GOPHER_MIN_MWL),
+                pc.less_equal(mwl, GOPHER_MAX_MWL),
+            ),
+        ),
+        pc.less(sym_ratio, GOPHER_MAX_SYMBOL_RATIO),
+    )
+    return (
+        batch.append_column("mean_word_len", mwl)
+        .append_column("symbol_ratio", sym_ratio)
+        .append_column("gopher_keep", keep)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash document fingerprint (winnowing-style; no SQL equivalent)
 # ---------------------------------------------------------------------------
 

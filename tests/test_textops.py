@@ -1,0 +1,65 @@
+"""Behavioral unit tests for text-analysis operators whose sf-corpus oracle
+parity is trivially satisfied (the synthetic corpus has no PII / symbols):
+the regex/kernel semantics are exercised on constructed text here."""
+
+import pyarrow as pa
+
+from knowledgegraph_ray.stages.textops import (
+    add_gopher_flags,
+    add_pii_masked,
+)
+
+
+def _tbl(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_pii_mask_emails_and_phones():
+    out = add_pii_masked(
+        _tbl(
+            [
+                "contact alice.smith+spam@example-corp.co.uk today",
+                "call +1 (555) 123-4567 or 555-867-5309 now",
+                "mixed bob@x.io and 0171-234 5678 in one line",
+                "nothing sensitive here",
+                "",
+            ]
+        )
+    )
+    assert out.column("n_emails").to_pylist() == [1, 0, 1, 0, 0]
+    assert out.column("n_phones").to_pylist() == [0, 2, 1, 0, 0]
+    masked = out.column("masked_text").to_pylist()
+    assert masked[0] == "contact <EMAIL> today"
+    assert masked[1] == "call <PHONE> or <PHONE> now"
+    assert masked[2] == "mixed <EMAIL> and <PHONE> in one line"
+    assert masked[3] == "nothing sensitive here"
+    assert masked[4] == ""
+
+
+def test_pii_mask_email_then_phone_order():
+    # the email is masked first, so its digits never feed the phone regex
+    out = add_pii_masked(_tbl(["mail 12345678901@numbers-domain.com end"]))
+    assert out.column("n_emails").to_pylist() == [1]
+    assert out.column("n_phones").to_pylist() == [0]
+    assert out.column("masked_text").to_pylist() == ["mail <EMAIL> end"]
+
+
+def test_gopher_flags_gates():
+    long_good = " ".join(["token"] * 60)  # 60 tokens, mwl=5.0
+    too_short = "just a few words here"  # < 50 tokens
+    symbol_heavy = " ".join(["###"] * 60)  # symbol_ratio = 3.0
+    long_words = " ".join(["extraordinarily"] * 60)  # mwl = 15 > 10
+    out = add_gopher_flags(_tbl([long_good, too_short, symbol_heavy, long_words]))
+    assert out.column("gopher_keep").to_pylist() == [True, False, False, False]
+    mwl = out.column("mean_word_len").to_pylist()
+    assert mwl[0] == 5.0
+    assert mwl[3] == 15.0
+    sym = out.column("symbol_ratio").to_pylist()
+    assert sym[0] == 0.0
+    assert sym[2] == 3.0
+
+
+def test_gopher_symbol_ratio_counts_ellipsis():
+    out = add_gopher_flags(_tbl(["wait... what... # done"]))
+    # 2 "..." + 1 "#" over 4 tokens = 0.75
+    assert out.column("symbol_ratio").to_pylist() == [0.75]
