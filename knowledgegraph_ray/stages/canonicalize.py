@@ -833,6 +833,47 @@ def _merge_group_rows(
     return row
 
 
+def _combine_mentions(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for the group merge: collapse EXACT-duplicate
+    mentions (same comp + name + type + attrs + perms) to one row carrying
+    an ``n`` multiplicity column, keeping the duplicate set's min (mid, ord).
+
+    Exactness argument: every step of _merge_group_rows is idempotent for a
+    row identical to one already processed (appends are membership-checked,
+    scalar conflicts compare equality), so removing later exact duplicates
+    from the mid-ordered sequence cannot change the merged node — only
+    n_mentions, which the reducers now take from sum(n).  min(mid) within a
+    duplicate set preserves first-occurrence order (mid is globally dense),
+    and min(ord) equals the min-mid row's ord (mid = ord*CAP + i is monotone
+    in ord).  One pyarrow C++ group_by per block, no shuffle — this is what
+    keeps the merge sort's byte volume O(distinct mentions), not O(corpus),
+    at 100 TB (web text repeats the same entity snippet across many pages).
+    The ``url`` column is dropped here: the node merge never reads it."""
+    keys = ["comp", "entity_name", "entity_type", "attributes_json",
+            "permissions_json"]
+    if batch.num_rows == 0:
+        return MERGE_INPUT_SCHEMA.empty_table()
+    g = batch.select(keys + ["mid", "ord"]).group_by(keys).aggregate(
+        [("mid", "min"), ("ord", "min"), ("mid", "count")]
+    )
+    g = g.rename_columns(keys + ["mid", "ord", "n"])
+    return g.select(MERGE_INPUT_SCHEMA.names).cast(MERGE_INPUT_SCHEMA)
+
+
+MERGE_INPUT_SCHEMA = pa.schema(
+    [
+        ("comp", pa.int64()),
+        ("mid", pa.int64()),
+        ("ord", pa.int64()),
+        ("entity_name", pa.string()),
+        ("entity_type", pa.string()),
+        ("attributes_json", pa.string()),
+        ("permissions_json", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
 def merge_component_row(group: pa.Table) -> dict[str, Any]:
     """One component's mentions → one canonical node row (dict)."""
     order = pc.sort_indices(group.column("mid"))
@@ -840,13 +881,15 @@ def merge_component_row(group: pa.Table) -> dict[str, Any]:
     etype = g.column("entity_type")[0].as_py()
     names = g.column("entity_name").to_pylist()
     attrs_list = [json.loads(a) if a else {} for a in g.column("attributes_json").to_pylist()]
-    urls = g.column("url").to_pylist()
+    urls = g.column("url").to_pylist() if "url" in g.column_names else [None] * g.num_rows
     perms = [json.loads(x) if x else [] for x in g.column("permissions_json").to_pylist()]
 
     row = _merge_group_rows(etype, names, attrs_list, urls, perms)
     row["comp"] = g.column("comp")[0].as_py()
     row["min_ord"] = g.column("ord")[0].as_py()
-    row["n_mentions"] = g.num_rows
+    row["n_mentions"] = (
+        int(pc.sum(g.column("n")).as_py()) if "n" in g.column_names else g.num_rows
+    )
     return row
 
 
@@ -870,9 +913,16 @@ def merge_component_block(block: pa.Table, starts) -> pa.Table:
     names_l = block.column("entity_name").to_pylist()
     attrs_raw = block.column("attributes_json").to_pylist()
     perms_raw = block.column("permissions_json").to_pylist()
-    urls_l = block.column("url").to_pylist()
+    urls_l = (
+        block.column("url").to_pylist() if "url" in block.column_names else [None] * n
+    )
     comps_l = block.column("comp").to_pylist()
     ords_l = block.column("ord").to_pylist()
+    counts = (
+        block.column("n").to_numpy(zero_copy_only=False)
+        if "n" in block.column_names
+        else None
+    )
     acache: dict[str, Any] = {}
     pcache: dict[str, Any] = {}
 
@@ -899,7 +949,7 @@ def merge_component_block(block: pa.Table, starts) -> pa.Table:
         )
         row["comp"] = comps_l[s]
         row["min_ord"] = ords_l[s]
-        row["n_mentions"] = e - s
+        row["n_mentions"] = int(counts[s:e].sum()) if counts is not None else e - s
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
 
@@ -1040,8 +1090,12 @@ def canonicalize(
     # The identity rebatch after map_groups is load-bearing: map_groups emits
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
+    # Map-side combine before the merge shuffle: exact-duplicate mentions
+    # collapse per block (no-ops for the merge, see _combine_mentions), so
+    # the sort moves O(distinct mentions) bytes and url never shuffles.
+    merge_in = with_comp.map_batches(_combine_mentions, batch_format="pyarrow")
     nodes = grouped_apply(
-        with_comp, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
+        merge_in, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,
         block_fn=_with_registry(merge_component_block), order_col="mid",
     ).materialize()
