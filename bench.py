@@ -178,18 +178,15 @@ def run_compute_only(sf_dir: str, num_cpus: int) -> dict:
     import ray.data as rd
 
     from knowledgegraph_ray.pipelines.kg_build import prepare_pages
-    from knowledgegraph_ray.stages.extract import TripleExtractor
+    from knowledgegraph_ray.stages.extract import extract_batch
 
     paths, n_pages = _pages_fixture(sf_dir)
     t0 = time.monotonic()
     ds = rd.read_parquet(paths, include_paths=True)
     ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
-    ds = ds.map_batches(
-        TripleExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=max(2, num_cpus - 2),
-    )
+    # stateless-task extraction: the whole chain fuses into one task
+    # operator — no static actor-pool CPU reservation to starve the reads
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
     total = ds.map_batches(
         lambda b: pa.Table.from_pydict(
             {"n": [b.num_rows], "triples": [pc.sum(b.column("relationship_count")).as_py() or 0]}

@@ -153,13 +153,24 @@ def run_extraction(
             )
         ds = rd.read_parquet(wave, include_paths=True)
         ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
-        ds = ds.map_batches(
-            TripleExtractor,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            fn_constructor_kwargs=fn_kwargs,
-        )
+        if backend_factory is None:
+            # Default backend: stateless-task extraction — read→prepare→
+            # extract fuse into one task operator using every CPU (an actor
+            # pool would statically reserve `concurrency` CPUs and starve
+            # its feeder tasks at high CPU counts; see extract.extract_batch).
+            from ..stages.extract import extract_batch
+
+            ds = ds.map_batches(
+                extract_batch, batch_format="pyarrow", batch_size=batch_size
+            )
+        else:
+            ds = ds.map_batches(
+                TripleExtractor,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                fn_constructor_kwargs=fn_kwargs,
+            )
         # Rebatch before the partitioned write: the extractor emits one block
         # per batch, and partition_cols pays ~0.25 s of dataset-writer setup
         # per block — fewer, larger blocks → fewer, larger files per shard.

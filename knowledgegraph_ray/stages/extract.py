@@ -338,6 +338,29 @@ class TripleExtractor:
         return pa.Table.from_pydict(out, schema=EXTRACTION_SCHEMA)
 
 
+# Module-level lazy singleton for the STATELESS-TASK extraction path: one
+# extractor per worker process (compiled regexes reused across every task the
+# process runs), reached via module import inside the worker fn — the same
+# rule broadcast lookup state follows (cloudpickled globals copy per task).
+_TASK_EXTRACTOR: TripleExtractor | None = None
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool extraction with the default backend.
+
+    Why a task, not an actor pool: an actor pool statically reserves its
+    `concurrency` CPUs, and the ReadParquet/prepare/write task operators get
+    only the leftovers — at high CPU counts the pool starves on input (the
+    measured compute-stage 8→32 scaling collapse).  As a plain function the
+    whole read→prepare→extract chain fuses into ONE task operator that uses
+    every CPU with natural backpressure.  Custom/heavy backends (a real LLM)
+    still use the TripleExtractor actor-pool form."""
+    global _TASK_EXTRACTOR
+    if _TASK_EXTRACTOR is None:
+        _TASK_EXTRACTOR = TripleExtractor()
+    return _TASK_EXTRACTOR(batch)
+
+
 # List-valued payloads are JSON-encoded strings in the mention/triple row
 # schemas: Arrow's hash join (used for component attach and edge resolution)
 # rejects list<...> non-key columns, and a string column shuffles cheaper.
