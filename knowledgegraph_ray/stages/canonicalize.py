@@ -833,45 +833,20 @@ def _merge_group_rows(
     return row
 
 
-def _combine_mentions(batch: pa.Table) -> pa.Table:
-    """Map-side combiner for the group merge: collapse EXACT-duplicate
-    mentions (same comp + name + type + attrs + perms) to one row carrying
-    an ``n`` multiplicity column, keeping the duplicate set's min (mid, ord).
-
-    Exactness argument: every step of _merge_group_rows is idempotent for a
-    row identical to one already processed (appends are membership-checked,
-    scalar conflicts compare equality), so removing later exact duplicates
-    from the mid-ordered sequence cannot change the merged node — only
-    n_mentions, which the reducers now take from sum(n).  min(mid) within a
-    duplicate set preserves first-occurrence order (mid is globally dense),
-    and min(ord) equals the min-mid row's ord (mid = ord*CAP + i is monotone
-    in ord).  One pyarrow C++ group_by per block, no shuffle — this is what
-    keeps the merge sort's byte volume O(distinct mentions), not O(corpus),
-    at 100 TB (web text repeats the same entity snippet across many pages).
-    The ``url`` column is dropped here: the node merge never reads it."""
-    keys = ["comp", "entity_name", "entity_type", "attributes_json",
-            "permissions_json"]
-    if batch.num_rows == 0:
-        return MERGE_INPUT_SCHEMA.empty_table()
-    g = batch.select(keys + ["mid", "ord"]).group_by(keys).aggregate(
-        [("mid", "min"), ("ord", "min"), ("mid", "count")]
-    )
-    g = g.rename_columns(keys + ["mid", "ord", "n"])
-    return g.select(MERGE_INPUT_SCHEMA.names).cast(MERGE_INPUT_SCHEMA)
-
-
-MERGE_INPUT_SCHEMA = pa.schema(
-    [
-        ("comp", pa.int64()),
-        ("mid", pa.int64()),
-        ("ord", pa.int64()),
-        ("entity_name", pa.string()),
-        ("entity_type", pa.string()),
-        ("attributes_json", pa.string()),
-        ("permissions_json", pa.string()),
-        ("n", pa.int64()),
-    ]
-)
+# NOTE on map-side combining (measured, round 2): an exact-duplicate
+# combiner before the merge shuffle (group_by (comp, name, type, attrs,
+# perms) keeping min mid/ord + count) is semantically exact — every
+# _merge_group_rows step is idempotent for duplicate rows — but collapses
+# NOTHING on this engine's output: source-tracking (M11) embeds the page
+# url in every mention's attributes_json ("sources": [...]), so mention
+# rows are unique by construction (measured ratio 1.000 on 3.7M mentions).
+# The reducers keep the sum(n)/"n" fallback so pre-combined inputs from
+# other extractors still merge exactly; the pipeline itself only prunes the
+# unused url column before the shuffle.
+MERGE_COLUMNS = [
+    "comp", "mid", "ord", "entity_name", "entity_type",
+    "attributes_json", "permissions_json",
+]
 
 
 def merge_component_row(group: pa.Table) -> dict[str, Any]:
@@ -1090,10 +1065,10 @@ def canonicalize(
     # The identity rebatch after map_groups is load-bearing: map_groups emits
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
-    # Map-side combine before the merge shuffle: exact-duplicate mentions
-    # collapse per block (no-ops for the merge, see _combine_mentions), so
-    # the sort moves O(distinct mentions) bytes and url never shuffles.
-    merge_in = with_comp.map_batches(_combine_mentions, batch_format="pyarrow")
+    # Prune the merge shuffle to the columns the reducer reads (url never
+    # shuffles; exact-dup combining measured useless here — see MERGE_COLUMNS
+    # note above).
+    merge_in = with_comp.select_columns(MERGE_COLUMNS)
     nodes = grouped_apply(
         merge_in, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,

@@ -520,9 +520,16 @@ def merge_edge_block(block: pa.Table, starts) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=EDGES_SCHEMA)
 
 
+# Columns the edge-merge reducer actually reads (plus the order column);
+# everything else is pruned before the merge shuffle.
+EDGE_MERGE_COLUMNS = [
+    "canonical_src", "canonical_dst", "relationship_type", "ord",
+    "src_type", "dst_type", "description", "permissions_json",
+    "sources_json", "strength",
+]
+
 # Sub-stage wall times of the last materialize_edges() call (driver-side,
-# for bench attribution; keys: alias, resolve — the grouped merge is lazy
-# and lands in the caller's edges wall).
+# for bench attribution; keys: alias, resolve, merge).
 LAST_TIMINGS: dict[str, float] = {}
 
 
@@ -558,8 +565,12 @@ def materialize_edges(
     t0 = _time.monotonic()
     resolved = resolve_triples(triples, alias_map, num_partitions).materialize()
     LAST_TIMINGS["resolve"] = round(_time.monotonic() - t0, 3)
-    return grouped_apply(
-        resolved,
+    t0 = _time.monotonic()
+    merged = grouped_apply(
+        # prune to the columns the reducer reads: url and both pre-resolution
+        # surface strings never enter the merge shuffle (the widest in the
+        # graph stage)
+        resolved.select_columns(EDGE_MERGE_COLUMNS),
         ["canonical_src", "canonical_dst", "relationship_type"],
         merge_edge_row,
         EDGES_SCHEMA,
@@ -569,4 +580,6 @@ def materialize_edges(
         hash_sort=True,
         block_fn=merge_edge_block,
         order_col="ord",
-    )
+    ).materialize()
+    LAST_TIMINGS["merge"] = round(_time.monotonic() - t0, 3)
+    return merged

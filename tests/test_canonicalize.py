@@ -316,20 +316,18 @@ def test_merge_component_block_matches_row_reducer(ray_session):
     assert got.equals(want)
 
 
-def test_combine_mentions_exactness(ray_session):
-    """The map-side combiner collapses exact duplicates only, keeps min
-    (mid, ord) per duplicate set, and the reducer's n_mentions from sum(n)
-    equals the raw row count — so merge-over-combined == merge-over-raw."""
+def test_merge_reducers_precombined_n_column(ray_session):
+    """Reducers accept pre-combined input (exact-dup mentions collapsed to
+    one row + multiplicity ``n``, url column dropped) and produce the same
+    node as the raw mention sequence — exact-duplicate rows are no-ops for
+    every merge step, and n_mentions comes from sum(n)."""
     import numpy as np
 
     from knowledgegraph_ray.stages.canonicalize import (
-        _combine_mentions,
         merge_component_block,
         merge_component_row,
     )
 
-    rows = []
-    # comp 0: 5 raw mentions, two exact duplicate sets + one unique
     dup_a = {
         "url": "u0", "entity_name": "Acme", "entity_type": "Organization",
         "attributes_json": '{"name": "Acme", "description": ["d"]}',
@@ -340,24 +338,17 @@ def test_combine_mentions_exactness(ray_session):
         "attributes_json": '{"name": "Acme Corp"}',
         "permissions_json": '["g"]', "comp": 0,
     }
-    for mid, proto in [(7, dup_a), (3, dup_b), (5, dup_a), (9, dup_b), (11, dup_a)]:
-        rows.append({**proto, "mid": mid, "ord": mid // 2})
-    tbl = pa.Table.from_pylist(rows)
-
-    combined = _combine_mentions(tbl)
-    assert combined.num_rows == 2
-    assert "url" not in combined.column_names
-    by_name = {
-        r["entity_name"]: r for r in combined.to_pylist()
-    }
-    assert by_name["Acme"]["mid"] == 5 and by_name["Acme"]["n"] == 3
-    assert by_name["Acme Corp"]["mid"] == 3 and by_name["Acme Corp"]["n"] == 2
-    assert by_name["Acme"]["ord"] == 2 and by_name["Acme Corp"]["ord"] == 1
-
-    # block reducer over the combined rows == row reducer over raw rows
-    csort = combined.sort_by("mid")
-    got = merge_component_block(csort, np.array([0]))
-    want = merge_component_row(tbl.sort_by("mid"))
-    got_row = got.to_pylist()[0]
-    assert got_row == want
-    assert got_row["n_mentions"] == 5
+    raw = pa.Table.from_pylist(
+        [{**proto, "mid": mid, "ord": mid // 2}
+         for mid, proto in [(7, dup_a), (3, dup_b), (5, dup_a), (9, dup_b), (11, dup_a)]]
+    )
+    combined = pa.Table.from_pylist(
+        [
+            {k: v for k, v in dup_b.items() if k != "url"} | {"mid": 3, "ord": 1, "n": 2},
+            {k: v for k, v in dup_a.items() if k != "url"} | {"mid": 5, "ord": 2, "n": 3},
+        ]
+    )
+    got = merge_component_block(combined, np.array([0])).to_pylist()[0]
+    want = merge_component_row(raw.sort_by("mid"))
+    assert got == want
+    assert got["n_mentions"] == 5
