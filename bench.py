@@ -78,9 +78,8 @@ def run_kg(sf_dir: str, num_cpus: int) -> dict:
         paths,
         work,
         batch_size=256,
-        # half the CPUs for the fused prepare+extract actor pool; the rest
-        # keep the read/write task operators fed (a full-width pool starves
-        # them and stalls the stream)
+        # concurrency only applies to injected-backend actor pools; the
+        # default extraction path is a stateless task fn fused with the read
         concurrency=max(2, num_cpus // 2),
         num_partitions=max(8, num_cpus),
         wave_size=64,
