@@ -76,23 +76,26 @@ def q_point_lookup(sf_dir: str):
 
 
 def q_groupby_count(sf_dir: str):
-    """D9/K3: histogram by lang."""
-    return (
-        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    """D9/K3: histogram by lang (map-side partial count, tiny final agg)."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    return partial_grouped_agg(
+        _docs(sf_dir, ["lang"]), ["lang"], count_alias="n_docs"
     )
 
 
 def q_doc_stats_by_source(sf_dir: str):
-    """D9/D10: per-source doc count + char sum + char extremes."""
-    return (
-        _docs(sf_dir, ["source", "n_chars"])
-        .groupby("source")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"),
-            Min("n_chars", alias_name="min_chars"),
-            Max("n_chars", alias_name="max_chars"),
-        )
+    """D9/D10: per-source doc count + char sum + char extremes — map-side
+    partials collapse each block to one row per source before the shuffle."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    return partial_grouped_agg(
+        _docs(sf_dir, ["source", "n_chars"]),
+        ["source"],
+        sums={"n_chars": "sum_chars"},
+        mins={"n_chars": "min_chars"},
+        maxs={"n_chars": "max_chars"},
+        count_alias="n_docs",
     )
 
 
@@ -139,48 +142,51 @@ def q_join_agg(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """J2-analog (left semi): customers with at least one order, per nation."""
-    orders_keys = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["o_custkey"])
+    """J2-analog (left semi): customers with at least one order, per nation.
+    The probe side is a shuffle-free distinct-key set (per-block unique +
+    one combine task) broadcast into the join."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys, partial_grouped_agg
+
+    orders_keys = distinct_keys(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        ["o_custkey"],
     )
     customer = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    from ..functions.joins import adaptive_join
-
     semi = adaptive_join(
         customer, orders_keys, left_keys=["c_custkey"], right_keys=["o_custkey"], how="inner"
     )
-    return (
-        semi.groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_customers"))
-        .rename_columns({"c_nationkey": "nationkey"})
-    )
+    return partial_grouped_agg(
+        semi, ["c_nationkey"], count_alias="n_customers"
+    ).rename_columns({"c_nationkey": "nationkey"})
 
 
 def q_anti_join(sf_dir: str):
     """M3/J2-analog (left anti): orders with no lineitems, per priority — the
-    same shape as checkpoint-resume's skip-done anti-join."""
-    li_keys = (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-        .groupby("l_orderkey")
-        .aggregate(Count(alias_name="has"))
+    same shape as checkpoint-resume's skip-done anti-join.  The existence set
+    is a shuffle-free distinct-key build; the left join broadcasts it."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys, partial_grouped_agg
+
+    li_keys = distinct_keys(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+        ["l_orderkey"],
+    ).map_batches(
+        lambda b: b.append_column("has", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
     )
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    from ..functions.joins import adaptive_join
-
     joined = adaptive_join(
         orders, li_keys, left_keys=["o_orderkey"], right_keys=["l_orderkey"], how="left"
     )
     anti = joined.map_batches(
         lambda b: b.filter(pc.is_null(b.column("has"))), batch_format="pyarrow"
     )
-    return anti.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    return partial_grouped_agg(anti, ["o_orderpriority"], count_alias="n_orders")
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -196,15 +202,17 @@ def q_lineitem_agg(sf_dir: str):
         b = _cents(b, "l_discount", "disc_cents")
         return b.select(["l_returnflag", "l_linestatus", "qty_cents", "price_cents", "disc_cents"])
 
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_cents", alias_name="sum_qty_cents"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="n_rows"),
-        )
+    from ..stages.aggregates import partial_grouped_agg
+
+    return partial_grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "qty_cents": "sum_qty_cents",
+            "price_cents": "sum_price_cents",
+            "disc_cents": "sum_disc_cents",
+        },
+        count_alias="n_rows",
     )
 
 
@@ -218,10 +226,13 @@ def q_events_hourly(sf_dir: str):
         b = _cents(b, "value", "value_cents")
         return b.select(["hour", "event_type", "value_cents"])
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    from ..stages.aggregates import partial_grouped_agg
+
+    return partial_grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        sums={"value_cents": "sum_value_cents"},
+        count_alias="n",
     )
 
 

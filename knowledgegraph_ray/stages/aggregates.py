@@ -101,3 +101,87 @@ def grouped_count_distinct(
         .aggregate(Count(alias_name=out_col))
         .select_columns([key_col, out_col])
     )
+
+
+def partial_grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_alias: str | None = None,
+) -> rd.Dataset:
+    """Distributive grouped aggregate with MAP-SIDE combine.
+
+    Each block first collapses to one partial row per in-block group
+    (pyarrow C++ hash group_by), so the Ray groupby exchange moves
+    O(groups × blocks) rows instead of the input row count — the combiner
+    pattern every wide aggregate needs at 100 TB.  Only distributive
+    aggregates are offered (sum/min/max/count); their partial combine is
+    exact.  ``sums``/``mins``/``maxs`` map source column → output name."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    sums = dict(sums or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
+    aggs = (
+        [(c, "sum") for c in sums]
+        + [(c, "min") for c in mins]
+        + [(c, "max") for c in maxs]
+    )
+    out_names = list(sums.values()) + list(mins.values()) + list(maxs.values())
+    if count_alias:
+        aggs.append(("_one", "sum"))
+        out_names.append(count_alias)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if count_alias:
+            block = block.append_column(
+                "_one", pa.array(np.ones(block.num_rows, np.int64))
+            )
+        g = block.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + out_names)
+
+    final = [Sum(o, alias_name=o) for o in sums.values()]
+    final += [Min(o, alias_name=o) for o in mins.values()]
+    final += [Max(o, alias_name=o) for o in maxs.values()]
+    if count_alias:
+        final.append(Sum(count_alias, alias_name=count_alias))
+    return (
+        ds.map_batches(per_block, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*final)
+    )
+
+
+def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Global distinct key rows with NO all-to-all exchange: per-block
+    unique (C++ hash group_by) collapses each block to its distinct keys,
+    then ONE bounded zero-CPU task combines the partials — the same shape
+    as the shared broadcast-index build in functions/joins.py.  Correct
+    whenever the global distinct-key set fits one task's heap (semi/anti
+    join key sets, dimension keys); at higher cardinality use a groupby —
+    this operator trades generality for removing the sort shuffle."""
+    import ray
+
+    def per_block(b: pa.Table) -> pa.Table:
+        return b.select(keys).group_by(keys).aggregate([])
+
+    per = ds.map_batches(per_block, batch_format="pyarrow").materialize()
+    schema = per.schema().base_schema
+    refs = per.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def combine(refs: list) -> pa.Table:
+        # refs arrive as a list of ObjectRefs (nested refs are not
+        # auto-resolved); fetch zero-copy from the local object store
+        tbls = [t for t in ray.get(refs) if t.num_rows]
+        if not tbls:
+            return schema.empty_table()
+        t = pa.concat_tables(tbls).combine_chunks()
+        return t.group_by(keys).aggregate([])
+
+    return rd.from_arrow_refs([combine.remote(refs)])
