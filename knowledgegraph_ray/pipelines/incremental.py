@@ -64,6 +64,8 @@ def _pseudo_mention_block(tbl: pa.Table, offset: int) -> pa.Table:
     types = tbl.column("type").to_pylist() if n else []
     perms = arrays.get("permissions", [None] * n)
     attrs_json: list[str] = []
+    sources_json: list[str] = []
+    node_sources = arrays.get("sources", [None] * n)
     for i in range(n):
         attrs: dict[str, Any] = {}
         for c, vals in scalars.items():
@@ -71,10 +73,13 @@ def _pseudo_mention_block(tbl: pa.Table, offset: int) -> pa.Table:
             if v:
                 attrs[c] = v
         for c, vals in arrays.items():
+            # sources travel out-of-band (MENTION_SCHEMA.sources_json)
             v = vals[i]
-            if v:
+            if v and c != "sources":
                 attrs[c] = list(v)
         attrs_json.append(json.dumps(attrs, sort_keys=True))
+        # always explicit JSON here: "" would mean [url] == [EXISTING_URL]
+        sources_json.append(json.dumps(list(node_sources[i] or [])))
     mids = list(range(EXISTING_BASE + offset, EXISTING_BASE + offset + n))
     return pa.Table.from_pydict(
         {
@@ -84,6 +89,7 @@ def _pseudo_mention_block(tbl: pa.Table, offset: int) -> pa.Table:
             "entity_name": pa.array(names, pa.string()),
             "entity_type": pa.array(types, pa.string()),
             "attributes_json": pa.array(attrs_json, pa.string()),
+            "sources_json": pa.array(sources_json, pa.string()),
             "permissions_json": pa.array(
                 [json.dumps(p or []) for p in perms], pa.string()
             ),

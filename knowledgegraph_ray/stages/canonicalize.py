@@ -733,6 +733,7 @@ def _merge_group_rows(
     attrs_list: list[dict[str, Any]],
     urls: list[str],
     perms_list: list[list[str]],
+    sources_list: list[list[str]] | None = None,
 ) -> dict[str, Any]:
     """Merge one sorted component into a canonical node (rows pre-sorted by
     mid).  Mirrors _create_entity_from_group (systematic_merge_provider.py:
@@ -794,6 +795,20 @@ def _merge_group_rows(
                         fs.add(x)
                         fl.append(x)
 
+    # Source tracking (M11) when sources are carried out-of-band (the
+    # mention schema lifts the parser-injected sources out of
+    # attributes_json; see extract.ENTITY_T).  Append-unique per row in mid
+    # order — identical to the in-attrs path, since every merge field is an
+    # independent ordered append-unique.
+    if sources_list is not None and "sources" in valid_fields:
+        sl = merged.setdefault("sources", [])
+        ss = seen_sets.setdefault("sources", set(sl))
+        for svals in sources_list:
+            for s_ in svals or []:
+                if s_ and s_ not in ss:
+                    ss.add(s_)
+                    sl.append(s_)
+
     # Page-level permission injection (M10): union all page permissions.
     if "permissions" in valid_fields:
         pl = merged.setdefault("permissions", [])
@@ -845,7 +860,7 @@ def _merge_group_rows(
 # unused url column before the shuffle.
 MERGE_COLUMNS = [
     "comp", "mid", "ord", "entity_name", "entity_type",
-    "attributes_json", "permissions_json",
+    "attributes_json", "sources_json", "url", "permissions_json",
 ]
 
 
@@ -858,8 +873,15 @@ def merge_component_row(group: pa.Table) -> dict[str, Any]:
     attrs_list = [json.loads(a) if a else {} for a in g.column("attributes_json").to_pylist()]
     urls = g.column("url").to_pylist() if "url" in g.column_names else [None] * g.num_rows
     perms = [json.loads(x) if x else [] for x in g.column("permissions_json").to_pylist()]
+    sources_list = None
+    if "sources_json" in g.column_names:
+        # "" encodes exactly [url] (extract.ENTITY_T)
+        sources_list = [
+            json.loads(s) if s else [urls[i]]
+            for i, s in enumerate(g.column("sources_json").to_pylist())
+        ]
 
-    row = _merge_group_rows(etype, names, attrs_list, urls, perms)
+    row = _merge_group_rows(etype, names, attrs_list, urls, perms, sources_list)
     row["comp"] = g.column("comp")[0].as_py()
     row["min_ord"] = g.column("ord")[0].as_py()
     row["n_mentions"] = (
@@ -873,57 +895,70 @@ def merge_component_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([merge_component_row(group)], schema=NODES_SCHEMA)
 
 
+def _dict_col(block: pa.Table, name: str):
+    """(distinct_values, int32 index array) for a string column — the block
+    converts 10^6 rows to Python through its few distinct strings instead of
+    materializing one str object per row."""
+    col = block.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    return d.dictionary.to_pylist(), d.indices.to_numpy(zero_copy_only=False)
+
+
 def merge_component_block(block: pa.Table, starts) -> pa.Table:
     """Block reducer: all components of one sorted block at once (rows
     pre-sorted by (comp run, mid) by grouped_apply).  Semantics identical to
-    merge_component_row per run; each column converts to Python ONCE per
-    block and JSON payloads parse once per distinct string — the per-group
-    Arrow overhead (sort_indices/take/to_pylist × 10^5 groups) was a
-    measured graph-stage cost."""
+    merge_component_row per run.  Every string column is dictionary-encoded
+    first and JSON payloads parse ONCE PER DISTINCT STRING — with sources
+    lifted out of attributes_json the attrs/perms dictionaries are tiny
+    relative to the row count, so the reducer's Python allocation rate (the
+    measured non-scaling cost on a shared memory bus) is O(distinct), not
+    O(rows)."""
     import numpy as np
 
     n = block.num_rows
     ends = np.r_[starts[1:], n]
-    etype_l = block.column("entity_type").to_pylist()
-    names_l = block.column("entity_name").to_pylist()
-    attrs_raw = block.column("attributes_json").to_pylist()
-    perms_raw = block.column("permissions_json").to_pylist()
-    urls_l = (
-        block.column("url").to_pylist() if "url" in block.column_names else [None] * n
-    )
-    comps_l = block.column("comp").to_pylist()
-    ords_l = block.column("ord").to_pylist()
+    has_url = "url" in block.column_names
+    has_src = "sources_json" in block.column_names
+    etype_v, etype_i = _dict_col(block, "entity_type")
+    name_v, name_i = _dict_col(block, "entity_name")
+    attr_v, attr_i = _dict_col(block, "attributes_json")
+    perm_v, perm_i = _dict_col(block, "permissions_json")
+    if has_url:
+        url_v, url_i = _dict_col(block, "url")
+    if has_src:
+        src_v, src_i = _dict_col(block, "sources_json")
+        # parsed per distinct; None marks the "" == [url] fast path
+        src_p = [json.loads(s) if s else None for s in src_v]
+    attr_p = [json.loads(s) if s else {} for s in attr_v]
+    perm_p = [json.loads(s) if s else [] for s in perm_v]
+    comps = block.column("comp").to_numpy(zero_copy_only=False)
+    ords = block.column("ord").to_numpy(zero_copy_only=False)
     counts = (
         block.column("n").to_numpy(zero_copy_only=False)
         if "n" in block.column_names
         else None
     )
-    acache: dict[str, Any] = {}
-    pcache: dict[str, Any] = {}
-
-    def _ja(s: str):
-        v = acache.get(s)
-        if v is None:
-            v = acache[s] = json.loads(s) if s else {}
-        return v
-
-    def _jp(s: str):
-        v = pcache.get(s)
-        if v is None:
-            v = pcache[s] = json.loads(s) if s else []
-        return v
 
     rows = []
     for s, e in zip(starts.tolist(), ends.tolist()):
+        sources_list = None
+        if has_src:
+            sources_list = [
+                (src_p[src_i[i]] if src_v[src_i[i]] else [url_v[url_i[i]]])
+                for i in range(s, e)
+            ]
         row = _merge_group_rows(
-            etype_l[s],
-            names_l[s:e],
-            [_ja(a) for a in attrs_raw[s:e]],
-            urls_l[s:e],
-            [_jp(p) for p in perms_raw[s:e]],
+            etype_v[etype_i[s]],
+            [name_v[j] for j in name_i[s:e]],
+            [attr_p[j] for j in attr_i[s:e]],
+            [url_v[j] for j in url_i[s:e]] if has_url else [None] * (e - s),
+            [perm_p[j] for j in perm_i[s:e]],
+            sources_list,
         )
-        row["comp"] = comps_l[s]
-        row["min_ord"] = ords_l[s]
+        row["comp"] = int(comps[s])
+        row["min_ord"] = int(ords[s])
         row["n_mentions"] = int(counts[s:e].sum()) if counts is not None else e - s
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
@@ -1065,10 +1100,12 @@ def canonicalize(
     # The identity rebatch after map_groups is load-bearing: map_groups emits
     # one tiny block per group, and everything downstream (repartition,
     # write_parquet, joins) degrades with thousands of blocks.
-    # Prune the merge shuffle to the columns the reducer reads (url never
-    # shuffles; exact-dup combining measured useless here — see MERGE_COLUMNS
-    # note above).
-    merge_in = with_comp.select_columns(MERGE_COLUMNS)
+    # Prune the merge shuffle to the columns the reducer reads (legacy
+    # fixtures without out-of-band sources keep their subset; exact-dup
+    # combining measured useless here — see MERGE_COLUMNS note above).
+    _sch = with_comp.schema()
+    _have = set(_sch.names if _sch is not None else [])
+    merge_in = with_comp.select_columns([c for c in MERGE_COLUMNS if c in _have])
     nodes = grouped_apply(
         merge_in, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,

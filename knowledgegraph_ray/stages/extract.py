@@ -46,6 +46,12 @@ ENTITY_T = pa.struct(
         ("entity_name", pa.string()),
         ("entity_type", pa.string()),
         ("attributes_json", pa.string()),
+        # Source-tracking (M11) lifted out of attributes_json: the parser
+        # injects the page url into every entity's sources
+        # (tuple_format.py:75-81), which would make every attributes_json
+        # unique and defeat downstream parse-once dictionary encoding.  ""
+        # means exactly [url]; anything else is the JSON of the full list.
+        ("sources_json", pa.string()),
     ]
 )
 REL_T = pa.struct(
@@ -309,16 +315,21 @@ class TripleExtractor:
             out["shard"].append(shard or "")
             out["permissions"].append(perm or [])
             out["error"].append(error)
-            out["entities"].append(
-                [
+            ent_rows = []
+            for e in ents:
+                attrs = dict(e["attributes"])
+                srcs = attrs.pop("sources", None) or []
+                ent_rows.append(
                     {
                         "entity_name": e["entity_name"],
                         "entity_type": e["entity_type"],
-                        "attributes_json": json.dumps(e["attributes"], sort_keys=True),
+                        "attributes_json": json.dumps(attrs, sort_keys=True),
+                        # "" encodes the overwhelmingly common exact-[url]
+                        # case without a JSON string per mention
+                        "sources_json": "" if srcs == [url] else json.dumps(srcs),
                     }
-                    for e in ents
-                ]
-            )
+                )
+            out["entities"].append(ent_rows)
             out["relationships"].append(
                 [
                     {
@@ -372,6 +383,7 @@ MENTION_SCHEMA = pa.schema(
         ("entity_name", pa.string()),
         ("entity_type", pa.string()),
         ("attributes_json", pa.string()),
+        ("sources_json", pa.string()),  # "" == [url] (see ENTITY_T)
         ("permissions_json", pa.string()),
     ]
 )
@@ -414,6 +426,7 @@ def explode_mentions(batch: pa.Table) -> pa.Table:
             out["entity_name"].append(e["entity_name"])
             out["entity_type"].append(e["entity_type"])
             out["attributes_json"].append(e["attributes_json"])
+            out["sources_json"].append(e.get("sources_json") or "")
             out["permissions_json"].append(json.dumps(perm or []))
     return pa.Table.from_pydict(out, schema=MENTION_SCHEMA)
 

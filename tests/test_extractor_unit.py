@@ -42,7 +42,10 @@ def test_works_at_sentence():
         next(e for e in ents if e["entity_type"] == "Person")["attributes_json"]
     )
     assert person_attrs["email"] == "sarah.jones@acme-corp.com"
-    assert person_attrs["sources"] == ["d1"]
+    # sources travel out-of-band: "" encodes exactly [url] (extract.ENTITY_T)
+    assert "sources" not in person_attrs
+    person = next(e for e in ents if e["entity_type"] == "Person")
+    assert person["sources_json"] == ""
     assert len(rels) == 1
     r = rels[0]
     assert (r["source_entity"], r["relationship_type"], r["target_entity"]) == (
