@@ -401,13 +401,14 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
             hit = json_cache[raw] = json.loads(raw) if raw else []
         return hit
 
-    for desc, tag, pj, sj, s in zip(
+    urls = g.column("url").to_pylist() if "url" in g.column_names else None
+    for i, (desc, tag, pj, sj, s) in enumerate(zip(
         g.column("description").to_pylist(),
         g.column("relationship_type").to_pylist(),
         g.column("permissions_json").to_pylist(),
         g.column("sources_json").to_pylist(),
         g.column("strength").to_pylist(),
-    ):
+    )):
         if desc and desc not in d_seen:
             d_seen.add(desc)
             descriptions.append(desc)
@@ -418,7 +419,9 @@ def merge_edge_row(group: pa.Table) -> dict[str, Any]:
             if p and p not in p_seen:
                 p_seen.add(p)
                 perms.append(p)
-        for sid in parsed(sj):
+        # "" encodes exactly [url] (extract.explode_triples)
+        svals = parsed(sj) if sj else ([urls[i]] if urls else [])
+        for sid in svals:
             if sid and sid not in s_seen:
                 s_seen.add(sid)
                 sources.append(sid)
@@ -455,28 +458,32 @@ def merge_edge_block(block: pa.Table, starts) -> pa.Table:
     10^4-10^5 groups) was a measured graph-stage cost."""
     import numpy as np
 
+    from .canonicalize import _dict_col
+
     n = block.num_rows
     ends = np.r_[starts[1:], n]
-    src_l = block.column("canonical_src").to_pylist()
-    dst_l = block.column("canonical_dst").to_pylist()
-    rt_l = block.column("relationship_type").to_pylist()
-    st_l = block.column("src_type").to_pylist()
-    dt_l = block.column("dst_type").to_pylist()
-    desc_l = block.column("description").to_pylist()
-    pj_l = block.column("permissions_json").to_pylist()
-    sj_l = block.column("sources_json").to_pylist()
-    str_l = block.column("strength").to_pylist()
-    json_cache: dict[str, list] = {}
-
-    def parsed(raw: str) -> list:
-        hit = json_cache.get(raw)
-        if hit is None:
-            hit = json_cache[raw] = json.loads(raw) if raw else []
-        return hit
+    # dictionary-encoded columns: Python objects and JSON parses are
+    # O(distinct strings) per block, not O(rows) — the node-merge fix applied
+    # to the edge merge (descriptions/types repeat heavily; sources_json is
+    # "" == [url] for every parser-emitted triple)
+    src_v, src_i = _dict_col(block, "canonical_src")
+    dst_v, dst_i = _dict_col(block, "canonical_dst")
+    rt_v, rt_i = _dict_col(block, "relationship_type")
+    st_v, st_i = _dict_col(block, "src_type")
+    dt_v, dt_i = _dict_col(block, "dst_type")
+    desc_v, desc_i = _dict_col(block, "description")
+    pj_v, pj_i = _dict_col(block, "permissions_json")
+    sj_v, sj_i = _dict_col(block, "sources_json")
+    pj_p = [json.loads(x) if x else [] for x in pj_v]
+    sj_p = [json.loads(x) if x else None for x in sj_v]  # None == [url]
+    has_url = "url" in block.column_names
+    if has_url:
+        url_v, url_i = _dict_col(block, "url")
+    str_l = block.column("strength").to_numpy(zero_copy_only=False)
 
     cols: dict[str, list] = {k: [] for k in EDGES_SCHEMA.names}
     for s, e in zip(starts.tolist(), ends.tolist()):
-        src, dst, rtype = src_l[s], dst_l[s], rt_l[s]
+        src, dst, rtype = src_v[src_i[s]], dst_v[dst_i[s]], rt_v[rt_i[s]]
         descriptions: list[str] = []
         tags: list[str] = []
         perms: list[str] = []
@@ -487,19 +494,22 @@ def merge_edge_block(block: pa.Table, starts) -> pa.Table:
         s_seen: set = set()
         strength = 0.0
         for i in range(s, e):
-            desc = desc_l[i]
+            desc = desc_v[desc_i[i]]
             if desc and desc not in d_seen:
                 d_seen.add(desc)
                 descriptions.append(desc)
-            tag = rt_l[i]
+            tag = rt_v[rt_i[i]]
             if tag and tag not in t_seen:
                 t_seen.add(tag)
                 tags.append(tag)
-            for p in parsed(pj_l[i]):
+            for p in pj_p[pj_i[i]]:
                 if p and p not in p_seen:
                     p_seen.add(p)
                     perms.append(p)
-            for sid in parsed(sj_l[i]):
+            svals = sj_p[sj_i[i]]
+            if svals is None:
+                svals = [url_v[url_i[i]]] if has_url else []
+            for sid in svals:
                 if sid and sid not in s_seen:
                     s_seen.add(sid)
                     sources.append(sid)
@@ -514,8 +524,8 @@ def merge_edge_block(block: pa.Table, starts) -> pa.Table:
         cols["strength"].append(strength)
         cols["permissions"].append(perms)
         cols["sources"].append(sources)
-        cols["src_type"].append(st_l[s])
-        cols["dst_type"].append(dt_l[s])
+        cols["src_type"].append(st_v[st_i[s]])
+        cols["dst_type"].append(dt_v[dt_i[s]])
         cols["n_raw"].append(e - s)
     return pa.Table.from_pydict(cols, schema=EDGES_SCHEMA)
 
@@ -525,7 +535,7 @@ def merge_edge_block(block: pa.Table, starts) -> pa.Table:
 EDGE_MERGE_COLUMNS = [
     "canonical_src", "canonical_dst", "relationship_type", "ord",
     "src_type", "dst_type", "description", "permissions_json",
-    "sources_json", "strength",
+    "sources_json", "url", "strength",
 ]
 
 # Sub-stage wall times of the last materialize_edges() call (driver-side,

@@ -448,6 +448,10 @@ def explode_triples(batch: pa.Table) -> pa.Table:
             out["relationship_type"].append(r["relationship_type"])
             out["description"].append(r["description"])
             out["strength"].append(r["strength"])
-            out["sources_json"].append(json.dumps(r["sources"] or []))
+            # "" encodes exactly [url] — the parser's unconditional
+            # sources=[item_id] (tuple_format.py:109), i.e. every triple
+            out["sources_json"].append(
+                "" if (r["sources"] or []) == [url] else json.dumps(r["sources"] or [])
+            )
             out["permissions_json"].append(json.dumps(perm or []))
     return pa.Table.from_pydict(out, schema=TRIPLE_SCHEMA)
