@@ -81,7 +81,8 @@ def test_explode_carries_permissions_and_ordinals():
     assert triples.num_rows == 2  # FILED + BELONGS_TO
     assert set(triples.column("relationship_type").to_pylist()) == {"FILED", "BELONGS_TO"}
     assert json.loads(triples.column("permissions_json")[0].as_py()) == ["viewer@a.com"]
-    assert json.loads(triples.column("sources_json")[0].as_py()) == ["d9"]
+    # "" encodes exactly [url] (out-of-band source tracking)
+    assert triples.column("sources_json")[0].as_py() == ""
 
 
 def test_duplicate_surface_attrs_merge_first_wins_scalar_union_list():
