@@ -183,6 +183,60 @@ def _rewrite_existing_edges(edges: rd.Dataset, rename: pa.Table) -> rd.Dataset:
     return e.map_batches(apply, batch_format="pyarrow")
 
 
+def _edge_union_block(block: pa.Table, starts) -> pa.Table:
+    """Block reducer over every (src, dst, type) run of one sorted block
+    (rows pre-sorted by (run, ord) by grouped_apply, existing rows first
+    since EXISTING_BASE < 0) — semantics identical to `_edge_union_row` per
+    run: array append-unique in ord order, MAX strength, n_raw sum.  Each
+    column converts to Python ONCE per block instead of one `.as_py()` per
+    cell per group — at scale the incremental union covers the FULL existing
+    graph, the same regime that motivated `edges.merge_edge_block`."""
+    import numpy as np
+
+    n = block.num_rows
+    ends = np.r_[starts[1:], n]
+    src_l = block.column("src").to_pylist()
+    dst_l = block.column("dst").to_pylist()
+    typ_l = block.column("type").to_pylist()
+    st_l = block.column("src_type").to_pylist()
+    dt_l = block.column("dst_type").to_pylist()
+    nraw = block.column("n_raw").to_numpy(zero_copy_only=False)
+    str_l = block.column("strength").to_numpy(zero_copy_only=False)
+    arr_cols = {
+        c: block.column(c).to_pylist()
+        for c in ("relationTag", "description", "permissions", "sources")
+    }
+    cols: dict[str, list] = {k: [] for k in EDGES_SCHEMA.names}
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        src, dst, rtype = src_l[s], dst_l[s], typ_l[s]
+        merged: dict[str, list] = {c: [] for c in arr_cols}
+        seen: dict[str, set] = {c: set() for c in arr_cols}
+        stmax = 0.0
+        for i in range(s, e):
+            for c, vals in arr_cols.items():
+                m_c, s_c = merged[c], seen[c]
+                for v in vals[i] or []:
+                    if v and v not in s_c:
+                        s_c.add(v)
+                        m_c.append(v)
+            sv = str_l[i]
+            if sv and float(sv) > stmax:
+                stmax = float(sv)
+        cols["relation_id"].append(relation_id(src, dst, rtype))
+        cols["src"].append(src)
+        cols["dst"].append(dst)
+        cols["type"].append(rtype)
+        cols["relationTag"].append(merged["relationTag"])
+        cols["description"].append(merged["description"])
+        cols["strength"].append(stmax)
+        cols["permissions"].append(merged["permissions"])
+        cols["sources"].append(merged["sources"])
+        cols["src_type"].append(st_l[s])
+        cols["dst_type"].append(dt_l[s])
+        cols["n_raw"].append(int(nraw[s:e].sum()))
+    return pa.Table.from_pydict(cols, schema=EDGES_SCHEMA)
+
+
 def _edge_union_row(group: pa.Table) -> dict[str, Any]:
     """Merge EDGES_SCHEMA rows for one (src, dst, type): existing rows first
     (ord column), array append-unique, MAX strength
@@ -273,6 +327,11 @@ def incremental_merge(
     merged_edges = grouped_apply(
         all_edges, ["src", "dst", "type"], _edge_union_row, EDGES_SCHEMA,
         num_partitions=num_partitions,
+        # 16-byte hash sort keys + block reducer: same shuffle/reducer shape
+        # as the main-path edge merge (the union spans the FULL existing graph)
+        hash_sort=True,
+        block_fn=_edge_union_block,
+        order_col="ord",
     ).materialize()
 
     nodes_dir = os.path.join(out_dir, "nodes")

@@ -412,6 +412,14 @@ def q_norm_text(sf_dir: str):
     )
 
 
+def q_top_terms(sf_dir: str):
+    """Corpus wordcount top-50: vectorized tokenize → per-block value_counts
+    (map-side combine) → small groupby-sum → sort+limit over group rows."""
+    from ..stages.textops import top_terms
+
+    return top_terms(_docs(sf_dir, ["text"]), k=50)
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -772,6 +780,18 @@ ORACLE_SQL: dict[str, str] = {
                  AS norm_text
         FROM documents
     """,
+    # ASCII [A-Za-z0-9]+ token runs lowercased per token — lower() is
+    # ASCII-only on both sides by construction; ties broken by term
+    "q_top_terms": """
+        WITH toks AS (
+          SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY term
+        ORDER BY cnt DESC, term ASC
+        LIMIT 50
+    """,
     # deterministic hash sampling: bucket = first 16 md5 hex chars as uint64
     # mod 1e6 — the exact predicate stages/sampling.py applies per batch
     "q_sample_uniform": """
@@ -831,6 +851,7 @@ QUERIES = {
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,
     "q_norm_text": q_norm_text,
+    "q_top_terms": q_top_terms,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,
     "q_knn_top10": q_knn_top10,

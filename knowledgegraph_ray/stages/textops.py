@@ -245,3 +245,43 @@ def detect_lang(text: str) -> str:
 def add_lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     langs = [detect_lang(t or "") for t in batch.column(text_col).to_pylist()]
     return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def top_terms(
+    ds: "rd.Dataset",  # noqa: F821 - imported lazily to keep textops Arrow-only
+    k: int = 50,
+    text_col: str = "text",
+):
+    """Corpus-level term-frequency top-k — the canonical webtext wordcount.
+
+    Tokens are ASCII ``[A-Za-z0-9]+`` runs lowercased per token (ASCII-only
+    lowering, so any SQL oracle's ``lower()`` agrees byte-for-byte on every
+    input).  Fully vectorized: one RE2 split over each batch buffer
+    (``pc.split_pattern_regex``), flatten, then a per-batch ``value_counts``
+    collapses the block to its distinct terms BEFORE the shuffle — the
+    exchange moves O(distinct terms x blocks) rows, never the token count.
+    The final groupby-sum output is Zipf-small; top-k is a sort+limit over
+    group rows, not tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregates import partial_grouped_agg
+
+    def explode_counts(block: pa.Table) -> pa.Table:
+        col = block.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, "[^A-Za-z0-9]+")
+        flat = pc.ascii_lower(pc.list_flatten(toks))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(explode_counts, batch_format="pyarrow")
+    agg = partial_grouped_agg(counts, ["term"], sums={"cnt": "cnt"})
+    return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)

@@ -63,3 +63,19 @@ def test_gopher_symbol_ratio_counts_ellipsis():
     out = add_gopher_flags(_tbl(["wait... what... # done"]))
     # 2 "..." + 1 "#" over 4 tokens = 0.75
     assert out.column("symbol_ratio").to_pylist() == [0.75]
+
+
+def test_top_terms_tokenization_and_order(ray_session):
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import top_terms
+
+    ds = rd.from_arrow(_tbl([
+        "The cat, the CAT--and a dog!",
+        "cat 42 dog dog",
+        "",
+    ]))
+    got = top_terms(ds, k=3).to_pandas()
+    # counts: the=2+... "The"/"the"/"CAT"/"cat" ASCII-lower; punctuation splits
+    assert list(got["term"]) == ["cat", "dog", "the"]
+    assert list(got["cnt"]) == [3, 3, 2]  # cat/dog tie broken by term ascending
