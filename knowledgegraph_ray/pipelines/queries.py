@@ -420,6 +420,14 @@ def q_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir, ["text"]), k=50)
 
 
+def q_top_terms_sketch(sf_dir: str):
+    """Heavy-hitter scale path: bounded per-block summaries + exact recount
+    of the pruned candidate set — provably identical output to q_top_terms."""
+    from ..stages.textops import top_terms_sketch
+
+    return top_terms_sketch(_docs(sf_dir, ["text"]), k=50)
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -792,6 +800,18 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cnt DESC, term ASC
         LIMIT 50
     """,
+    # the sketch path's output is exact top-k by construction (candidate
+    # upper/lower-bound pruning + exact recount) — same oracle as q_top_terms
+    "q_top_terms_sketch": """
+        WITH toks AS (
+          SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY term
+        ORDER BY cnt DESC, term ASC
+        LIMIT 50
+    """,
     # deterministic hash sampling: bucket = first 16 md5 hex chars as uint64
     # mod 1e6 — the exact predicate stages/sampling.py applies per batch
     "q_sample_uniform": """
@@ -852,6 +872,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_norm_text": q_norm_text,
     "q_top_terms": q_top_terms,
+    "q_top_terms_sketch": q_top_terms_sketch,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,
     "q_knn_top10": q_knn_top10,

@@ -262,26 +262,121 @@ def top_terms(
     exchange moves O(distinct terms x blocks) rows, never the token count.
     The final groupby-sum output is Zipf-small; top-k is a sort+limit over
     group rows, not tokens."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from .aggregates import partial_grouped_agg
 
     def explode_counts(block: pa.Table) -> pa.Table:
-        col = block.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern_regex(col, "[^A-Za-z0-9]+")
-        flat = pc.ascii_lower(pc.list_flatten(toks))
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {
-                "term": vc.field("values"),
-                "cnt": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+        return _token_counts(block.column(text_col))
 
     counts = ds.map_batches(explode_counts, batch_format="pyarrow")
     agg = partial_grouped_agg(counts, ["term"], sums={"cnt": "cnt"})
     return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def _token_counts(col) -> pa.Table:
+    """(term, cnt) value-counts of the ASCII token runs of a string column:
+    one RE2 split over the batch buffer, flatten, ASCII-lower, value_counts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(col, "[^A-Za-z0-9]+")
+    flat = pc.ascii_lower(pc.list_flatten(toks))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {"term": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def top_terms_sketch(
+    ds: "rd.Dataset",  # noqa: F821
+    k: int = 50,
+    capacity_per_block: int = 4096,
+    text_col: str = "text",
+):
+    """Heavy-hitter top-k via bounded per-block summaries + exact recount —
+    the scale path for `top_terms` when the distinct-term universe (URLs,
+    typos, code identifiers in webtext) is too large for a full groupby.
+
+    Pass 1 ships at most ``capacity_per_block`` (term, cnt) rows per block
+    plus that block's truncation threshold (the largest DROPPED count —
+    SpaceSaving/Misra-Gries-style mergeable summary): a term absent from a
+    block's summary occurred there at most ``threshold`` times, so after the
+    partial-sum groupby every term has
+    ``lower = sum(kept)``, ``upper = lower + Σ thresholds of blocks that
+    dropped it``.  Terms with ``upper >=`` the k-th largest lower bound are
+    the ONLY possible top-k members; pass 2 recounts exactly those terms
+    exactly (broadcast candidate set, filtered value_counts) and sorts.  The
+    output is therefore EXACT top-k — identical to `top_terms` — while the
+    wide exchange is bounded by capacity x blocks instead of the distinct
+    universe.  Candidate/threshold tables are O(k + blocks), driver-safe."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    from .aggregates import partial_grouped_agg
+
+    # sentinel for per-block threshold rows: "" is never a token (empties
+    # are filtered by the tokenizer), so it cannot collide with a real term
+    SENT = ""
+
+    def summarize(block: pa.Table) -> pa.Table:
+        t = _token_counts(block.column(text_col))
+        thr = 0
+        if t.num_rows > capacity_per_block:
+            order = pc.sort_indices(
+                t, sort_keys=[("cnt", "descending"), ("term", "ascending")]
+            )
+            t = t.take(order)
+            thr = int(t.column("cnt")[capacity_per_block].as_py())
+            t = t.slice(0, capacity_per_block)
+        sent = pa.table(
+            {"term": pa.array([SENT], pa.string()), "cnt": pa.array([thr], pa.int64()),
+             "thr": pa.array([thr], pa.int64())}
+        )
+        t = t.append_column("thr", pa.array(np.full(t.num_rows, thr, np.int64)))
+        return pa.concat_tables([t, sent])
+
+    agg = partial_grouped_agg(
+        ds.map_batches(summarize, batch_format="pyarrow"),
+        ["term"], sums={"cnt": "cnt", "thr": "thr_present"},
+    ).materialize()
+
+    # total threshold mass, from the sentinel rows (one per block)
+    sent_row = agg.filter(expr=f"term == '{SENT}'").take_all()
+    total_thr = int(sent_row[0]["thr_present"]) if sent_row else 0
+    terms = agg.filter(expr=f"term != '{SENT}'")
+
+    # k-th largest lower bound (tiny driver take), then candidate pruning
+    top_lower = terms.sort(["cnt", "term"], descending=[True, False]).limit(k).take_all()
+    if not top_lower:
+        return terms.select_columns(["term", "cnt"]).limit(0)
+    kth_lower = int(top_lower[-1]["cnt"])
+
+    def is_candidate(b: pa.Table) -> pa.Table:
+        upper = pc.add(
+            b.column("cnt"), pc.subtract(pa.scalar(total_thr), b.column("thr_present"))
+        )
+        return b.filter(pc.greater_equal(upper, kth_lower)).select(["term"])
+
+    cand_tbls = [
+        t for t in ray.get(
+            terms.map_batches(is_candidate, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        )
+        if t.num_rows  # zero-row blocks may carry a degenerate empty schema
+    ]
+    cand_col = (
+        pa.concat_tables(cand_tbls).column("term").combine_chunks()
+        if cand_tbls else pa.array([], pa.string())
+    )
+    cand_ref = ray.put(cand_col)
+
+    def recount(block: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)  # zero-copy from the local object store
+        t = _token_counts(block.column(text_col))
+        return t.filter(pc.is_in(t.column("term"), value_set=cand))
+
+    exact = partial_grouped_agg(
+        ds.map_batches(recount, batch_format="pyarrow"), ["term"], sums={"cnt": "cnt"}
+    )
+    return exact.sort(["cnt", "term"], descending=[True, False]).limit(k)

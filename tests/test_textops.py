@@ -79,3 +79,19 @@ def test_top_terms_tokenization_and_order(ray_session):
     # counts: the=2+... "The"/"the"/"CAT"/"cat" ASCII-lower; punctuation splits
     assert list(got["term"]) == ["cat", "dog", "the"]
     assert list(got["cnt"]) == [3, 3, 2]  # cat/dog tie broken by term ascending
+
+
+def test_top_terms_sketch_exact_under_truncation(ray_session):
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import top_terms, top_terms_sketch
+
+    # 7 heavy terms + one unique singleton per doc; capacity 3 forces every
+    # block summary to truncate, so the candidate-pruning + recount path is
+    # genuinely exercised (not the distinct<=capacity fast path)
+    texts = [f"t{i % 7} t{i % 7} u{i:04d}" for i in range(300)]
+    ds = rd.from_arrow(_tbl(texts)).repartition(5)
+    exact = top_terms(ds, k=5).to_pandas()
+    got = top_terms_sketch(ds, k=5, capacity_per_block=3).to_pandas()
+    assert list(got["term"]) == list(exact["term"])
+    assert list(got["cnt"]) == list(exact["cnt"])
