@@ -446,11 +446,20 @@ def q_sample_stratified(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
+    """Exact set-similarity join on a bounded slice (doc_id < 1000; the whole
+    corpus at sf<=0.01).  The synthetic corpus has a 31-word vocabulary, so
+    EVERY doc pair shares hot shingles and the exact join's candidate set —
+    like its O(n²) SQL oracle — is inherently quadratic on it; real webtext
+    has high shingle entropy and prefix+positional filtering prunes.  The
+    unbounded scale path for near-dup discovery is q_minhash_lsh."""
     from ..stages.dedup import ngram_jaccard_join
 
-    return ngram_jaccard_join(
-        _docs(sf_dir, ["doc_id", "text"]), threshold=0.8, k=5, num_partitions=4
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < 1000,
     )
+    return ngram_jaccard_join(docs, threshold=0.8, k=5, num_partitions=4)
 
 
 def q_exact_dedup(sf_dir: str):
@@ -727,6 +736,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
           FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+          WHERE doc_id < 1000
         ),
         sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
         inter AS (

@@ -555,12 +555,25 @@ def _merge_claims_task(refs: list) -> pa.Table:
 CC_TIMINGS: dict[str, float] = {}
 
 
+def _memory_capped(measured: int, bytes_per_row: int, frac: float) -> int:
+    """Single-task row threshold: the measured crossover on this host, capped
+    by a fraction of currently-available memory so a small driver box lowers
+    the cutover automatically (the constants are ceilings, not the policy)."""
+    try:
+        import psutil
+
+        avail = psutil.virtual_memory().available
+    except Exception:  # pragma: no cover - psutil ships with ray
+        return measured
+    return max(65_536, min(measured, int(avail * frac / bytes_per_row)))
+
+
 def connected_components(
     pairs: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    driver_threshold: int = 3_000_000,
-    edge_driver_threshold: int = 50_000_000,
+    driver_threshold: int | None = None,
+    edge_driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """(key, mid) pairs → (mid, comp) labels.
 
@@ -586,6 +599,13 @@ def connected_components(
     parallel sort+contract path is both faster and the scale story."""
     import time as _time
 
+    # measured crossovers (docstring) as ceilings, scaled down on small
+    # driver/worker heaps: ~48 B/pair live in the serial union-find, ~32
+    # B/claim in the zero-CPU merge task; 5%/10% of available memory
+    if driver_threshold is None:
+        driver_threshold = _memory_capped(3_000_000, 48, 0.05)
+    if edge_driver_threshold is None:
+        edge_driver_threshold = _memory_capped(50_000_000, 32, 0.10)
     t0 = _time.monotonic()
     pairs_mat = pairs.materialize()
     n_pairs = pairs_mat.count()
@@ -1062,7 +1082,7 @@ def canonicalize(
     mentions: rd.Dataset,
     num_partitions: int = 16,
     max_rounds: int = 8,
-    cc_driver_threshold: int = 3_000_000,
+    cc_driver_threshold: int | None = None,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 

@@ -38,6 +38,51 @@ from .textops import add_md5_fingerprint
 _MERSENNE = np.uint64((1 << 61) - 1)
 _RNG = np.random.default_rng(0x5EED)
 DEFAULT_NUM_PERM = 64
+
+# Flat shingle payload cap for the broadcast-verify path of
+# ngram_jaccard_join: one zero-copy object-store copy per node, so the cap
+# is object-store-sized, not per-worker-heap-sized.
+NGRAM_BROADCAST_BYTES = 4 << 30
+
+
+def _sig_index_task_fn(refs: list):
+    """(sorted doc ids, offsets, flat shingle values) — one shared index."""
+    import ray
+
+    tbls = [t for t in ray.get(refs) if t.num_rows]
+    t = pa.concat_tables(tbls).combine_chunks().sort_by("doc_id")
+    sh = t.column("sh")
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = sh.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, offs, flat
+
+
+import ray as _ray  # noqa: E402  (decorating the task needs the top module)
+
+# num_cpus=0: must start immediately — a CPU reservation would queue behind
+# the verify map tasks that block on its result (functions/joins.py lesson)
+_sig_index_task = _ray.remote(num_cpus=0)(_sig_index_task_fn)
+
+_SIG_INDEX_CACHE: dict = {}
+
+
+def _resolve_sig_index(ref):
+    """Worker-cached zero-copy view of the shared sig index.  Reached via
+    module import — cloudpickle copies plain globals by value per task."""
+    import ray
+
+    from knowledgegraph_ray.stages import dedup as _mod
+
+    key = ref.hex()
+    hit = _mod._SIG_INDEX_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _mod._SIG_INDEX_CACHE.clear()  # one live index per worker
+        _mod._SIG_INDEX_CACHE[key] = hit
+    return hit
 _A = _RNG.integers(1, _MERSENNE, size=DEFAULT_NUM_PERM, dtype=np.uint64)
 _B = _RNG.integers(0, _MERSENNE, size=DEFAULT_NUM_PERM, dtype=np.uint64)
 
@@ -373,12 +418,28 @@ def ngram_jaccard_join(
             [np.arange(o, o + p) for o, p in zip(offs, plen)]
         ) if len(offs) else np.zeros(0, np.int64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # position of each prefix hash within its doc's ascending set — the
+        # PPJoin positional filter's input
+        pos = (
+            np.concatenate([np.arange(p) for p in plen])
+            if len(offs) else np.zeros(0, np.int64)
+        )
         return pa.Table.from_pydict(
             {
                 "psh": pa.array(flat[idx], pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, plen), pa.int64()),
+                "n_sh": pa.array(np.repeat(sizes, plen), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
             }
         )
+
+    # PPJoin positional filter: a pair meeting at prefix positions (pa, pb)
+    # of sets sized (na, nb) can reach overlap at most 1 + min(na - pa - 1,
+    # nb - pb - 1) (both sets ascend past the shared hash), while Jaccard
+    # >= t needs overlap >= ceil(t/(1+t) * (na+nb)).  Applying it per
+    # occurrence is complete: a qualifying pair's FIRST shared prefix hash
+    # has maximal suffixes and always passes.
+    t_req = threshold / (1.0 + threshold)
 
     def run_pairs(block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -386,6 +447,9 @@ def ngram_jaccard_join(
             return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
         keys = block.column("psh").to_numpy(zero_copy_only=False)
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = block.column("n_sh").to_numpy(zero_copy_only=False)
+        ps = block.column("pos").to_numpy(zero_copy_only=False)
+        rem = ns - ps  # 1 + remaining-after = max overlap via this hash
         change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         bounds = np.r_[change, n]
         outs_a, outs_b = [], []
@@ -393,32 +457,39 @@ def ngram_jaccard_join(
             if e - s < 2:
                 continue
             sub = ids[s:e]
+            sub_n = ns[s:e]
+            sub_r = rem[s:e]
             L = len(sub)
             # strip emission bounds peak allocation for hot-shingle runs
-            # (all L·(L-1)/2 pairs ARE candidates — exactness requires them —
+            # (surviving pairs ARE candidates — exactness requires them —
             # but never as one L² index block)
             for i0 in range(0, L - 1, 512):
                 i1 = min(i0 + 512, L - 1)
                 ii, jj = np.triu_indices(i1 - i0, k=1)
                 # pairs fully inside the strip
-                a, b = sub[i0 + ii], sub[i0 + jj]
+                li, rj = i0 + ii, i0 + jj
                 # pairs from the strip to the tail
-                tail = sub[i1:]
-                if tail.size:
-                    ri = np.repeat(np.arange(i0, i1), tail.size)
-                    a = np.concatenate([a, sub[ri]])
-                    b = np.concatenate([b, np.tile(tail, i1 - i0)])
-                keep = a != b
+                tail_n = L - i1
+                if tail_n:
+                    ri = np.repeat(np.arange(i0, i1), tail_n)
+                    li = np.concatenate([li, ri])
+                    rj = np.concatenate([rj, np.tile(np.arange(i1, L), i1 - i0)])
+                a, b = sub[li], sub[rj]
+                req = np.ceil(t_req * (sub_n[li] + sub_n[rj]))
+                keep = (a != b) & (np.minimum(sub_r[li], sub_r[rj]) >= req)
                 outs_a.append(np.minimum(a, b)[keep])
                 outs_b.append(np.maximum(a, b)[keep])
         if not outs_a:
             return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
                 "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
                 "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
             }
         )
+        # per-block dedup (C++ hash): a pair re-emitted by several shared
+        # prefix hashes collapses here, before the candidate shuffle
+        return t.group_by(["id_a", "id_b"]).aggregate([])
 
     cand = (
         sigs.map_batches(prefix_rows, batch_format="pyarrow")
@@ -428,6 +499,57 @@ def ngram_jaccard_join(
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+
+    # Verify mode selection.  Candidate counts are quadratic in hot-shingle
+    # run lengths (low-vocabulary/template corpora approach all-pairs), so
+    # joining the FULL shingle lists onto every candidate row multiplies a
+    # small corpus into candidate x list-width bytes.  When the flat
+    # signature payload fits the broadcast cap, build ONE shared zero-copy
+    # index (ids/offsets/values in the object store, num_cpus=0 task — the
+    # joins.py pattern) and verify candidates by lookup: shuffle stays at 16
+    # B/candidate.  Past the cap, fall back to the shuffle join (corpus too
+    # big to broadcast; candidates are then the smaller side).
+    n_docs = sigs.count()
+    total_sh = int(sigs.sum("n_sh") or 0)
+    flat_bytes = total_sh * 8 + n_docs * 24
+    if flat_bytes <= NGRAM_BROADCAST_BYTES:
+        idx_ref = _sig_index_task.remote(sigs.to_arrow_refs())
+
+        def verify_lookup(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return JACCARD_SCHEMA.empty_table()
+            ids, offs, flat = _resolve_sig_index(idx_ref)
+            a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids, a_ids)
+            ib = np.searchsorted(ids, b_ids)
+            na = offs[ia + 1] - offs[ia]
+            nb = offs[ib + 1] - offs[ib]
+            jac = np.zeros(batch.num_rows, dtype=np.float64)
+            for i in range(batch.num_rows):
+                a = flat[offs[ia[i]]:offs[ia[i] + 1]]
+                b = flat[offs[ib[i]]:offs[ib[i] + 1]]
+                if len(b) < len(a):
+                    a, b = b, a
+                # sorted-membership count: one binary-search pass, ~3x
+                # cheaper than intersect1d's concat+sort of both sets
+                idx = np.searchsorted(b, a)
+                idx[idx == len(b)] = len(b) - 1
+                inter = int(np.count_nonzero(b[idx] == a))
+                jac[i] = inter / (na[i] + nb[i] - inter)
+            keep = jac >= threshold
+            return pa.Table.from_pydict(
+                {
+                    "id_a": batch.column("id_a").filter(pa.array(keep)),
+                    "id_b": batch.column("id_b").filter(pa.array(keep)),
+                    "jaccard_r": pa.array(
+                        np.floor(jac[keep] * 10000.0) / 10000.0, pa.float64()
+                    ),
+                },
+                schema=JACCARD_SCHEMA,
+            )
+
+        return cand.map_batches(verify_lookup, batch_format="pyarrow")
 
     def _side(side: str) -> rd.Dataset:
         return sigs.map_batches(
