@@ -428,6 +428,18 @@ def q_top_terms_sketch(sf_dir: str):
     return top_terms_sketch(_docs(sf_dir, ["text"]), k=50)
 
 
+def q_tfidf(sf_dir: str):
+    """Per-(doc, term) TF-IDF: per-block tf group_by, map-side-combined df,
+    df broadcast-joined back; rational score (no libm log) for bit-exact
+    SQL parity."""
+    import pyarrow.parquet as pq
+
+    from ..stages.textops import tfidf_scores
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tfidf_scores(_docs(sf_dir, ["doc_id", "text"]), n_docs)
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -822,6 +834,24 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cnt DESC, term ASC
         LIMIT 50
     """,
+    # rational tf*N/df score, left-associated doubles — floor4 is exact on
+    # both engines because no transcendental (ln) enters the expression
+    "q_tfidf": """
+        WITH tc AS (
+          SELECT doc_id,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tc GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               floor(CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents)
+                     / df.df * 10000.0) / 10000.0 AS tfidf_r
+        FROM tf JOIN df ON tf.term = df.term
+    """,
     # deterministic hash sampling: bucket = first 16 md5 hex chars as uint64
     # mod 1e6 — the exact predicate stages/sampling.py applies per batch
     "q_sample_uniform": """
@@ -883,6 +913,7 @@ QUERIES = {
     "q_norm_text": q_norm_text,
     "q_top_terms": q_top_terms,
     "q_top_terms_sketch": q_top_terms_sketch,
+    "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,
     "q_knn_top10": q_knn_top10,

@@ -380,3 +380,66 @@ def top_terms_sketch(
         ds.map_batches(recount, batch_format="pyarrow"), ["term"], sums={"cnt": "cnt"}
     )
     return exact.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def tfidf_scores(
+    ds: "rd.Dataset",  # noqa: F821
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, term, tf, df, tfidf_r) for every distinct (doc, term) pair.
+
+    tf comes from ONE per-block C++ group_by (a document never spans
+    blocks); df is a map-side-combined groupby over the tf rows; df (Zipf-
+    small) broadcasts back onto tf via the adaptive join.  The score uses
+    rational arithmetic only — floor4(tf * N / df) with left-associated
+    IEEE doubles — so any SQL engine computing the same expression yields
+    bit-identical values (log-based idf would differ per-libm in the last
+    ulp and straddle canonicalization boundaries)."""
+    import numpy as np
+
+    from ..functions.joins import adaptive_join
+    from .aggregates import partial_grouped_agg
+
+    def term_freqs(block: pa.Table) -> pa.Table:
+        col = block.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, "[^A-Za-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        flat = pc.ascii_lower(pc.list_flatten(toks))
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "term": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        return (
+            t.group_by(["doc_id", "term"])
+            .aggregate([("term", "count")])
+            .rename_columns(["doc_id", "term", "tf"])
+        )
+
+    tf = ds.map_batches(term_freqs, batch_format="pyarrow").materialize()
+    df = partial_grouped_agg(
+        tf.select_columns(["term"]), ["term"], count_alias="df"
+    )
+    joined = adaptive_join(tf, df, left_keys=["term"], num_partitions=8)
+
+    def score(block: pa.Table) -> pa.Table:
+        tfv = block.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = block.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.floor(tfv * float(n_docs) / dfv * 10000.0) / 10000.0
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id"),
+                "term": block.column("term"),
+                "tf": pc.cast(block.column("tf"), pa.int64()),
+                "df": pc.cast(block.column("df"), pa.int64()),
+                "tfidf_r": pa.array(s, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
