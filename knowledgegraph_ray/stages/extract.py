@@ -353,6 +353,29 @@ class TripleExtractor:
 # extractor per worker process (compiled regexes reused across every task the
 # process runs), reached via module import inside the worker fn — the same
 # rule broadcast lookup state follows (cloudpickled globals copy per task).
+class HeavyComputeBackend:
+    """The default backend plus a deterministic CPU spin per document.
+
+    Simulates realistic per-document model latency (a real LLM/embedding
+    backend costs 10 ms – 10 s per doc; the rule-based extractor costs
+    ~50 µs) WITHOUT changing any output: the spin is chained blake2b over a
+    64-byte state, discarded.  Used by `bench.py --scaling-heavy` to measure
+    end-to-end scaling in the compute-weighted regime the 100-TB deployment
+    actually runs in.  ~0.6 µs per round on this host (calibrated)."""
+
+    def __init__(self, work_us: int, inner: Any = None) -> None:
+        self._rounds = max(0, int(work_us * 5 / 3))
+        self._inner = inner or RuleBasedBackend()
+
+    def __call__(self, text: str) -> str:
+        import hashlib
+
+        h = text[:64].encode("utf-8", "ignore") or b"\0"
+        for _ in range(self._rounds):
+            h = hashlib.blake2b(h, digest_size=32).digest()
+        return self._inner(text)
+
+
 _TASK_EXTRACTOR: TripleExtractor | None = None
 
 
@@ -368,7 +391,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     still use the TripleExtractor actor-pool form."""
     global _TASK_EXTRACTOR
     if _TASK_EXTRACTOR is None:
-        _TASK_EXTRACTOR = TripleExtractor()
+        import os
+
+        work_us = int(os.environ.get("KGRAY_EXTRACT_WORK_US", "0") or 0)
+        backend = HeavyComputeBackend(work_us) if work_us > 0 else None
+        _TASK_EXTRACTOR = TripleExtractor(backend)
     return _TASK_EXTRACTOR(batch)
 
 
