@@ -119,3 +119,13 @@ def test_add_data_type_detection():
     # no explicit column at all → default email everywhere
     out2 = add_data_type(pa.table({"url": ["x"], "text": ["t"]}))
     assert out2.column("data_type").to_pylist() == ["email"]
+
+
+def test_heavy_compute_backend_output_identical():
+    from knowledgegraph_ray.stages.extract import (
+        HeavyComputeBackend,
+        RuleBasedBackend,
+    )
+
+    text = "Alice Johnson works at Acme Corp in Berlin. Bob met Alice."
+    assert HeavyComputeBackend(200)(text) == RuleBasedBackend()(text)
