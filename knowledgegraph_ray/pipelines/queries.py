@@ -582,6 +582,15 @@ def q_kg_search(sf_dir: str):
     )
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table → per-cluster
+    sizes (iterative algorithm: fused assign+partial-sum passes, O(k×blocks)
+    exchange per iteration; deterministic seeded init)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = knn_mod.kmeans_fit(ds, k=8, iters=5)
+    return knn_mod.kmeans_assign_counts(ds, cents).sort("cid")
+
+
 def q_neardup_lsh(sf_dir: str):
     """Subquadratic near-dup pairs: sign-random-projection LSH candidates +
     exact cosine verify (the 100 TB path; allpairs is the exact oracle)."""
@@ -924,6 +933,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ivf_knn": q_ivf_knn,
+    "q_kmeans": q_kmeans,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,

@@ -386,3 +386,92 @@ def ivf_search(
     probe = np.argsort(-(C @ qn))[:n_probe].tolist()
     subset = assigned.filter(expr=f"centroid in {probe}")
     return topk_cosine(subset, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column → (k, dim)
+    centroid matrix.  The iterative-algorithm pattern at scale:
+
+      * assign + ACCUMULATE fused in one map_batches pass — each block emits
+        at most k partial rows (cid, sum-vector, count) via np.add.at, so
+        the per-iteration exchange is O(k x blocks) fixed-size rows, never
+        the corpus;
+      * the reduce is a tiny driver-side sum of those partials (k rows);
+        empty clusters keep their previous centroid;
+      * deterministic: seeded init (`seeded_centroids`), argmax ties break
+        to the lowest cid, no wall clock — identical centroids at any
+        parallelism.
+
+    Euclidean objective on raw vectors (the standard Lloyd's update);
+    assignment uses squared distance via the ||x||²-2x·c+||c||² expansion so
+    each block does ONE matmul against the broadcast centroid matrix."""
+    first = ds.take(1)
+    if not first:
+        return np.zeros((0, 0))
+    dim = len(first[0][vec_col])
+    C = seeded_centroids(dim, k, seed=seed)  # unit rows as the seed
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            E = _batch_matrix(batch, vec_col)
+            # argmin ||e - c||² = argmax (e·c - ||c||²/2); ties → lowest cid
+            score = E @ Cm.T - 0.5 * (Cm * Cm).sum(axis=1)
+            best = score.argmax(axis=1)
+            sums = np.zeros((len(Cm), E.shape[1]), dtype=np.float64)
+            np.add.at(sums, best, E)
+            counts = np.bincount(best, minlength=len(Cm)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            flat = pa.array(sums[nz].reshape(-1), pa.float64())
+            return pa.Table.from_pydict(
+                {
+                    "cid": pa.array(nz, pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(flat, E.shape[1]),
+                    "n": pa.array(counts[nz], pa.int64()),
+                }
+            )
+
+        part = ds.map_batches(partials, batch_format="pyarrow").materialize()
+        tbls = [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for t in tbls:
+            cids = t.column("cid").to_numpy(zero_copy_only=False)
+            vs = _fixed_matrix(t, "vsum")
+            np.add.at(sums, cids, vs)
+            np.add.at(counts, cids, t.column("n").to_numpy(zero_copy_only=False))
+        live = counts > 0
+        C = C.copy()
+        C[live] = sums[live] / counts[live, None]
+    return C
+
+
+def kmeans_assign_counts(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """(cid, n_vecs) histogram of the final k-means assignment (same
+    argmax-expansion tie rule as kmeans_fit)."""
+    from .aggregates import partial_grouped_agg
+
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        E = _batch_matrix(batch, vec_col)
+        score = E @ Cm.T - 0.5 * (Cm * Cm).sum(axis=1)
+        return pa.table({"cid": pa.array(score.argmax(axis=1), pa.int64())})
+
+    return partial_grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow"), ["cid"], count_alias="n_vecs"
+    )

@@ -264,3 +264,39 @@ def test_ngram_jaccard_join_matches_bruteforce(ray_session):
     for k2 in want:
         assert abs(got[k2] - want[k2]) < 1e-12
     assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.knn import kmeans_assign_counts, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    blobs = [np.array([10.0, 0, 0, 0, 0, 0, 0, 0]),
+             np.array([0, 10.0, 0, 0, 0, 0, 0, 0]),
+             np.array([0, 0, 10.0, 0, 0, 0, 0, 0])]
+    sizes = [60, 40, 20]
+    vecs = np.concatenate(
+        [c + 0.1 * rng.standard_normal((s, dim)) for c, s in zip(blobs, sizes)]
+    )
+    flat = pa.array(vecs.reshape(-1), pa.float64())
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    C = kmeans_fit(ds, k=3, iters=8, seed=3)
+    counts = sorted(
+        r["n_vecs"] for r in kmeans_assign_counts(ds, C).take_all()
+    )
+    assert counts == sorted(sizes)
+    # each blob mean is recovered within the noise scale
+    for c in blobs:
+        assert np.min(np.linalg.norm(C - c, axis=1)) < 0.5
+    # deterministic across partitionings
+    C2 = kmeans_fit(rd.from_arrow(tbl).repartition(2), k=3, iters=8, seed=3)
+    assert np.allclose(np.sort(C.ravel()), np.sort(C2.ravel()))
