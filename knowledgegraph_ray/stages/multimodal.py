@@ -3,14 +3,18 @@
 The engine treats media as ``payload: binary`` plus typed metadata columns
 (``media_type``, ``width``/``height``/``duration_ms``…), processed by
 actor-pool ``map_batches`` stages — the same warm-state pattern as the triple
-extractor and embedder.  The decode kernels themselves require codec
-libraries that are NOT in this container, so each stage takes a ``decoder``
-backend; the default is either
+extractor and embedder.  Decode backends:
 
-* ``NotImplementedError`` (``backend="strict"``) — the clearly-marked stub, or
-* a deterministic fake (``backend="fake"``) that derives pixels/samples from
-  the payload bytes, so the Ray-side plumbing (schema, batch shapes, actor
-  signature, output layout) is fully real and testable.
+* ``backend="raw"`` — a REAL pure-numpy decode path for uncompressed
+  formats: PPM (P6) and 24-bit BMP images (``decode_ppm``/``decode_bmp`` +
+  nearest-neighbor ``resize_nearest``) and PCM-16 WAV audio
+  (``decode_wav_pcm16``) — headers + raw samples, no codec library needed;
+* ``backend="strict"`` — compressed formats (JPEG/PNG/MP3/H.264) require
+  codec libraries NOT in this container: the clearly-marked
+  ``NotImplementedError`` stub;
+* ``backend="fake"`` — deterministic payload-derived pixels/samples, so the
+  Ray-side plumbing (schema, batch shapes, actor signature, output layout)
+  is testable independently of any format.
 
 Scale notes: media rows are wide — stages force small ``batch_size`` and the
 output drops the payload as soon as features are extracted (same rule as
@@ -52,6 +56,93 @@ def _fake_pixels(payload: bytes, width: int = 32, height: int = 32) -> np.ndarra
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+# --- real pure-numpy decoders for UNCOMPRESSED formats -----------------------
+# PPM (P6), BMP (24-bit BI_RGB) and WAV (PCM16) need no codec library — the
+# container lacks imaging/audio libs, but these formats are just headers +
+# raw samples, so the `raw` backend is a REAL decode path; compressed
+# formats (JPEG/PNG/MP3/H.264) remain behind the documented strict stubs.
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#'), then ONE whitespace byte, then raw RGB
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB, bottom-up) → (h, w, 3) uint8 RGB."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp} bpp, compression {compression}")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=data_off)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM 16-bit → (mono float32 samples in [-1, 1], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, channels, bits = 12, None, 1, 16
+    samples = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: format {fmt}, {bits}-bit")
+        elif cid == b"data":
+            samples = np.frombuffer(body, np.int16, count=size // 2)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    mono = samples.reshape(-1, channels).mean(axis=1) if channels > 1 else samples
+    return (mono.astype(np.float32) / 32768.0), rate
+
+
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via two index gathers — no imaging library."""
+    ys = (np.arange(height) * px.shape[0] // height).clip(max=px.shape[0] - 1)
+    xs = (np.arange(width) * px.shape[1] // width).clip(max=px.shape[1] - 1)
+    return px[ys][:, xs]
+
+
 class ImageDecoder:
     """Actor-pool stage: binary payload → decoded pixels → pooled feature.
 
@@ -76,6 +167,19 @@ class ImageDecoder:
         if self.backend == "fake":
             w, h = self.resize
             return _fake_pixels(payload, w, h)
+        if self.backend == "raw":
+            # REAL decode for uncompressed formats, by magic bytes
+            if payload.startswith(b"P6"):
+                px = decode_ppm(payload)
+            elif payload.startswith(b"BM"):
+                px = decode_bmp(payload)
+            else:
+                raise ValueError(
+                    "raw backend decodes uncompressed PPM/BMP; compressed "
+                    "formats need a codec backend"
+                )
+            w, h = self.resize
+            return resize_nearest(px, w, h)
         raise NotImplementedError(
             f"image decode backend {self.backend!r} requires codec libraries "
             "not present in this container"
@@ -123,6 +227,10 @@ class AudioFeaturizer:
             seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
             rng = np.random.default_rng(seed)
             return rng.standard_normal(self.sample_rate).astype(np.float32)
+        if self.backend == "raw":
+            samples, rate = decode_wav_pcm16(payload)
+            self.sample_rate = rate  # report the container's true rate
+            return samples
         raise NotImplementedError(
             f"audio decode backend {self.backend!r} requires codec libraries "
             "not present in this container"

@@ -253,3 +253,85 @@ def test_incremental_merge_refreshes_embeddings(tmp_path, ray_session):
     old = {(r["type"], r["name"]): r["embedding"] for r in nodes.take_all()}
     new = {(r["type"], r["name"]): r["embedding"] for r in merged.take_all()}
     assert old == new
+
+
+def _ppm_bytes(px):
+    h, w, _ = px.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _bmp_bytes(px):
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + data
+
+
+def _wav_bytes(samples_i16, rate=8000):
+    data = samples_i16.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_raw_image_decoders_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.multimodal import (
+        decode_bmp,
+        decode_images,
+        decode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(_ppm_bytes(px)), px)
+    assert np.array_equal(decode_bmp(_bmp_bytes(px)), px)
+
+    # end-to-end through the actor-pool stage with resize
+    tbl = pa.table({
+        "media_id": ["ppm-1", "bmp-1"],
+        "media_type": ["image", "image"],
+        "payload": [_ppm_bytes(px), _bmp_bytes(px)],
+        "meta_json": ["{}", "{}"],
+    })
+    out = decode_images(rd.from_arrow(tbl), backend="raw", concurrency=1).take_all()
+    assert {r["media_id"] for r in out} == {"ppm-1", "bmp-1"}
+    for r in out:
+        assert (r["height"], r["width"], r["channels"]) == (32, 32, 3)
+        assert len(r["feature"]) == 6
+    # same source pixels → identical pooled features from both formats
+    feats = {r["media_id"]: r["feature"] for r in out}
+    assert feats["ppm-1"] == feats["bmp-1"]
+
+
+def test_raw_wav_decoder(ray_session):
+    import numpy as np
+
+    from knowledgegraph_ray.stages.multimodal import decode_wav_pcm16
+
+    t = np.arange(800, dtype=np.float64)
+    sig = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    samples, rate = decode_wav_pcm16(_wav_bytes(sig, rate=8000))
+    assert rate == 8000 and len(samples) == 800
+    assert np.allclose(samples, sig.astype(np.float32) / 32768.0)
