@@ -143,6 +143,49 @@ def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     return px[ys][:, xs]
 
 
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], int, int]:
+    """YUV4MPEG2 (C420, 8-bit) → (list of (h, w, 3) uint8 RGB frames, w, h).
+
+    Real uncompressed-video decode: stream header line, then per frame a
+    ``FRAME...\\n`` marker followed by planar Y (w*h) + U + V (w/2*h/2 each)
+    bytes.  YUV→RGB uses the full-range BT.601 matrix, vectorized per frame."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and not tok[1:].startswith("420"):
+            raise ValueError(f"unsupported Y4M colorspace {tok}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    while i < len(payload):
+        fnl = payload.index(b"\n", i)
+        if not payload[i:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        i = fnl + 1
+        Y = np.frombuffer(payload, np.uint8, ysz, i).reshape(h, w).astype(np.float32)
+        U = np.frombuffer(payload, np.uint8, csz, i + ysz).reshape(h // 2, w // 2)
+        V = np.frombuffer(payload, np.uint8, csz, i + ysz + csz).reshape(h // 2, w // 2)
+        i += ysz + 2 * csz
+        # upsample chroma 2x (nearest) then full-range BT.601
+        Uf = U.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float32) - 128.0
+        Vf = V.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float32) - 128.0
+        rgb = np.stack(
+            [Y + 1.402 * Vf, Y - 0.344136 * Uf - 0.714136 * Vf, Y + 1.772 * Uf],
+            axis=-1,
+        )
+        frames.append(np.clip(rgb, 0, 255).astype(np.uint8))
+    return frames, w, h
+
+
 class ImageDecoder:
     """Actor-pool stage: binary payload → decoded pixels → pooled feature.
 
@@ -274,6 +317,21 @@ class VideoFrameSampler:
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
+            if self.backend == "raw":
+                # real uncompressed video: Y4M stream, uniform frame sampling
+                frames, _, _ = decode_y4m(payload or b"")
+                n = min(self.n_frames, len(frames))
+                picks = (
+                    np.linspace(0, len(frames) - 1, n).round().astype(int)
+                    if n else np.zeros(0, int)
+                )
+                for f, fi in enumerate(picks):
+                    px = frames[fi]
+                    feat = (px.mean(axis=(0, 1)) / 255.0).astype(np.float32)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(int(fi))
+                    out["feature"].append(feat.tolist())
+                continue
             if self.backend != "fake":
                 raise NotImplementedError(
                     f"video decode backend {self.backend!r} requires codec "

@@ -335,3 +335,45 @@ def test_raw_wav_decoder(ray_session):
     samples, rate = decode_wav_pcm16(_wav_bytes(sig, rate=8000))
     assert rate == 8000 and len(samples) == 800
     assert np.allclose(samples, sig.astype(np.float32) / 32768.0)
+
+
+def _y4m_bytes(frames_yuv, w, h):
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)
+    for Y, U, V in frames_yuv:
+        out += b"FRAME\n" + Y.tobytes() + U.tobytes() + V.tobytes()
+    return out
+
+
+def test_raw_y4m_video_decode_and_sampling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.multimodal import decode_y4m, sample_video_frames
+
+    w, h = 8, 6
+    # 5 frames of flat gray ramp: Y=k*40, neutral chroma → R=G=B=Y
+    frames = [
+        (np.full((h, w), 40 * (k + 1), np.uint8),
+         np.full((h // 2, w // 2), 128, np.uint8),
+         np.full((h // 2, w // 2), 128, np.uint8))
+        for k in range(5)
+    ]
+    payload = _y4m_bytes(frames, w, h)
+    decoded, dw, dh = decode_y4m(payload)
+    assert (dw, dh, len(decoded)) == (w, h, 5)
+    for k, px in enumerate(decoded):
+        assert px.shape == (h, w, 3)
+        assert np.all(px == 40 * (k + 1))  # neutral chroma → gray
+
+    tbl = pa.table({
+        "media_id": ["v1"], "media_type": ["video"],
+        "payload": [payload], "meta_json": ["{}"],
+    })
+    rows = sample_video_frames(
+        rd.from_arrow(tbl), backend="raw", n_frames=3, concurrency=1
+    ).take_all()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]  # uniform sampling
+    assert all(abs(r["feature"][0] - 40 * (r["frame_idx"] + 1) / 255.0) < 1e-6
+               for r in rows)
