@@ -291,6 +291,7 @@ def top_terms_sketch(
     k: int = 50,
     capacity_per_block: int = 4096,
     text_col: str = "text",
+    max_candidates: int = 2_000_000,
 ):
     """Heavy-hitter top-k via bounded per-block summaries + exact recount —
     the scale path for `top_terms` when the distinct-term universe (URLs,
@@ -307,7 +308,13 @@ def top_terms_sketch(
     exactly (broadcast candidate set, filtered value_counts) and sorts.  The
     output is therefore EXACT top-k — identical to `top_terms` — while the
     wide exchange is bounded by capacity x blocks instead of the distinct
-    universe.  Candidate/threshold tables are O(k + blocks), driver-safe."""
+    universe.
+
+    The candidate count is data-dependent: Zipf-shaped corpora (natural
+    text) prune to ~O(k), but a flat distribution can make every term a
+    candidate.  The candidate set is broadcast through the object store, so
+    it is capped at ``max_candidates``; past the cap the pruning buys
+    nothing and the operator falls back to the exact full-groupby path."""
     import numpy as np
 
     import ray
@@ -352,17 +359,28 @@ def top_terms_sketch(
         return terms.select_columns(["term", "cnt"]).limit(0)
     kth_lower = int(top_lower[-1]["cnt"])
 
+    # CERTIFICATION: a term absent from EVERY block summary has no agg row
+    # and upper bound = total_thr.  The sketch output is exact top-k only
+    # when such terms provably cannot rank: k summary-surviving terms exist
+    # AND total_thr < kth_lower.  A Zipf head passes easily (heads dwarf the
+    # per-block truncation thresholds); flat distributions fail and take the
+    # exact full-groupby path instead of silently dropping rank candidates.
+    if len(top_lower) < k or total_thr >= kth_lower:
+        return top_terms(ds, k=k, text_col=text_col)
+
     def is_candidate(b: pa.Table) -> pa.Table:
         upper = pc.add(
             b.column("cnt"), pc.subtract(pa.scalar(total_thr), b.column("thr_present"))
         )
         return b.filter(pc.greater_equal(upper, kth_lower)).select(["term"])
 
+    cand_ds = terms.map_batches(is_candidate, batch_format="pyarrow").materialize()
+    if cand_ds.count() > max_candidates:
+        # flat distribution: pruning bought nothing — exact path instead of
+        # broadcasting an unbounded candidate set
+        return top_terms(ds, k=k, text_col=text_col)
     cand_tbls = [
-        t for t in ray.get(
-            terms.map_batches(is_candidate, batch_format="pyarrow")
-            .materialize().to_arrow_refs()
-        )
+        t for t in ray.get(cand_ds.to_arrow_refs())
         if t.num_rows  # zero-row blocks may carry a degenerate empty schema
     ]
     cand_col = (

@@ -86,9 +86,28 @@ def test_top_terms_sketch_exact_under_truncation(ray_session):
 
     from knowledgegraph_ray.stages.textops import top_terms, top_terms_sketch
 
-    # 7 heavy terms + one unique singleton per doc; capacity 3 forces every
-    # block summary to truncate, so the candidate-pruning + recount path is
-    # genuinely exercised (not the distinct<=capacity fast path)
+    # Zipf-ish: every doc carries all 7 head terms + one unique singleton.
+    # capacity 8 keeps the heads and truncates the uniques in every block
+    # (threshold 1), so the certified sketch path (truncate → prune →
+    # recount) is genuinely exercised, not the distinct<=capacity fast path.
+    texts = [
+        " ".join(f"t{j}" for j in range(7)) + f" u{i:04d}" for i in range(300)
+    ]
+    ds = rd.from_arrow(_tbl(texts)).repartition(5)
+    exact = top_terms(ds, k=5).to_pandas()
+    got = top_terms_sketch(ds, k=5, capacity_per_block=8).to_pandas()
+    assert list(got["term"]) == list(exact["term"]) == [f"t{j}" for j in range(5)]
+    assert list(got["cnt"]) == list(exact["cnt"]) == [300] * 5
+
+
+def test_top_terms_sketch_flat_distribution_falls_back_exact(ray_session):
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import top_terms, top_terms_sketch
+
+    # Flat-ish counts with aggressive truncation: the threshold mass reaches
+    # the k-th lower bound, the sketch cannot certify absent terms, and the
+    # operator must return the exact result via the fallback path.
     texts = [f"t{i % 7} t{i % 7} u{i:04d}" for i in range(300)]
     ds = rd.from_arrow(_tbl(texts)).repartition(5)
     exact = top_terms(ds, k=5).to_pandas()
