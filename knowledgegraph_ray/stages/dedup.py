@@ -410,7 +410,10 @@ def ngram_jaccard_join(
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
         sizes = batch.column("n_sh").to_numpy(zero_copy_only=False)
-        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        # epsilon guards the ceil against float threshold representation
+        # (0.8 is slightly ABOVE 4/5 in binary): err on the LONGER prefix —
+        # extra candidates are verified away, a short prefix loses pairs
+        plen = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
         plen = np.clip(plen, 0, sizes)
         offs = sh.offsets.to_numpy(zero_copy_only=False)[:-1]
         flat = sh.values.to_numpy(zero_copy_only=False)
@@ -475,7 +478,10 @@ def ngram_jaccard_join(
                     li = np.concatenate([li, ri])
                     rj = np.concatenate([rj, np.tile(np.arange(i1, L), i1 - i0)])
                 a, b = sub[li], sub[rj]
-                req = np.ceil(t_req * (sub_n[li] + sub_n[rj]))
+                # same epsilon rationale: never round the overlap requirement
+                # UP past the exact rational bound (boundary pairs with
+                # jaccard == threshold must stay candidates)
+                req = np.ceil(t_req * (sub_n[li] + sub_n[rj]) - 1e-9)
                 keep = (a != b) & (np.minimum(sub_r[li], sub_r[rj]) >= req)
                 outs_a.append(np.minimum(a, b)[keep])
                 outs_b.append(np.maximum(a, b)[keep])

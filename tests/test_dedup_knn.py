@@ -300,3 +300,20 @@ def test_kmeans_recovers_separated_blobs(ray_session):
     # deterministic across partitionings
     C2 = kmeans_fit(rd.from_arrow(tbl).repartition(2), k=3, iters=8, seed=3)
     assert np.allclose(np.sort(C.ravel()), np.sort(C2.ravel()))
+
+
+def test_ngram_jaccard_exact_boundary_pair(ray_session):
+    """jaccard == threshold exactly (4 shared / 5 union = 0.8): the pair MUST
+    appear — guards the epsilon on the ceil-based prefix/positional bounds
+    (float 0.8 sits slightly above 4/5)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import ngram_jaccard_join
+
+    tbl = pa.table({"doc_id": [0, 1], "text": ["abcdefgh", "abcdefghi"]})
+    rows = ngram_jaccard_join(
+        rd.from_arrow(tbl), threshold=0.8, k=5, num_partitions=2
+    ).take_all()
+    assert [(r["id_a"], r["id_b"], r["jaccard_r"]) for r in rows] == [(0, 1, 0.8)]
