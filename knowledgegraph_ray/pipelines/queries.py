@@ -591,6 +591,17 @@ def q_kmeans(sf_dir: str):
     return knn_mod.kmeans_assign_counts(ds, cents).sort("cid")
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Entity importance: distributed PageRank over the flagship KG
+    (iterative graph algorithm; broadcast node vector + distributed edge
+    scatter), top-20 by rank with (rank desc, name, type) tie order."""
+    from ..stages.graph_query import pagerank
+
+    res = _kg_result(sf_dir)
+    pr = pagerank(res.nodes(), res.edges(), damping=0.85, iters=20)
+    return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
+
+
 def q_neardup_lsh(sf_dir: str):
     """Subquadratic near-dup pairs: sign-random-projection LSH candidates +
     exact cosine verify (the 100 TB path; allpairs is the exact oracle)."""
@@ -935,6 +946,7 @@ QUERIES = {
     "q_ivf_knn": q_ivf_knn,
     "q_kmeans": q_kmeans,
     "q_neardup_lsh": q_neardup_lsh,
+    "q_kg_pagerank": q_kg_pagerank,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,

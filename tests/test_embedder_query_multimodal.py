@@ -377,3 +377,44 @@ def test_raw_y4m_video_decode_and_sampling(ray_session):
     assert [r["frame_idx"] for r in rows] == [0, 2, 4]  # uniform sampling
     assert all(abs(r["feature"][0] - 40 * (r["frame_idx"] + 1) / 255.0) < 1e-6
                for r in rows)
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import pagerank
+
+    # 4-node graph: chain a->b->c plus hub d<-a,b,c ; c dangling-free, d dangling
+    names = ["a", "b", "c", "d"]
+    nodes = pa.table({"name": names, "type": ["person"] * 4})
+    e = [("a", "b"), ("b", "c"), ("a", "d"), ("b", "d"), ("c", "d")]
+    edges = pa.table({
+        "src": [s for s, _ in e], "dst": [d for _, d in e],
+        "src_type": ["person"] * 5, "dst_type": ["person"] * 5,
+    })
+    got = pagerank(
+        rd.from_arrow(nodes).repartition(2), rd.from_arrow(edges).repartition(2),
+        damping=0.85, iters=30,
+    ).to_pandas().set_index("name")["rank_r"]
+
+    # dense power-iteration reference with identical dangling handling
+    idx = {n_: i for i, n_ in enumerate(names)}
+    n = 4
+    deg = np.zeros(n); A = np.zeros((n, n))
+    for s, d_ in e:
+        deg[idx[s]] += 1
+    for s, d_ in e:
+        A[idx[d_], idx[s]] = 1.0
+    r = np.full(n, 0.25)
+    for _ in range(30):
+        w = r / np.maximum(deg, 1)
+        contrib = A @ w
+        dangling = r[deg == 0].sum()
+        r = 0.15 / n + 0.85 * (contrib + dangling / n)
+    for name in names:
+        assert abs(got[name] - np.floor(r[idx[name]] * 1e8) / 1e8) < 1e-12
+    # hub d must rank highest
+    assert got.idxmax() == "d"
