@@ -317,3 +317,44 @@ def test_ngram_jaccard_exact_boundary_pair(ray_session):
         rd.from_arrow(tbl), threshold=0.8, k=5, num_partitions=2
     ).take_all()
     assert [(r["id_a"], r["id_b"], r["jaccard_r"]) for r in rows] == [(0, 1, 0.8)]
+
+
+def test_ngram_jaccard_property_random_corpora(ray_session):
+    """Property check: the prefix+positional-filtered join equals the O(n²)
+    set reference on random low-alphabet corpora (the hot-shingle regime)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import ngram_jaccard_join
+
+    rng = np.random.default_rng(0xC0FFEE)
+    for trial in range(6):
+        n_docs = int(rng.integers(4, 10))
+        texts = [
+            "".join(rng.choice(list("abc"), size=int(rng.integers(5, 18))))
+            for _ in range(n_docs)
+        ]
+        thr = float(rng.choice([0.3, 0.5, 0.8]))
+        tbl = pa.table({"doc_id": list(range(n_docs)), "text": texts})
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard_r"])
+            for r in ngram_jaccard_join(
+                rd.from_arrow(tbl), threshold=thr, k=5, num_partitions=2
+            ).take_all()
+        )
+        # brute-force reference over exact shingle sets
+        sets = [
+            {t[i:i + 5] for i in range(len(t) - 4)} for t in texts
+        ]
+        want = []
+        for i in range(n_docs):
+            for j in range(i + 1, n_docs):
+                if not sets[i] or not sets[j]:
+                    continue
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if jac >= thr:
+                    want.append((i, j, np.floor(jac * 10000.0) / 10000.0))
+        assert got == sorted(want), (trial, thr, texts)
