@@ -240,15 +240,15 @@ def main_scaling_compute() -> dict:
         time.sleep(15)
     eff = (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / (32 / 8)
     # min-of-N per leg is the timeit-convention statistic: on a noisy shared
-    # host interference only ever ADDS wall time, so the minimum is the
-    # estimator of engine capability (this VM's fault rate is bimodal —
-    # BASELINE.md "Host-noise warning").
+    # host interference only ever ADDS wall time, so the minimum estimates
+    # engine capability.  The PRIMARY 'value' stays the median (round-over-
+    # round comparability); min-of-N is reported alongside under its own key.
     eff_min = (runs[8]["min_wall_s"] / runs[32]["min_wall_s"]) / (32 / 8)
     return {
         "metric": "compute-stage scaling efficiency, 8→32 cpus (no shuffle/write)",
-        "value": round(eff_min, 3),
-        "value_median_walls": round(eff, 3),
-        "statistic": "min-of-N walls per leg (timeit convention); median-based alongside",
+        "value": round(eff, 3),
+        "value_min_of_n_walls": round(eff_min, 3),
+        "statistic": "median walls per leg (primary); min-of-N (timeit convention) alongside",
         "unit": "efficiency",
         "sf": _sf_label(SF_DIR),
         "runs": {"cpus_8": runs[8], "cpus_32": runs[32]},

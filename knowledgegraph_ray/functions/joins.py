@@ -164,23 +164,21 @@ def lookup_join(
         sample = right
     else:
         right_refs = list(right)
-        # schema sample: first block WITH COLUMNS — materialized datasets can
-        # carry zero-column empty placeholder blocks (pa.table({})) that would
-        # silently empty payload_cols and make the join a no-op
-        sample = None
-        for _r in right_refs:
-            _s = ray.get(_r)
-            if _s.num_columns > 0:
-                sample = _s
-                break
-        if sample is not None:
-            pass
-        elif right_schema is not None:
-            # empty refs would otherwise lose the right-side schema and
-            # silently drop payload columns from a left join
+        if right_schema is not None:
+            # schema provided by the caller: no driver-side block fetch at all
             sample = right_schema.empty_table()
         else:
-            sample = pa.table({})
+            # schema sample: first block WITH COLUMNS — materialized datasets
+            # can carry zero-column empty placeholder blocks (pa.table({}))
+            # that would silently empty payload_cols and no-op the join
+            sample = None
+            for _r in right_refs:
+                _s = ray.get(_r)
+                if _s.num_columns > 0:
+                    sample = _s
+                    break
+            if sample is None:
+                sample = pa.table({})
     ren = dict(rename or {})
     skip = set(exclude_cols or ())
     payload_cols = [c for c in sample.column_names
@@ -188,9 +186,11 @@ def lookup_join(
     rk = list(right_keys)
     lk = list(left_keys)
 
+    # schema-bearing empty table whenever a schema is known: blocks that are
+    # all zero-column placeholders must still yield a typed lookup table so a
+    # left join can append typed null payload columns
     empty_tbl = (
-        right_schema.empty_table() if (not right_refs and right_schema is not None)
-        else pa.table({})
+        right_schema.empty_table() if right_schema is not None else pa.table({})
     )
 
     # Build the lookup table + search index ONCE, in a single task, and share
@@ -346,12 +346,17 @@ def adaptive_join(
             and size <= max(broadcast_bytes, INT_BROADCAST_BYTES)
         )
     ):
+        # Broadcast via BLOCK REFS: the right side's bytes never pass through
+        # the driver — the shared index assembles in one zero-CPU task and
+        # every worker reads it zero-copy (previously _dataset_to_table pulled
+        # up to broadcast_bytes onto the driver heap before re-putting it).
         return lookup_join(
             left,
-            _dataset_to_table(right_mat),
+            right_mat.to_arrow_refs(),
             left_keys=left_keys,
             right_keys=right_keys,
             how=how,
+            right_schema=(sch.base_schema if sch is not None else None),
         )
 
     join_type = {"inner": "inner", "left": "left_outer"}[how]

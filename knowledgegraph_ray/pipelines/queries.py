@@ -457,7 +457,7 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
-def q_ngram_jaccard(sf_dir: str):
+def q_ngram_jaccard_1k(sf_dir: str):
     """Exact set-similarity join on a bounded slice (doc_id < 1000; the whole
     corpus at sf<=0.01).  The synthetic corpus has a 31-word vocabulary, so
     EVERY doc pair shares hot shingles and the exact join's candidate set —
@@ -764,7 +764,7 @@ ORACLE_SQL: dict[str, str] = {
     # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
     # full O(n²) shingle self-join (char shingles == byte shingles on this
     # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
-    "q_ngram_jaccard": """
+    "q_ngram_jaccard_1k": """
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
           FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
@@ -927,7 +927,7 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
-    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,
     "q_norm_text": q_norm_text,
@@ -950,4 +950,47 @@ QUERIES = {
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
+}
+
+# Machine-readable oracle map for the rows-only queries (no SQL-expressible
+# DuckDB oracle): each entry names the pytest test(s) that independently
+# verify the operator's semantics, so "no_oracle" in the driver report never
+# means "untested".
+PYTEST_ORACLES: dict[str, list[str]] = {
+    "q_lang_id": [
+        "tests/test_driver_contract.py::test_lang_id_heuristic_on_real_sentences",
+        "tests/test_driver_contract.py::test_lang_id_deterministic",
+    ],
+    "q_rolling_fp": [
+        "tests/test_textops.py::test_rolling_fingerprint_properties",
+    ],
+    "q_simhash": [
+        "tests/test_dedup_knn.py::test_simhash_near_vs_far",
+        "tests/test_dedup_knn.py::test_add_simhash_column",
+    ],
+    "q_minhash_lsh": [
+        "tests/test_dedup_knn.py::test_minhash_lsh_clusters_near_dups",
+    ],
+    "q_ivf_knn": [
+        "tests/test_dedup_knn.py::test_ivf_assign_partitions_and_search_recall",
+        "tests/test_dedup_knn.py::test_ivf_persisted_index_prunes_and_full_probe_is_exact",
+    ],
+    "q_kmeans": [
+        "tests/test_dedup_knn.py::test_kmeans_recovers_separated_blobs",
+    ],
+    "q_neardup_lsh": [
+        "tests/test_dedup_knn.py::test_neardup_lsh_subset_of_exact_with_high_recall",
+    ],
+    "q_kg_pagerank": [
+        "tests/test_embedder_query_multimodal.py::test_pagerank_matches_dense_reference",
+    ],
+    "q_kg_nodes_by_type": [
+        "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle
+    ],
+    "q_kg_edges_by_type": [
+        "tests/test_e2e_golden.py",
+    ],
+    "q_kg_search": [
+        "tests/test_embedder_query_multimodal.py::test_search_finds_self",
+    ],
 }

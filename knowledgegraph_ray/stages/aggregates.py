@@ -137,13 +137,19 @@ def partial_grouped_agg(
         aggs.append(("_one", "sum"))
         out_names.append(count_alias)
 
+    # pyarrow names each aggregate column "{col}_{fn}"; select by those
+    # generated names instead of trusting column POSITION (keys-first,
+    # declaration-ordered layout is an undocumented contract that a pyarrow
+    # upgrade could silently break, mislabeling every output column)
+    gen_names = [f"{c}_{fn}" for c, fn in aggs]
+
     def per_block(block: pa.Table) -> pa.Table:
         if count_alias:
             block = block.append_column(
                 "_one", pa.array(np.ones(block.num_rows, np.int64))
             )
         g = block.group_by(keys).aggregate(aggs)
-        return g.rename_columns(keys + out_names)
+        return g.select(keys + gen_names).rename_columns(keys + out_names)
 
     final = [Sum(o, alias_name=o) for o in sums.values()]
     final += [Min(o, alias_name=o) for o in mins.values()]

@@ -577,9 +577,11 @@ def materialize_edges(
     LAST_TIMINGS["resolve"] = round(_time.monotonic() - t0, 3)
     t0 = _time.monotonic()
     merged = grouped_apply(
-        # prune to the columns the reducer reads: url and both pre-resolution
-        # surface strings never enter the merge shuffle (the widest in the
-        # graph stage)
+        # prune to the columns the reducer reads: the pre-resolution surface
+        # strings (source_entity/target_entity) never enter the merge shuffle
+        # (the widest in the graph stage).  NOTE: url IS load-bearing here —
+        # sources_json == "" encodes exactly [url], so EDGE_MERGE_COLUMNS
+        # keeps it; do not prune it.
         resolved.select_columns(EDGE_MERGE_COLUMNS),
         ["canonical_src", "canonical_dst", "relationship_type"],
         merge_edge_row,

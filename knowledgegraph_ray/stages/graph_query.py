@@ -113,6 +113,36 @@ def stats(nodes, edges) -> dict:
     }
 
 
+def _pr_scatter_fn(tbl, w):
+    """One edge block (pre-sorted by di) → SPARSE (dst index, mass) partial:
+    segment sums via one reduceat — output size is the block's DISTINCT dst
+    count, never the node count."""
+    di = tbl.column("di").to_numpy(zero_copy_only=False)
+    si = tbl.column("si").to_numpy(zero_copy_only=False)
+    if len(di) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+    return di[starts], np.add.reduceat(w[si], starts)
+
+
+def _pr_combine_fn(n, *parts):
+    """Sum sparse (idx, mass) partials into ONE dense vector (each partial's
+    indices are unique, so fancy-index += is exact).  Partials arrive as
+    varargs so Ray resolves the refs in place (zero-copy local reads)."""
+    acc = np.zeros(n, np.float64)
+    for idx, mass in parts:
+        acc[idx] += mass
+    return acc
+
+
+import ray as _ray  # noqa: E402
+
+_pr_scatter = _ray.remote(_pr_scatter_fn)
+# num_cpus=0: the combine must start as scatter partials arrive, not queue
+# behind them (functions/joins.py _build_lookup_index rationale)
+_pr_combine = _ray.remote(num_cpus=0)(_pr_combine_fn)
+
+
 def pagerank(
     nodes,
     edges,
@@ -125,15 +155,25 @@ def pagerank(
     The iterative-graph-algorithm pattern: the NODE VECTOR broadcasts (the
     canonical node table is orders of magnitude smaller than the corpus that
     produced it — one zero-copy object-store array per iteration), while the
-    EDGE LIST stays distributed: each edge block scatters rank mass with one
-    np.add.at into a per-block accumulator vector, blocks reduce by summing
-    k dense vectors.  Per-iteration exchange = O(nodes × blocks) floats,
-    never the edge count.  Dangling-node mass redistributes uniformly
-    (standard); ranks floor-canonicalized at 1e-8 for stable comparisons.
+    EDGE LIST stays distributed.  Each edge block is pre-sorted by dst index
+    ONCE; per iteration a task per block emits a SPARSE (dst, mass) partial
+    (one reduceat over the block's dst segments) and a single zero-CPU
+    combine task sums the partials into one dense vector.  Per-iteration
+    traffic: object store moves only the per-block distinct-dst partials
+    (bounded by the edge count, typically far less); the driver receives ONE
+    O(nodes) vector and broadcasts one back — never O(nodes × blocks).
+    Dangling-node mass redistributes uniformly (standard); ranks
+    floor-canonicalized at 1e-8 for stable comparisons.
 
-    At graphs past broadcastable node counts (~10^8), swap the dense
-    accumulator for the partial_grouped_agg combiner over (dst, mass) rows —
-    the same map-side-combine shape as every wide aggregate here."""
+    Endpoint membership is VALIDATED: pagerank() is a public operator also
+    reachable from imported/merged graphs, so edges whose (name, type)
+    endpoint is absent from the nodes table are dropped (searchsorted alone
+    would silently misattribute their mass to the insertion-point node).
+
+    At graphs past broadcastable node counts (~10^8), swap the broadcast
+    rank vector for (dst, mass) rows through the partial_grouped_agg
+    combiner — the same map-side-combine shape as every wide aggregate
+    here."""
     import pyarrow as pa
     import ray
 
@@ -160,26 +200,38 @@ def pagerank(
     def edge_idx(b: pa.Table) -> pa.Table:
         khs = ray.get(kh_ref)
         b = b.combine_chunks()
-        src = np.searchsorted(
-            khs, hash_key_columns(
-                b.select(["src", "src_type"]).rename_columns(["name", "type"]),
-                ["name", "type"]))
-        dst = np.searchsorted(
-            khs, hash_key_columns(
-                b.select(["dst", "dst_type"]).rename_columns(["name", "type"]),
-                ["name", "type"]))
-        return pa.table({"si": pa.array(src, pa.int64()), "di": pa.array(dst, pa.int64())})
+        nn = len(khs)
+
+        def lookup(cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+            h = hash_key_columns(
+                b.select(cols).rename_columns(["name", "type"]), ["name", "type"]
+            )
+            idx = np.minimum(np.searchsorted(khs, h), nn - 1)
+            return idx, khs[idx] == h  # membership: hash at slot must match
+
+        src, src_ok = lookup(["src", "src_type"])
+        dst, dst_ok = lookup(["dst", "dst_type"])
+        keep = src_ok & dst_ok  # drop edges with unmatched endpoints
+        src, dst = src[keep], dst[keep]
+        order = np.argsort(dst, kind="stable")  # pre-sort ONCE for reduceat
+        return pa.table({
+            "si": pa.array(src[order], pa.int64()),
+            "di": pa.array(dst[order], pa.int64()),
+        })
 
     eidx = edges_ds.map_batches(edge_idx, batch_format="pyarrow").materialize()
+    block_refs = [ref for ref in eidx.to_arrow_refs()]
 
-    # out-degree (one dense pass over the int edge list)
-    def deg_block(b: pa.Table) -> pa.Table:
-        d = np.bincount(b.column("si").to_numpy(zero_copy_only=False), minlength=n)
-        nz = np.flatnonzero(d)
-        return pa.table({"i": pa.array(nz, pa.int64()), "d": pa.array(d[nz], pa.int64())})
+    # out-degree: sparse per-block partials, ONE dense combine on the driver
+    # (the driver holds r/deg — O(nodes) — by design; the scale bound is the
+    # broadcastable node count, not blocks × nodes)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        si = b.column("si").to_numpy(zero_copy_only=False)
+        u, c = np.unique(si, return_counts=True)
+        return pa.table({"i": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())})
 
     deg = np.zeros(n, np.int64)
-    for t in ray.get(eidx.map_batches(deg_block, batch_format="pyarrow").materialize().to_arrow_refs()):
+    for t in ray.get(eidx.map_batches(deg_partial, batch_format="pyarrow").materialize().to_arrow_refs()):
         if t.num_rows:
             np.add.at(deg, t.column("i").to_numpy(zero_copy_only=False),
                       t.column("d").to_numpy(zero_copy_only=False))
@@ -188,20 +240,8 @@ def pagerank(
     safe_deg = np.maximum(deg, 1)
     for _ in range(iters):
         w_ref = ray.put(r / safe_deg)
-
-        def scatter(b: pa.Table, _w=w_ref) -> pa.Table:
-            w = ray.get(_w)
-            acc = np.zeros(n, np.float64)
-            np.add.at(acc, b.column("di").to_numpy(zero_copy_only=False),
-                      w[b.column("si").to_numpy(zero_copy_only=False)])
-            return pa.table({"acc": pa.array(acc, pa.float64())})
-
-        contrib = np.zeros(n, np.float64)
-        for t in ray.get(eidx.map_batches(
-                scatter, batch_format="pyarrow", batch_size=None
-        ).materialize().to_arrow_refs()):
-            if t.num_rows:
-                contrib += t.column("acc").to_numpy(zero_copy_only=False)
+        parts = [_pr_scatter.remote(bref, w_ref) for bref in block_refs]
+        contrib = ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n)
         dangling = r[deg == 0].sum()
         r = (1.0 - damping) / n + damping * (contrib + dangling / n)
 

@@ -418,3 +418,35 @@ def test_pagerank_matches_dense_reference(ray_session):
         assert abs(got[name] - np.floor(r[idx[name]] * 1e8) / 1e8) < 1e-12
     # hub d must rank highest
     assert got.idxmax() == "d"
+
+
+def test_pagerank_drops_unmatched_endpoints(ray_session):
+    """Public-operator safety (round-3 ADVICE): edges whose endpoint is
+    absent from the nodes table must be DROPPED, not silently mapped to the
+    searchsorted insertion-point node or crash with an IndexError."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import pagerank
+
+    nodes = pa.table({"name": ["a", "b"], "type": ["person"] * 2})
+    edges = pa.table({
+        # a->b valid; ghost->a and b->ghost reference a node that isn't there
+        "src": ["a", "ghost", "b"], "dst": ["b", "a", "ghost"],
+        "src_type": ["person"] * 3, "dst_type": ["person"] * 3,
+    })
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(edges),
+                   damping=0.85, iters=10).to_pandas().set_index("name")["rank_r"]
+    assert set(got.index) == {"a", "b"}
+    # reference: 2-node graph with the single edge a->b (b dangling)
+    import numpy as np
+    r = np.full(2, 0.5)
+    deg = np.array([1.0, 0.0])
+    for _ in range(10):
+        w = r / np.maximum(deg, 1)
+        contrib = np.array([0.0, w[0]])
+        dangling = r[1]
+        r = 0.15 / 2 + 0.85 * (contrib + dangling / 2)
+    assert abs(got["a"] - np.floor(r[0] * 1e8) / 1e8) < 1e-12
+    assert abs(got["b"] - np.floor(r[1] * 1e8) / 1e8) < 1e-12

@@ -114,3 +114,31 @@ def test_top_terms_sketch_flat_distribution_falls_back_exact(ray_session):
     got = top_terms_sketch(ds, k=5, capacity_per_block=3).to_pandas()
     assert list(got["term"]) == list(exact["term"])
     assert list(got["cnt"]) == list(exact["cnt"])
+
+
+def test_rolling_fingerprint_properties():
+    """Pytest oracle for q_rolling_fp (PYTEST_ORACLES): the fingerprint is a
+    winnowing selector — deterministic, batch==scalar, and for any text of at
+    least one window the value is the fingerprint of ONE of its 8-byte
+    windows (min-selection membership)."""
+    from knowledgegraph_ray.stages.textops import (
+        add_rolling_fingerprint,
+        rolling_fingerprint,
+    )
+
+    texts = ["", "abc", "exactly8", "the quick brown fox jumps", "aaaaaaaaaa",
+             "Übergrößenträger unicode ✓ content"]
+    # determinism + empty semantics
+    assert rolling_fingerprint("") == 0
+    for t in texts:
+        assert rolling_fingerprint(t) == rolling_fingerprint(t)
+    # batch kernel == scalar kernel
+    out = add_rolling_fingerprint(_tbl(texts))
+    assert out.column("roll_fp").to_pylist() == [rolling_fingerprint(t) for t in texts]
+    # min-selection membership: fp(text) is the fp of one of its windows
+    long = "the quick brown fox jumps over the lazy dog"
+    b = long.encode("utf-8")
+    window_fps = {rolling_fingerprint(b[i:i + 8].decode("latin-1"))
+                  for i in range(len(b) - 7)
+                  if len(b[i:i + 8].decode("latin-1").encode("utf-8")) == 8}
+    assert rolling_fingerprint(long) in window_fps
