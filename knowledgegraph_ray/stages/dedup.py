@@ -44,9 +44,18 @@ DEFAULT_NUM_PERM = 64
 # is object-store-sized, not per-worker-heap-sized.
 NGRAM_BROADCAST_BYTES = 4 << 30
 
+# Sub-stage wall times of the last ngram_jaccard_join() call (driver-side,
+# bench attribution; keys: sigs, cand, n_cand).
+LAST_TIMINGS: dict = {}
+
 
 def _sig_index_task_fn(refs: list):
-    """(sorted doc ids, offsets, flat shingle values) — one shared index."""
+    """(sorted doc ids, offsets, flat shingle values, value ranks) — one
+    shared index.  ``rank`` is each flat value's position in the GLOBAL
+    sorted-unique value domain (< 2^32 under the broadcast byte cap): the
+    verify kernel packs (pair, rank) into one int64 so intersections need no
+    sort at all.  The one-time unique+searchsorted here amortizes over every
+    candidate batch."""
     import ray
 
     tbls = [t for t in ray.get(refs) if t.num_rows]
@@ -57,7 +66,9 @@ def _sig_index_task_fn(refs: list):
     ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = sh.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    return ids, offs, flat
+    vdom = np.unique(flat)
+    rank = np.searchsorted(vdom, flat).astype(np.uint32)
+    return ids, offs, flat, rank
 
 
 import ray as _ray  # noqa: E402  (decorating the task needs the top module)
@@ -323,6 +334,85 @@ JACCARD_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard_r", pa.float64())]
 )
 
+# element budget per vectorized verify chunk: bounds the lexsort working set
+# (3 int64 arrays x 4M ≈ 100 MB) independent of the candidate count
+_VERIFY_CHUNK_ELEMS = 4 << 20
+
+
+# Pairs whose combined set size is at or below this go through the
+# vectorized rank-key kernel; larger pairs use a per-pair binary search.
+# Rationale (measured on this host): the Python loop costs ~6-10 µs/pair of
+# interpreter overhead + O(min log max) C work, so for MANY SMALL pairs
+# (boilerplate/template corpora — the quadratic-candidate regime) the
+# overhead IS the stage; for LARGE sets the per-pair binary search touches
+# far fewer cache lines than any whole-chunk kernel and wins.
+_SMALL_PAIR_ELEMS = 256
+
+
+def _verify_jaccard_indexed(
+    offs: np.ndarray, flat: np.ndarray, rank: np.ndarray,
+    ia: np.ndarray, ib: np.ndarray,
+) -> np.ndarray:
+    """Exact Jaccard per candidate pair against the shared sorted-unique
+    shingle index.  Hybrid regime split (_SMALL_PAIR_ELEMS):
+
+    * SMALL pairs — pack (pair_in_chunk, global value rank) into one int64.
+      Each side's packed keys are ALREADY sorted (pairs ascend, values —
+      hence ranks — ascend within a segment), so the intersection is ONE
+      np.searchsorted membership pass: zero sorting, zero per-pair Python.
+      Chunked so the working set stays bounded at any candidate count.
+    * LARGE pairs — per-pair sorted binary search of the smaller set in the
+      larger (optimal element count for big sets; pair count is small by
+      the prefix filter whenever sets are large)."""
+    n = len(ia)
+    na = (offs[ia + 1] - offs[ia]).astype(np.int64)
+    nb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+    tot = na + nb
+    jac = np.zeros(n, dtype=np.float64)
+    small = tot <= _SMALL_PAIR_ELEMS
+
+    si = np.flatnonzero(small & (na > 0) & (nb > 0))
+    if si.size:
+        work = np.zeros(si.size + 1, np.int64)
+        np.cumsum(tot[si], out=work[1:])
+        lo = 0
+        while lo < si.size:
+            hi = int(np.searchsorted(work, work[lo] + _VERIFY_CHUNK_ELEMS))
+            hi = max(lo + 1, min(hi, si.size))
+            idx = si[lo:hi]
+            m = hi - lo
+            la, lb = na[idx], nb[idx]
+            csa = np.zeros(m + 1, np.int64)
+            np.cumsum(la, out=csa[1:])
+            csb = np.zeros(m + 1, np.int64)
+            np.cumsum(lb, out=csb[1:])
+            # grouped-arange gathers + packed keys in one pass each side
+            pos_a = np.arange(csa[-1]) + np.repeat(offs[ia[idx]] - csa[:-1], la)
+            pos_b = np.arange(csb[-1]) + np.repeat(offs[ib[idx]] - csb[:-1], lb)
+            base = np.arange(m, dtype=np.int64) << np.int64(32)
+            a_keys = rank[pos_a] + np.repeat(base, la)
+            b_keys = rank[pos_b] + np.repeat(base, lb)
+            pos = np.minimum(np.searchsorted(b_keys, a_keys), len(b_keys) - 1)
+            match = b_keys[pos] == a_keys
+            # per-pair match counts: segments are nonempty (na, nb > 0), so
+            # reduceat starts are strictly increasing
+            inter = np.add.reduceat(match, csa[:-1]).astype(np.int64)
+            jac[idx] = inter / (tot[idx] - inter)
+            lo = hi
+
+    for i in np.flatnonzero(~small):
+        a = flat[offs[ia[i]]: offs[ia[i]] + na[i]]
+        b = flat[offs[ib[i]]: offs[ib[i]] + nb[i]]
+        if len(b) < len(a):
+            a, b = b, a
+        # sorted-membership count: one binary-search pass, ~3x cheaper than
+        # intersect1d's concat+sort of both sets
+        pos = np.searchsorted(b, a)
+        pos[pos == len(b)] = len(b) - 1
+        inter = int(np.count_nonzero(b[pos] == a))
+        jac[i] = inter / (tot[i] - inter)
+    return jac
+
 
 def _doc_shingle_lists(
     batch: pa.Table, *, text_col: str, id_col: str, k: int
@@ -345,16 +435,19 @@ def _doc_shingle_lists(
     np.add.at(marks, (starts + counts)[long_docs], -1)
     valid = np.cumsum(marks[:-1]) > 0 if H_all.size else np.zeros(0, bool)
     H_valid = H_all[valid]
-    parts: list[np.ndarray] = []
-    sizes = np.zeros(n_docs, dtype=np.int64)
-    pos = 0
-    for d in range(n_docs):
-        c = int(counts[d])
-        u = np.unique(H_valid[pos : pos + c])  # sorted ascending
-        pos += c
-        parts.append(u)
-        sizes[d] = u.size
-    flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    # per-doc sorted-unique via ONE segmented lexsort + run scan (H_valid is
+    # already grouped by doc, so a (doc, value) lexsort both sorts each doc's
+    # segment and exposes duplicates as adjacent runs) — no per-doc Python
+    if H_valid.size:
+        doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((H_valid, doc_ids))
+        dv, vv = doc_ids[order], H_valid[order]
+        first = np.r_[True, (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])]
+        flat = vv[first]
+        sizes = np.bincount(dv[first], minlength=n_docs).astype(np.int64)
+    else:
+        flat = np.zeros(0, np.int64)
+        sizes = np.zeros(n_docs, dtype=np.int64)
     offs = np.zeros(n_docs + 1, dtype=np.int32)
     np.cumsum(sizes, out=offs[1:])
     sh = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat, pa.int64()))
@@ -396,14 +489,19 @@ def ngram_jaccard_join(
     the broadcast caps.  Hot shingles shared by many docs make quadratic
     runs in step 3 — inherent to exactness (every such pair IS a candidate);
     at 100 TB tune k upward or pre-drop boilerplate with exact dedup first."""
+    import time as _time
+
     from ray.data.aggregate import Count
 
     from ..functions.joins import adaptive_join
 
+    LAST_TIMINGS.clear()
+    _t0 = _time.monotonic()
     sigs = ds.map_batches(
         lambda b: _doc_shingle_lists(b, text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
     ).materialize()
+    LAST_TIMINGS["sigs"] = round(_time.monotonic() - _t0, 3)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         sh = batch.column("sh")
@@ -415,18 +513,17 @@ def ngram_jaccard_join(
         # extra candidates are verified away, a short prefix loses pairs
         plen = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
         plen = np.clip(plen, 0, sizes)
-        offs = sh.offsets.to_numpy(zero_copy_only=False)[:-1]
+        offs = sh.offsets.to_numpy(zero_copy_only=False)[:-1].astype(np.int64)
         flat = sh.values.to_numpy(zero_copy_only=False)
-        idx = np.concatenate(
-            [np.arange(o, o + p) for o, p in zip(offs, plen)]
-        ) if len(offs) else np.zeros(0, np.int64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # position of each prefix hash within its doc's ascending set — the
-        # PPJoin positional filter's input
-        pos = (
-            np.concatenate([np.arange(p) for p in plen])
-            if len(offs) else np.zeros(0, np.int64)
-        )
+        # grouped arange (vectorized — no per-doc Python): pos = each prefix
+        # hash's position within its doc's ascending set (the PPJoin
+        # positional filter's input), idx = its index into the flat buffer
+        cs = np.zeros(len(plen) + 1, np.int64)
+        np.cumsum(plen, out=cs[1:])
+        pos = (np.arange(cs[-1], dtype=np.int64)
+               - np.repeat(cs[:-1], plen)) if len(offs) else np.zeros(0, np.int64)
+        idx = (pos + np.repeat(offs, plen)) if len(offs) else np.zeros(0, np.int64)
         return pa.Table.from_pydict(
             {
                 "psh": pa.array(flat[idx], pa.int64()),
@@ -457,34 +554,49 @@ def ngram_jaccard_join(
         bounds = np.r_[change, n]
         outs_a, outs_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
+            L = e - s
+            if L < 2:
                 continue
-            sub = ids[s:e]
-            sub_n = ns[s:e]
-            sub_r = rem[s:e]
-            L = len(sub)
-            # strip emission bounds peak allocation for hot-shingle runs
-            # (surviving pairs ARE candidates — exactness requires them —
-            # but never as one L² index block)
-            for i0 in range(0, L - 1, 512):
-                i1 = min(i0 + 512, L - 1)
-                ii, jj = np.triu_indices(i1 - i0, k=1)
-                # pairs fully inside the strip
-                li, rj = i0 + ii, i0 + jj
-                # pairs from the strip to the tail
-                tail_n = L - i1
-                if tail_n:
-                    ri = np.repeat(np.arange(i0, i1), tail_n)
-                    li = np.concatenate([li, ri])
-                    rj = np.concatenate([rj, np.tile(np.arange(i1, L), i1 - i0)])
-                a, b = sub[li], sub[rj]
+            # AllPairs SIZE FILTER: Jaccard >= t forces min(na,nb) >=
+            # t*max(na,nb), so after sorting the run by set size each row i
+            # only pairs with rows j in [i+1, hi_b[i]) where z[j] <= z[i]/t.
+            # On size-diverse corpora this cuts raw emission from L^2 to the
+            # compatible-size windows; completeness is untouched (the filter
+            # is size-only, independent of which hash the pair met at).
+            order = np.argsort(ns[s:e], kind="stable")
+            z_s = ns[s:e][order]
+            id_s = ids[s:e][order]
+            rem_s = rem[s:e][order]
+            hi_b = np.searchsorted(z_s, z_s / threshold, side="right")
+            c = np.maximum(hi_b - np.arange(L) - 1, 0)
+            csum = np.zeros(L + 1, np.int64)
+            np.cumsum(c, out=csum[1:])
+            # chunked grouped-arange emission bounds peak allocation for
+            # hot-shingle runs (surviving pairs ARE candidates — exactness
+            # requires them — but never as one L² index block)
+            lo = 0
+            while lo < L:
+                hi = int(np.searchsorted(csum, csum[lo] + (1 << 22)))
+                hi = max(lo + 1, min(hi, L))
+                tot = int(csum[hi] - csum[lo])
+                if tot == 0:
+                    lo = hi
+                    continue
+                cc = c[lo:hi]
+                base = np.arange(lo, hi, dtype=np.int64)
+                ii = np.repeat(base, cc)
+                local_cs = csum[lo:hi] - csum[lo]
+                jj = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(local_cs, cc) + np.repeat(base + 1, cc))
+                a, b = id_s[ii], id_s[jj]
                 # same epsilon rationale: never round the overlap requirement
                 # UP past the exact rational bound (boundary pairs with
                 # jaccard == threshold must stay candidates)
-                req = np.ceil(t_req * (sub_n[li] + sub_n[rj]) - 1e-9)
-                keep = (a != b) & (np.minimum(sub_r[li], sub_r[rj]) >= req)
+                req = np.ceil(t_req * (z_s[ii] + z_s[jj]) - 1e-9)
+                keep = (a != b) & (np.minimum(rem_s[ii], rem_s[jj]) >= req)
                 outs_a.append(np.minimum(a, b)[keep])
                 outs_b.append(np.maximum(a, b)[keep])
+                lo = hi
         if not outs_a:
             return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
         t = pa.Table.from_pydict(
@@ -497,14 +609,29 @@ def ngram_jaccard_join(
         # prefix hashes collapses here, before the candidate shuffle
         return t.group_by(["id_a", "id_b"]).aggregate([])
 
+    _t0 = _time.monotonic()
+    # No global candidate dedup here: verify is idempotent and cheap (shared
+    # index, 16 B/candidate), so cross-block duplicate candidates re-verify
+    # instead of paying an all-to-all groupby of the full candidate set; the
+    # FINAL dedup groups only the survivors (orders of magnitude fewer).
     cand = (
         sigs.map_batches(prefix_rows, batch_format="pyarrow")
         .sort("psh")
         .map_batches(run_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        .materialize()
     )
+    LAST_TIMINGS["cand"] = round(_time.monotonic() - _t0, 3)
+    LAST_TIMINGS["n_cand"] = cand.count()
+
+    def _dedup_survivors(verified: rd.Dataset) -> rd.Dataset:
+        # duplicate survivors (same pair via several prefix runs) carry the
+        # IDENTICAL floor-canonicalized jaccard_r (deterministic kernel), so
+        # grouping by all three columns is an exact dedup
+        return (
+            verified.groupby(["id_a", "id_b", "jaccard_r"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
 
     # Verify mode selection.  Candidate counts are quadratic in hot-shingle
     # run lengths (low-vocabulary/template corpora approach all-pairs), so
@@ -524,25 +651,15 @@ def ngram_jaccard_join(
         def verify_lookup(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return JACCARD_SCHEMA.empty_table()
-            ids, offs, flat = _resolve_sig_index(idx_ref)
+            ids, offs, flat, rank = _resolve_sig_index(idx_ref)
             a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
             b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
             ia = np.searchsorted(ids, a_ids)
             ib = np.searchsorted(ids, b_ids)
-            na = offs[ia + 1] - offs[ia]
-            nb = offs[ib + 1] - offs[ib]
-            jac = np.zeros(batch.num_rows, dtype=np.float64)
-            for i in range(batch.num_rows):
-                a = flat[offs[ia[i]]:offs[ia[i] + 1]]
-                b = flat[offs[ib[i]]:offs[ib[i] + 1]]
-                if len(b) < len(a):
-                    a, b = b, a
-                # sorted-membership count: one binary-search pass, ~3x
-                # cheaper than intersect1d's concat+sort of both sets
-                idx = np.searchsorted(b, a)
-                idx[idx == len(b)] = len(b) - 1
-                inter = int(np.count_nonzero(b[idx] == a))
-                jac[i] = inter / (na[i] + nb[i] - inter)
+            # hybrid exact intersection: sort-free rank-key kernel for
+            # small-set candidates (the quadratic-candidate regime round 2
+            # flagged), per-pair binary search where sets are large
+            jac = _verify_jaccard_indexed(offs, flat, rank, ia, ib)
             keep = jac >= threshold
             return pa.Table.from_pydict(
                 {
@@ -555,7 +672,9 @@ def ngram_jaccard_join(
                 schema=JACCARD_SCHEMA,
             )
 
-        return cand.map_batches(verify_lookup, batch_format="pyarrow")
+        return _dedup_survivors(
+            cand.map_batches(verify_lookup, batch_format="pyarrow")
+        )
 
     def _side(side: str) -> rd.Dataset:
         return sigs.map_batches(
@@ -579,20 +698,28 @@ def ngram_jaccard_join(
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return JACCARD_SCHEMA.empty_table()
-        sa = batch.column("sh_a")
-        sb = batch.column("sh_b")
-        if isinstance(sa, pa.ChunkedArray):
-            sa = sa.combine_chunks()
-        if isinstance(sb, pa.ChunkedArray):
-            sb = sb.combine_chunks()
-        na = batch.column("n_a").to_numpy(zero_copy_only=False)
-        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+
+        def _flat(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return offs, vals
+
+        # per-pair sorted binary search (no shared rank domain on this path;
+        # past-cap corpora have large sets, where the loop kernel is optimal)
+        offs_a, flat_a = _flat(batch.column("sh_a"))
+        offs_b, flat_b = _flat(batch.column("sh_b"))
         jac = np.zeros(batch.num_rows, dtype=np.float64)
-        for i in range(batch.num_rows):  # candidates are rare; intersect is C
-            a = sa[i].values.to_numpy(zero_copy_only=False)
-            b = sb[i].values.to_numpy(zero_copy_only=False)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            jac[i] = inter / (na[i] + nb[i] - inter)
+        for i in range(batch.num_rows):
+            a = flat_a[offs_a[i]: offs_a[i + 1]]
+            b = flat_b[offs_b[i]: offs_b[i + 1]]
+            if len(b) < len(a):
+                a, b = b, a
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = len(b) - 1
+            inter = int(np.count_nonzero(b[pos] == a))
+            jac[i] = inter / (len(a) + len(b) - inter)
         keep = jac >= threshold
         return pa.Table.from_pydict(
             {
@@ -605,7 +732,7 @@ def ngram_jaccard_join(
             schema=JACCARD_SCHEMA,
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return _dedup_survivors(joined.map_batches(verify, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

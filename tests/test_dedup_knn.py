@@ -358,3 +358,43 @@ def test_ngram_jaccard_property_random_corpora(ray_session):
                 if jac >= thr:
                     want.append((i, j, np.floor(jac * 10000.0) / 10000.0))
         assert got == sorted(want), (trial, thr, texts)
+
+
+def test_ngram_jaccard_shuffle_verify_path_matches(ray_session, monkeypatch):
+    """Force the past-broadcast-cap SHUFFLE verify path (join back to the
+    shingle lists + vectorized segmented intersection) and check it produces
+    the identical pair set as brute force."""
+    import knowledgegraph_ray.stages.dedup as dedup_mod
+    from knowledgegraph_ray.stages.dedup import _shingle_hashes
+
+    monkeypatch.setattr(dedup_mod, "NGRAM_BROADCAST_BYTES", 0)
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and the band plays on")
+    texts = [
+        base,
+        base,
+        base.replace("quick", "swift"),
+        "completely different content about graph engines and ray data " * 2,
+        base + " extra tail words appended here",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_r"]
+        for r in dedup_mod.ngram_jaccard_join(ds, threshold=t, k=5).take_all()
+    }
+    sets = [set(_shingle_hashes(x, 5).tolist()) for x in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= t:
+                want[(i, j)] = np.floor(jac * 10000.0) / 10000.0
+    assert set(got) == set(want)
+    for k2 in want:
+        assert abs(got[k2] - want[k2]) < 1e-12
