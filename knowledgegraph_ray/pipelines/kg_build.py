@@ -379,8 +379,13 @@ def run_graph_build(
     embed: bool = False,
     embed_dim: int = 1024,
     embed_concurrency: int = 2,
+    linking=None,
 ) -> dict[str, Any]:
-    """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest)."""
+    """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest).
+
+    ``linking``: optional stages.linking.LinkingConfig enabling the fuzzy
+    entity-linking candidate stage (embedding-ANN + alias dictionary); off
+    by default — outputs are reference-parity exact-rule only."""
     extract_dir = os.path.join(work_dir, "extracted")
     manifest_dir = os.path.join(work_dir, "manifests")
     nodes_dir = os.path.join(work_dir, "nodes")
@@ -409,6 +414,7 @@ def run_graph_build(
         num_partitions=num_partitions,
         max_rounds=max_rounds,
         cc_driver_threshold=cc_driver_threshold,
+        linking=linking,
     )
     t = _tick("canonicalize", t)
     from ..stages.canonicalize import LAST_TIMINGS as _canon_t
@@ -480,6 +486,7 @@ def kg_build(
     cc_driver_threshold: int = 3_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
+    linking=None,
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(
@@ -497,6 +504,7 @@ def kg_build(
         cc_driver_threshold=cc_driver_threshold,
         embed=embed,
         embed_dim=embed_dim,
+        linking=linking,
     )
     return KGBuildResult(
         work_dir=work_dir,

@@ -602,6 +602,48 @@ def q_kg_pagerank(sf_dir: str):
     return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
 
 
+def q_kg_linking(sf_dir: str):
+    """Entity-linking candidate stage (north-star fuzzy capability): derive
+    deterministic mention pairs from the documents table — an "org <hex>"
+    surface plus a truncated variant per doc — and return the scored ANN
+    candidate pairs (MinHash-LSH candidates + exact char-n-gram cosine
+    verify) at the default threshold.  Each (2·doc_id, 2·doc_id+1) pair must
+    link; unrelated hex stems must not (pytest oracle:
+    test_linking.py::test_q_kg_linking_pairs_complete)."""
+    import numpy as np
+
+    from ..functions.hashing import hash_string_array
+    from ..stages.linking import LinkingConfig, scored_candidate_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        filter=pc.field("doc_id") < 5000,
+    )
+
+    def mk_mentions(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash_string_array(pc.cast(b.column("doc_id"), pa.string()))
+        stems = [f"{int(x):016x}" for x in h]
+        names, mids = [], []
+        for i, s in zip(ids, stems):
+            names.append(f"org {s}")
+            mids.append(int(i) * 2)
+            names.append(f"org {s[:-2]}")   # truncated variant — must link
+            mids.append(int(i) * 2 + 1)
+        n = len(names)
+        return pa.table({
+            "mid": pa.array(mids, pa.int64()),
+            "entity_name": pa.array(names, pa.string()),
+            "entity_type": pa.array(["Organization"] * n, pa.string()),
+            "attributes_json": pa.array(["{}"] * n, pa.string()),
+        })
+
+    mentions = docs.map_batches(mk_mentions, batch_format="pyarrow")
+    return scored_candidate_pairs(mentions, LinkingConfig()).sort(
+        ["mid_a", "mid_b"]
+    )
+
+
 def q_neardup_lsh(sf_dir: str):
     """Subquadratic near-dup pairs: sign-random-projection LSH candidates +
     exact cosine verify (the 100 TB path; allpairs is the exact oracle)."""
@@ -950,6 +992,7 @@ QUERIES = {
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
+    "q_kg_linking": q_kg_linking,
 }
 
 # Machine-readable oracle map for the rows-only queries (no SQL-expressible
@@ -992,5 +1035,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_search": [
         "tests/test_embedder_query_multimodal.py::test_search_finds_self",
+    ],
+    "q_kg_linking": [
+        "tests/test_linking.py::test_q_kg_linking_pairs_complete",
+        "tests/test_linking.py::test_scored_candidates_find_variants_and_respect_type",
     ],
 }

@@ -1083,19 +1083,29 @@ def canonicalize(
     num_partitions: int = 16,
     max_rounds: int = 8,
     cc_driver_threshold: int | None = None,
+    linking=None,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """mentions → (nodes, mentions_with_comp).
 
     nodes: one row per canonical entity (NODES_SCHEMA).
     mentions_with_comp: the input mentions plus their component id, used by
     the edge-resolution join (stages/edges.py).
-    """
+
+    ``linking`` (a stages.linking.LinkingConfig, default None = off) adds
+    fuzzy entity-linking pairs — embedding-ANN candidates over normalized
+    surfaces plus alias-dictionary keys — into the SAME connected-components
+    pass.  Off, outputs are byte-identical to the exact-rule pipeline
+    (reference parity)."""
     import time as _time
 
     t0 = _time.monotonic()
     pairs = mentions.map_batches(
         _with_registry(mention_keys_fast), batch_format="pyarrow"
     )
+    if linking is not None:
+        from .linking import linking_pairs
+
+        pairs = pairs.union(linking_pairs(mentions, linking))
     labels = connected_components(
         pairs,
         num_partitions=num_partitions,

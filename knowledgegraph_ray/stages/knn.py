@@ -337,6 +337,19 @@ def ivf_build_index(
     )
 
 
+def _efs_n_probe(order: np.ndarray, counts_by_cid: dict[int, int], efs: int) -> int:
+    """HNSW-parity recall knob: probe the nearest centroids (in ``order``)
+    until the scanned candidate pool reaches ``efs`` vectors — the same
+    semantic as HNSW's efSearch (size of the candidate pool the search
+    explores; reference query_search.py:74-78 uses efs=200)."""
+    scanned = 0
+    for i, cid in enumerate(order):
+        scanned += counts_by_cid.get(int(cid), 0)
+        if scanned >= efs:
+            return i + 1
+    return len(order)
+
+
 def ivf_query_index(
     index_dir: str,
     centroids: np.ndarray,
@@ -344,17 +357,33 @@ def ivf_query_index(
     *,
     k: int = 10,
     n_probe: int = 2,
+    efs: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """Probe a persisted IVF index: read only the n_probe nearest centroids'
-    partition directories, brute-force inside."""
+    """Probe a persisted IVF index: read only the probed centroids'
+    partition directories, brute-force inside.  ``efs`` (overrides
+    n_probe) sets the minimum candidate-pool size — partition row counts
+    come from parquet footers, so no data is read to size the probe."""
+    import os
+
+    import pyarrow.parquet as pq
+
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     C = _normalize(np.asarray(centroids, dtype=np.float64))
-    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
-    import os
-
+    order = np.argsort(-(C @ qn))
+    if efs is not None:
+        counts: dict[int, int] = {}
+        for cid in range(len(C)):
+            d = f"{index_dir}/centroid={cid}"
+            if os.path.isdir(d):
+                counts[cid] = sum(
+                    pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    for f in os.listdir(d) if f.endswith(".parquet")
+                )
+        n_probe = _efs_n_probe(order, counts, efs)
+    probe = order[:n_probe].tolist()
     paths = [
         os.path.join(d, f)
         for d in (f"{index_dir}/centroid={p}" for p in probe)
@@ -373,19 +402,79 @@ def ivf_search(
     *,
     k: int = 10,
     n_probe: int = 2,
+    efs: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """Probe the n_probe centroids nearest the query, brute-force inside.
+    """Probe the centroids nearest the query, brute-force inside.
 
     In-memory variant (filter on the centroid column); the storage-pruning
-    variant is ivf_build_index + ivf_query_index."""
+    variant is ivf_build_index + ivf_query_index.  ``efs`` (overrides
+    n_probe) is the HNSW-parity recall knob: minimum candidate-pool size."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     C = _normalize(np.asarray(centroids, dtype=np.float64))
-    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+    order = np.argsort(-(C @ qn))
+    if efs is not None:
+        from .aggregates import partial_grouped_agg
+
+        cnt = partial_grouped_agg(
+            assigned.select_columns(["centroid"]), ["centroid"],
+            count_alias="n",
+        ).take_all()
+        counts = {int(r["centroid"]): int(r["n"]) for r in cnt}
+        n_probe = _efs_n_probe(order, counts, efs)
+    probe = order[:n_probe].tolist()
     subset = assigned.filter(expr=f"centroid in {probe}")
     return topk_cosine(subset, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_recall_sweep(
+    assigned: rd.Dataset,
+    centroids: np.ndarray,
+    query_vecs: "list[np.ndarray]",
+    *,
+    k: int = 10,
+    efs_values: tuple = (50, 100, 200, 400),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "pa.Table":
+    """Measured recall@k vs the exact brute-force oracle at each efs value
+    (the HNSW-parity table the reference exposes only implicitly through its
+    efs knob) → (efs, mean_n_probe, recall_at_k, frac_scanned)."""
+    total = assigned.count()
+    rows = {"efs": [], "mean_n_probe": [], "recall_at_k": [], "frac_scanned": []}
+    from .aggregates import partial_grouped_agg
+
+    cnt = partial_grouped_agg(
+        assigned.select_columns(["centroid"]), ["centroid"], count_alias="n"
+    ).take_all()
+    counts = {int(r["centroid"]): int(r["n"]) for r in cnt}
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    exact = [
+        {r[id_col] for r in topk_cosine(
+            assigned, q, k=k, vec_col=vec_col, id_col=id_col).take_all()}
+        for q in query_vecs
+    ]
+    for efs in efs_values:
+        hits, probes, scanned = 0, 0, 0
+        for q, truth in zip(query_vecs, exact):
+            qn = np.asarray(q, np.float64)
+            qn = qn / (np.linalg.norm(qn) or 1.0)
+            order = np.argsort(-(C @ qn))
+            npb = _efs_n_probe(order, counts, efs)
+            probes += npb
+            scanned += sum(counts.get(int(c), 0) for c in order[:npb])
+            got = {r[id_col] for r in ivf_search(
+                assigned, centroids, q, k=k, n_probe=npb,
+                vec_col=vec_col, id_col=id_col).take_all()}
+            hits += len(got & truth)
+        nq = len(query_vecs)
+        rows["efs"].append(int(efs))
+        rows["mean_n_probe"].append(probes / nq)
+        rows["recall_at_k"].append(hits / (k * nq))
+        rows["frac_scanned"].append(scanned / (total * nq) if total else 0.0)
+    return pa.table(rows)
 
 
 def kmeans_fit(

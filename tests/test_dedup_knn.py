@@ -398,3 +398,36 @@ def test_ngram_jaccard_shuffle_verify_path_matches(ray_session, monkeypatch):
     assert set(got) == set(want)
     for k2 in want:
         assert abs(got[k2] - want[k2]) < 1e-12
+
+
+def test_ivf_efs_recall_knob(vec_ds):
+    """HNSW-parity efs knob (reference query_search.py:74-78 uses efs=200):
+    recall@k is non-decreasing in efs, exact once efs covers the corpus, and
+    the sweep reports the scanned fraction honestly."""
+    from knowledgegraph_ray.stages.knn import (
+        ivf_assign,
+        ivf_recall_sweep,
+        ivf_search,
+        seeded_centroids,
+    )
+
+    ds, E = vec_ds
+    cents = seeded_centroids(16, 8)
+    assigned = ivf_assign(ds, cents).materialize()
+    rng = np.random.default_rng(3)
+    queries = [rng.standard_normal(16) for _ in range(4)]
+    tbl = ivf_recall_sweep(
+        assigned, cents, queries, k=10, efs_values=(20, 60, 200, 400)
+    )
+    rec = tbl.column("recall_at_k").to_pylist()
+    frac = tbl.column("frac_scanned").to_pylist()
+    assert all(b >= a - 1e-9 for a, b in zip(rec, rec[1:])), rec
+    assert rec[-1] == 1.0          # efs >= corpus ⇒ exact (200 vectors)
+    assert frac[-1] == 1.0
+    assert frac[0] < 0.75          # small efs really prunes
+    # efs kwarg on ivf_search matches the sweep's probe sizing
+    got = {r["vec_id"] for r in ivf_search(
+        assigned, cents, queries[0], k=10, efs=400).take_all()}
+    from knowledgegraph_ray.stages.knn import topk_cosine
+    want = {r["vec_id"] for r in topk_cosine(ds, queries[0], k=10).take_all()}
+    assert got == want
