@@ -122,13 +122,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
-    """KG build timed KGRAY_BENCH_RUNS times (default 3), median reported.
-
-    This host's first-touch page-fault rate is bimodal (BASELINE.md): identical
-    runs differ 2-5x. A single sample is a lottery; the median of three is the
-    honest point estimate. All runs share one Ray session (the workload clears
-    its own work dir, so runs are independent)."""
+def main_bench_inproc(num_cpus: int, with_queries: bool = True) -> dict:
+    """KG build timed KGRAY_BENCH_RUNS times in THIS process, median reported
+    (the --child entry point; scaling modes use it with one run per child)."""
     import ray
 
     # Pin library thread pools to the simulated cluster size BEFORE ray.init:
@@ -150,6 +146,60 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
     kg = kgs[len(kgs) // 2]  # median by wall
     queries = run_queries(SF_DIR) if with_queries else {}
     ray.shutdown()
+    return {
+        "metric": "kg_build wall seconds (synthetic CC-style pages, adaptive shuffle config)",
+        "value": kg["kg_wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": num_cpus,
+        "kg_runs_all_wall_s": [r["kg_wall_s"] for r in kgs],
+        **kg,
+    }
+
+
+def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
+    """Default bench: each KG run in a FRESH subprocess, median reported.
+
+    Round-2 reconciliation: same-session repeat runs measured 35-48 s where
+    fresh-process runs measure 21-33 s on identical outputs — object-store /
+    allocator state from a previous run inside one Ray session inflates the
+    next (this host's first-touch fault rate is bimodal, BASELINE.md).  The
+    recorded headline must be the number ANY fresh invocation reproduces, so
+    every sample now gets a cold process — the same conditions as the
+    scaling campaign and as a user's first run.  Queries run afterwards in
+    one fresh session of this process (each query is independent and small)."""
+    import ray
+
+    n_runs = max(1, int(os.environ.get("KGRAY_BENCH_RUNS", "3")))
+    kgs = []
+    for _ in range(n_runs):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(num_cpus),
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+            KGRAY_BENCH_RUNS="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(num_cpus)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        kgs.append(json.loads(line))
+        time.sleep(3)
+    kgs.sort(key=lambda r: r["kg_wall_s"])
+    kg = kgs[len(kgs) // 2]  # median by wall
+    kg = {k: v for k, v in kg.items()
+          if k not in ("metric", "value", "unit", "queries", "sf", "num_cpus",
+                       "kg_runs_all_wall_s")}
+    queries: dict = {}
+    if with_queries:
+        os.environ["POLARS_MAX_THREADS"] = str(num_cpus)
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        queries = run_queries(SF_DIR)
+        ray.shutdown()
     return {
         "metric": "kg_build wall seconds (synthetic CC-style pages, adaptive shuffle config)",
         "value": kg["kg_wall_s"],
@@ -415,7 +465,7 @@ if __name__ == "__main__":
     ap.add_argument("--child-compute", type=int, default=0)
     args = ap.parse_args()
     if args.child:
-        print(json.dumps(main_bench(args.child, with_queries=False)))
+        print(json.dumps(main_bench_inproc(args.child, with_queries=False)))
     elif args.child_compute:
         print(json.dumps(main_compute_child(args.child_compute)))
     elif args.scaling_compute:

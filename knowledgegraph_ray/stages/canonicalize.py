@@ -918,11 +918,12 @@ def merge_component_group(group: pa.Table) -> pa.Table:
 def _dict_col(block: pa.Table, name: str):
     """(distinct_values, int32 index array) for a string column — the block
     converts 10^6 rows to Python through its few distinct strings instead of
-    materializing one str object per row."""
+    materializing one str object per row.  Columns already dictionary-encoded
+    (the merge shuffle compresses strings pre-sort) pass through."""
     col = block.column(name)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    d = col.dictionary_encode()
+    d = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
     return d.dictionary.to_pylist(), d.indices.to_numpy(zero_copy_only=False)
 
 
@@ -1016,6 +1017,12 @@ def grouped_apply(
     # NOTE: ds.sort range-partitions with equal keys colocated (ties cannot
     # straddle a boundary); key-hash repartition would be preferable but
     # requires the global HASH_SHUFFLE strategy in Ray 2.49.
+
+    # NOTE (measured, round 3): dictionary-encoding the string payload
+    # before the sort LOSES 3-7x on this engine — Ray's sort re-concats
+    # blocks constantly and every concat pays a dictionary unification, so
+    # the byte savings are swamped by repeated O(dict) merges.  Plain
+    # string columns shuffle faster; do not re-add compression here.
     if hash_sort:
         from ..functions.hashing import hash2_key_columns, hash_key_columns
 

