@@ -34,6 +34,16 @@ def _graph_dirs(graph: str) -> tuple[str, str]:
     return os.path.join(graph, "nodes"), os.path.join(graph, "edges")
 
 
+def _linking_cfg(args: argparse.Namespace):
+    """--linking enables the fuzzy entity-linking candidate stage
+    (stages/linking.py); --linking-threshold tunes the cosine gate."""
+    if not getattr(args, "linking", False):
+        return None
+    from .stages.linking import LinkingConfig
+
+    return LinkingConfig(threshold=args.linking_threshold)
+
+
 def cmd_build(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines import kg_build
@@ -52,6 +62,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         resume=not args.no_resume,
         embed=args.embed,
         embed_dim=args.embed_dim,
+        linking=_linking_cfg(args),
     )
     print(json.dumps(res.metrics, default=str))
     return 0
@@ -262,6 +273,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--embed", action="store_true")
     b.add_argument("--embed-dim", type=int, default=1024)
+    b.add_argument("--linking", action="store_true",
+                   help="enable the fuzzy entity-linking candidate stage")
+    b.add_argument("--linking-threshold", type=float, default=0.6)
     b.set_defaults(fn=cmd_build)
 
     t = sub.add_parser("retry")
