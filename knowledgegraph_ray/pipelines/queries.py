@@ -440,6 +440,110 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_docs(sf_dir, ["doc_id", "text"]), n_docs)
 
 
+def q_value_p90(sf_dir: str):
+    """Exact per-type discrete p90 of event value-cents (quantile_disc 0.9
+    positioning, exact rational index arithmetic)."""
+    from ..stages.aggregates import grouped_quantile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").select(
+            ["event_type", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile(
+        ds, key_col="event_type", value_col="value_cents",
+        q_num=9, q_den=10, out_col="p90_cents",
+    )
+
+
+def q_event_lag_delta(sf_dir: str):
+    """Per-user lag window: value_cents - lag(value_cents) over
+    (PARTITION BY user_id ORDER BY ts, event_id) → (event_id, delta_cents);
+    first event per user is null."""
+    from ..stages.windows import grouped_lag
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_lag(
+        ds, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value_cents", out_col="delta_cents", id_cols=["event_id"],
+    )
+
+
+def q_case_bucket(sf_dir: str):
+    """Conditional bucketing (CASE WHEN): orders classified by total price
+    into small/mid/big, counted and summed per bucket."""
+    import numpy as np
+
+    from ..stages.aggregates import partial_grouped_agg
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_cents")
+        cents = b.column("price_cents").to_numpy(zero_copy_only=False)
+        lab = np.where(cents < 10_000_00, "small",
+                       np.where(cents < 25_000_00, "mid", "big"))
+        return pa.Table.from_pydict({
+            "bucket": pa.array(lab, pa.string()),
+            "price_cents": b.column("price_cents"),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).map_batches(bucketize, batch_format="pyarrow")
+    return partial_grouped_agg(
+        ds, ["bucket"], sums={"price_cents": "sum_cents"}, count_alias="n_orders"
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-way join + aggregate (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer ⋈ nation → revenue per nation.  Revenue in exact integer
+    micro-units: cents(extendedprice) × (100 − pct(discount)).  Every join
+    is the fact stream against a broadcast-or-shuffle unique-keyed map
+    (adaptive_join picks per side size)."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "price_cents")
+        b = _cents(b, "l_discount", "disc_pct")
+        rev = pc.multiply(
+            b.column("price_cents"),
+            pc.subtract(pa.scalar(100, pa.int64()), b.column("disc_pct")),
+        )
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"), "rev_micro": rev}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    t = adaptive_join(li, orders, left_keys=["l_orderkey"],
+                      right_keys=["o_orderkey"], how="inner")
+    t = adaptive_join(t, customer, left_keys=["o_custkey"],
+                      right_keys=["c_custkey"], how="inner")
+    t = adaptive_join(t, nation, left_keys=["c_nationkey"],
+                      right_keys=["n_nationkey"], how="inner")
+    return partial_grouped_agg(
+        t.select_columns(["n_name", "rev_micro"]), ["n_name"],
+        sums={"rev_micro": "revenue_micro"}, count_alias="n_items",
+    )
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -771,6 +875,46 @@ ORACLE_SQL: dict[str, str] = {
                  AS median_cents
         FROM events GROUP BY event_type
     """,
+    "q_value_p90": """
+        SELECT event_type,
+               quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.9)
+                 AS p90_cents
+        FROM events GROUP BY event_type
+    """,
+    "q_event_lag_delta": """
+        WITH c AS (
+          SELECT event_id, user_id, ts,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id,
+               cents - lag(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS delta_cents
+        FROM c
+    """,
+    "q_case_bucket": """
+        WITH c AS (
+          SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT CASE WHEN cents < 1000000 THEN 'small'
+                    WHEN cents < 2500000 THEN 'mid'
+                    ELSE 'big' END AS bucket,
+               CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n_orders
+        FROM c GROUP BY 1
+    """,
+    "q_revenue_by_nation": """
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                 AS BIGINT) AS revenue_micro,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "q_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
@@ -964,6 +1108,10 @@ QUERIES = {
     "q_rolling_sum": q_rolling_sum,
     "q_top3_orders": q_top3_orders,
     "q_value_median": q_value_median,
+    "q_value_p90": q_value_p90,
+    "q_event_lag_delta": q_event_lag_delta,
+    "q_case_bucket": q_case_bucket,
+    "q_revenue_by_nation": q_revenue_by_nation,
     "q_distinct_users": q_distinct_users,
     "q_token_count": q_token_count,
     "q_bpe_tokens": q_bpe_tokens,

@@ -28,14 +28,23 @@ import ray.data as rd
 from ray.data.aggregate import Count
 
 
-def grouped_median(
+def grouped_quantile(
     ds: rd.Dataset,
     *,
     key_col: str,
     value_col: str,
-    out_col: str = "median",
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
 ) -> rd.Dataset:
-    """(key, value) → (key, out_col): per-key discrete lower median."""
+    """(key, value) → (key, out_col): per-key EXACT discrete quantile —
+    the element at sorted index ceil(q·n) − 1, which is DuckDB's
+    ``quantile_disc`` positioning (probed: [1..4]@0.9→4, [10..100]@0.9→90,
+    medians at the lower element).  The quantile is rational (q_num/q_den)
+    so the index is computed in exact integer arithmetic — float q·n sits
+    above/below the integer boundary unpredictably (0.9 × 10 ≠ 9 in binary).
+    Same shape as every exact order statistic here: ONE key-only range sort
+    colocates groups, in-block C sort + run-boundary index math."""
     out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
     s = ds.select_columns([key_col, value_col]).sort([key_col])
 
@@ -55,15 +64,32 @@ def grouped_median(
         cs, vs = codes[order], vals[order]
         starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
         ends = np.r_[starts[1:], n]
-        med_idx = starts + (ends - starts - 1) // 2
+        sizes = ends - starts
+        # ceil(q*n) - 1 in exact ints: -(-q_num*n // q_den) - 1
+        q_idx = -(-(q_num * sizes) // q_den) - 1
         keys = enc.dictionary.take(pa.array(cs[starts], pa.int64()))
         return pa.Table.from_pydict(
             {key_col: pc.cast(keys, pa.string()),
-             out_col: pa.array(vs[med_idx], pa.int64())},
+             out_col: pa.array(vs[starts + q_idx], pa.int64())},
             schema=out_schema,
         )
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_median(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "median",
+) -> rd.Dataset:
+    """(key, value) → (key, out_col): per-key discrete lower median
+    (= quantile_disc at 1/2)."""
+    return grouped_quantile(
+        ds, key_col=key_col, value_col=value_col, q_num=1, q_den=2,
+        out_col=out_col,
+    )
 
 
 def grouped_count_distinct(

@@ -189,3 +189,53 @@ def topn_per_group(
         return out.filter(pa.array(rank <= n))
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_lag(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lag_delta",
+    id_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """SQL ``x - lag(x) OVER (PARTITION BY key ORDER BY order_cols)`` →
+    (id_cols..., out_col); the first row of each partition gets null.
+
+    Same shape as sessionize: sort on the KEY ONLY (range partitioning
+    colocates equal keys; a composite sort could split one key's rows at an
+    order-column boundary), then an in-block C sort restores the window
+    order and the lag is one vectorized shift per block."""
+    import pyarrow.compute as pc
+
+    id_cols = id_cols or order_cols[-1:]
+    need = list(dict.fromkeys([key_col, *order_cols, value_col, *id_cols]))
+    s = events.select_columns(need).sort([key_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        out_fields = [(c, block.schema.field(c).type) for c in id_cols]
+        out_schema = pa.schema(out_fields + [(out_col, pa.int64())])
+        if n == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        block = block.take(order)
+        keys = block.column(key_col).to_numpy(zero_copy_only=False)
+        vals = pc.cast(block.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        delta = np.empty(n, np.int64)
+        delta[1:] = vals[1:] - vals[:-1]
+        delta[0] = 0
+        out = {c: block.column(c) for c in id_cols}
+        d = pa.array(delta, pa.int64())
+        out[out_col] = pc.if_else(pa.array(new_key), pa.scalar(None, pa.int64()), d)
+        return pa.Table.from_pydict(out, schema=out_schema)
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)

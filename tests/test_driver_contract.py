@@ -90,7 +90,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_norm_text", "q_sample_uniform",
     "q_sample_stratified", "q_knn_top10",
     "q_neardup_pairs", "q_asof_join", "q_range_join", "q_rolling_sum",
-    "q_top3_orders", "q_value_median", "q_distinct_users",
+    "q_top3_orders", "q_value_median", "q_value_p90", "q_event_lag_delta",
+    "q_case_bucket", "q_revenue_by_nation", "q_distinct_users",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
@@ -102,7 +103,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 @pytest.mark.parametrize("name", [
     "q_lang_id", "q_rolling_fp", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
-    "q_kg_nodes_by_type", "q_kg_edges_by_type",
+    "q_kg_nodes_by_type", "q_kg_edges_by_type", "q_kg_linking",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     got = _to_pandas(entry_mod.queries()[name](SF_DIR))
