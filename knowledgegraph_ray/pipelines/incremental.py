@@ -281,6 +281,7 @@ def incremental_merge(
     num_partitions: int = 8,
     embed_dim: int = 1024,
     embed_backend: Any = None,
+    linking=None,
 ) -> dict[str, Any]:
     """Merge new extraction results into an existing graph; writes the updated
     nodes/ + edges/ under out_dir and returns counts.
@@ -288,7 +289,15 @@ def incremental_merge(
     If the existing nodes carry an ``embedding`` column, the merged nodes do
     too: unchanged nodes keep their stored vector, changed/new nodes are
     re-embedded (D4 regenerate-on-change,
-    systematic_merge_provider.py:687-696)."""
+    systematic_merge_provider.py:687-696).
+
+    ``linking`` (stages.linking.LinkingConfig, default off): the fuzzy
+    entity-linking candidate stage also runs over the UNION of pseudo-
+    mentions and new mentions, so a typo'd new surface can link to an
+    EXISTING node — the alias-dictionary half scores new names against the
+    stored aliases, the ANN half against the stored names (the north-star
+    "score candidate mentions against an alias dictionary + ANN index"
+    applied incrementally)."""
     from ..stages.canonicalize import grouped_apply
 
     existing_sch = existing_nodes.schema()
@@ -302,7 +311,9 @@ def incremental_merge(
     new_triples = new_extracted.map_batches(explode_triples, batch_format="pyarrow")
 
     mentions = pseudo.union(new_mentions).materialize()
-    nodes, with_comp = canonicalize(mentions, num_partitions=num_partitions)
+    nodes, with_comp = canonicalize(
+        mentions, num_partitions=num_partitions, linking=linking
+    )
     if has_embeddings:
         from ..stages.embedder import reembed_changed_nodes
 

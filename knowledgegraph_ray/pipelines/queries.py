@@ -544,6 +544,15 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_token_commonness(sf_dir: str):
+    """Corpus-statistic quality score (CCNet-filter shape, exact-integer):
+    per doc, sum of each token occurrence's global corpus frequency +
+    token count — two passes, broadcast term map, all-int arithmetic."""
+    from ..stages.textops import token_commonness
+
+    return token_commonness(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -875,6 +884,17 @@ ORACLE_SQL: dict[str, str] = {
                  AS median_cents
         FROM events GROUP BY event_type
     """,
+    "q_token_commonness": """
+        WITH tok AS (
+          SELECT doc_id,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS commonness,
+               count(*) AS n_tokens
+        FROM tok JOIN g USING (term) GROUP BY doc_id
+    """,
     "q_value_p90": """
         SELECT event_type,
                quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.9)
@@ -1109,6 +1129,7 @@ QUERIES = {
     "q_top3_orders": q_top3_orders,
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
+    "q_token_commonness": q_token_commonness,
     "q_event_lag_delta": q_event_lag_delta,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,

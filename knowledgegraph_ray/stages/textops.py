@@ -461,3 +461,65 @@ def tfidf_scores(
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def doc_token_rows(batch: pa.Table, *, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, term) row per token occurrence — same tokenization as
+    top_terms (ASCII [A-Za-z0-9]+ runs, ascii-lowered, empties dropped)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.fill_null(col, ""), "[^A-Za-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.ascii_lower(pc.list_flatten(toks))
+    parent = pc.list_parent_indices(toks)
+    ids = batch.column(id_col).take(parent)
+    keep = pc.not_equal(flat, "")
+    return pa.table({"doc_id": ids.filter(keep), "term": flat.filter(keep)})
+
+
+def token_commonness(
+    ds: "rd.Dataset",  # noqa: F821
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-statistic quality score (the CCNet/perplexity-filter shape,
+    exact-integer variant): per document, the SUM of each token occurrence's
+    GLOBAL corpus frequency, plus the token count — documents dominated by
+    rare/garbage tokens score low relative to their length.
+
+    Two passes, both shuffle-light:
+      1. global term counts — per-block value_counts collapses each block to
+         its distinct terms before one small groupby (top_terms machinery);
+      2. per-doc scoring — token rows probe the BROADCAST term-count map
+         (one shared zero-copy index, collision-checked; functions/joins),
+         then a map-side-combined groupby sums per doc.
+    All-integer arithmetic: the score is exactly reproducible in ANSI SQL
+    (no log/float divergence between engines); a downstream filter divides
+    commonness by n_tokens at display time.  At 100 TB the term map is the
+    Zipf head — cap it with top_terms_sketch and bucket the tail as count 1
+    (the standard CCNet binning); this exact path is the oracle."""
+    from .aggregates import partial_grouped_agg
+    from ..functions.joins import lookup_join
+
+    tok = ds.map_batches(
+        lambda b: doc_token_rows(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    counts = partial_grouped_agg(
+        ds.map_batches(
+            lambda b: _token_counts(b.column(text_col)), batch_format="pyarrow"
+        ),
+        ["term"], sums={"cnt": "cnt"},
+    ).materialize()
+    joined = lookup_join(
+        tok, counts.to_arrow_refs(), left_keys=["term"], how="inner",
+        right_schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
+    )
+    return partial_grouped_agg(
+        joined.select_columns(["doc_id", "cnt"]), ["doc_id"],
+        sums={"cnt": "commonness"}, count_alias="n_tokens",
+    )
