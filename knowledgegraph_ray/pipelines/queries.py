@@ -544,6 +544,16 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_hopping_window(sf_dir: str):
+    """Overlapping (hopping) 60-minute windows hopping every 15 minutes:
+    per-window per-type event counts — the streaming-window shape tumbling
+    buckets can't express (each event lands in 4 windows)."""
+    from ..stages.windows import hopping_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return hopping_counts(ds, width_minutes=60, hop_minutes=15)
+
+
 def q_token_commonness(sf_dir: str):
     """Corpus-statistic quality score (CCNet-filter shape, exact-integer):
     per doc, sum of each token occurrence's global corpus frequency +
@@ -884,6 +894,16 @@ ORACLE_SQL: dict[str, str] = {
                  AS median_cents
         FROM events GROUP BY event_type
     """,
+    "q_hopping_window": """
+        WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        x AS (
+          SELECT event_type,
+                 (t // 900000000 - j) * 900000000 AS window_us
+          FROM e, UNNEST(range(0, 4)) AS u(j)
+        )
+        SELECT window_us, event_type, count(*) AS n
+        FROM x GROUP BY 1, 2
+    """,
     "q_token_commonness": """
         WITH tok AS (
           SELECT doc_id,
@@ -1130,6 +1150,7 @@ QUERIES = {
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
     "q_token_commonness": q_token_commonness,
+    "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,

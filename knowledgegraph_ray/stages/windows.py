@@ -239,3 +239,52 @@ def grouped_lag(
         return pa.Table.from_pydict(out, schema=out_schema)
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def hopping_counts(
+    events: rd.Dataset,
+    *,
+    width_minutes: int,
+    hop_minutes: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> rd.Dataset:
+    """OVERLAPPING (hopping/sliding) window counts per key: window [s, s+width)
+    for every s on the hop grid → (window_us, key, n).
+
+    width must be a multiple of hop, so every event belongs to exactly
+    width/hop windows — the expansion is one np.repeat/tile per batch (no
+    per-row Python) and the groupby runs through the map-side combiner, so
+    the exchange is O(windows × keys × blocks), never events × windows.
+    Window starts stay int64 epoch-microseconds (no timestamp formatting to
+    diverge between engines)."""
+    from .aggregates import partial_grouped_agg
+
+    width_us = int(width_minutes) * 60_000_000
+    hop_us = int(hop_minutes) * 60_000_000
+    if width_us % hop_us:
+        raise ValueError("width_minutes must be a multiple of hop_minutes")
+    w = width_us // hop_us
+
+    def expand(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                "window_us": pa.array([], pa.int64()),
+                key_col: pa.array([], block.schema.field(key_col).type),
+            })
+        t = pc.cast(block.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        # event at t is in windows with start (t//hop - j)*hop, j in [0, w)
+        k_hi = t // hop_us
+        starts = (np.repeat(k_hi, w) - np.tile(np.arange(w, dtype=np.int64), n)) * hop_us
+        keys = block.column(key_col).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), w), pa.int64())
+        )
+        return pa.table({"window_us": pa.array(starts, pa.int64()), key_col: keys})
+
+    exp = events.select_columns([ts_col, key_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    return partial_grouped_agg(exp, ["window_us", key_col], count_alias="n")

@@ -232,3 +232,40 @@ def test_topn_per_group_rank_and_ties():
                          tiebreak_col="oid")
     rows = {(r["k"], r["rn"]): r["oid"] for r in out.take_all()}
     assert rows == {(1, 1): 1, (1, 2): 2, (1, 3): 4, (2, 1): 5}
+
+
+def test_hopping_counts_window_membership(ray_session):
+    """An event at t belongs to exactly width/hop windows [s, s+width) with
+    s on the hop grid, including exact-boundary timestamps."""
+    import datetime
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.windows import hopping_counts
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        base,                                   # exactly on a 15-min boundary
+        base + datetime.timedelta(minutes=7),   # mid-hop
+        base + datetime.timedelta(minutes=59, seconds=59),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(rows, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(rows)),
+    }))
+    got = {(r["window_us"], r["event_type"]): r["n"]
+           for r in hopping_counts(ds, width_minutes=60, hop_minutes=15).take_all()}
+    hop = 15 * 60 * 1_000_000
+    width = 60 * 60 * 1_000_000
+    # brute-force reference
+    want: dict = {}
+    for t in rows:
+        t_us = int(t.timestamp() * 1_000_000)
+        k = t_us // hop
+        for j in range(4):
+            s = (k - j) * hop
+            assert s <= t_us < s + width
+            want[(s, "a")] = want.get((s, "a"), 0) + 1
+    assert got == want
