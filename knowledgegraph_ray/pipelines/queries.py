@@ -650,6 +650,32 @@ def q_ivf_knn(sf_dir: str):
     return ivf_search(assigned, cents, KNN_QUERY_VEC, k=10, n_probe=3)
 
 
+def q_hnsw_knn(sf_dir: str):
+    """Graph-ANN (HNSW-class) top-10 over the embeddings table: sharded
+    k-NN-graph index (stages/nsw.py) probed with beam search at the
+    reference's efs=200 (query_search.py:74-78).  The persisted index is
+    cached under /tmp keyed by (sf basename, row count) with a success
+    marker, so repeated queries pay only the probe."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import seeded_centroids
+    from ..stages.nsw import nsw_build_index, nsw_query_index
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    cents = seeded_centroids(64, 8)
+    base = f"/tmp/kgray_cache/{os.path.basename(os.path.normpath(sf_dir))}-nsw-{n_rows}"
+    marker = f"{base}/_SUCCESS"
+    if not os.path.isfile(marker):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        nsw_build_index(ds, cents, base, M=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return nsw_query_index(base, cents, KNN_QUERY_VEC, k=10, efs=200)
+
+
 # --- flagship KG pipeline over the synthetic page table (rows-only) --------
 
 _KG_CACHE: dict[str, Any] = {}
@@ -1176,6 +1202,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ivf_knn": q_ivf_knn,
+    "q_hnsw_knn": q_hnsw_knn,
     "q_kmeans": q_kmeans,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
@@ -1207,6 +1234,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     "q_ivf_knn": [
         "tests/test_dedup_knn.py::test_ivf_assign_partitions_and_search_recall",
         "tests/test_dedup_knn.py::test_ivf_persisted_index_prunes_and_full_probe_is_exact",
+    ],
+    "q_hnsw_knn": [
+        "tests/test_nsw.py::test_nsw_index_build_query_and_recall",
+        "tests/test_nsw.py::test_beam_search_full_pool_is_exact",
+        "tests/test_nsw.py::test_q_hnsw_knn_matches_exact_at_small_scale",
     ],
     "q_kmeans": [
         "tests/test_dedup_knn.py::test_kmeans_recovers_separated_blobs",
