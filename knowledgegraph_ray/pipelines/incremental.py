@@ -338,9 +338,11 @@ def incremental_merge(
     merged_edges = grouped_apply(
         all_edges, ["src", "dst", "type"], _edge_union_row, EDGES_SCHEMA,
         num_partitions=num_partitions,
-        # 16-byte hash sort keys + block reducer: same shuffle/reducer shape
-        # as the main-path edge merge (the union spans the FULL existing graph)
+        # 16-byte hash keys + block reducer + map/reduce hash exchange: same
+        # shuffle/reducer shape as the main-path edge merge (the union spans
+        # the FULL existing graph)
         hash_sort=True,
+        exchange="hash",
         block_fn=_edge_union_block,
         order_col="ord",
     ).materialize()

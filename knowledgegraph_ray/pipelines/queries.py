@@ -544,6 +544,86 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_order_priority(sf_dir: str):
+    """EXISTS shape (TPC-H Q4 adapted to this schema): orders with at least
+    one discounted lineitem (l_discount > 0.05), counted per priority.  The
+    existence set is a shuffle-free distinct-key build over the filtered
+    fact table, broadcast into a semi-join."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys, partial_grouped_agg
+
+    disc_keys = distinct_keys(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_discount"])
+        .filter(expr="l_discount > 0.05")
+        .select_columns(["l_orderkey"]),
+        ["l_orderkey"],
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    semi = adaptive_join(orders, disc_keys, left_keys=["o_orderkey"],
+                         right_keys=["l_orderkey"], how="inner")
+    return partial_grouped_agg(
+        semi.select_columns(["o_orderpriority"]), ["o_orderpriority"],
+        count_alias="n_orders",
+    )
+
+
+def q_status_pivot(sf_dir: str):
+    """Conditional aggregation / pivot shape: per order priority, total
+    price (exact integer cents) split into per-status columns with
+    vectorized CASE masks — one pass, map-side combined."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        st = b.column("o_orderstatus")
+        cents = b.column("cents")
+        zero = pa.scalar(0, pa.int64())
+        out = {"o_orderpriority": b.column("o_orderpriority")}
+        for status, col in (("F", "total_f"), ("O", "total_o"), ("P", "total_p")):
+            out[col] = pc.if_else(pc.equal(st, status), cents, zero)
+        return pa.Table.from_pydict(out)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return partial_grouped_agg(
+        orders, ["o_orderpriority"],
+        sums={"total_f": "total_f", "total_o": "total_o", "total_p": "total_p"},
+        count_alias="n_orders",
+    )
+
+
+def q_above_avg(sf_dir: str):
+    """Scalar-subquery shape: events whose value exceeds the global mean,
+    counted per type.  The mean comparison is EXACT integer math (no float
+    summation-order divergence): cents(value) * N > sum(cents(value)) —
+    the global (sum, count) pair is one tiny driver aggregate broadcast
+    into the filter."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = ev.map_batches(
+        lambda b: _cents(b, "value", "vc").select(["event_type", "vc"]),
+        batch_format="pyarrow",
+    ).materialize()
+    agg = cents.aggregate(Sum("vc", alias_name="s"), Count(alias_name="n"))
+    s, n = int(agg["s"]), int(agg["n"])
+
+    def above(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(b.column("vc"), pa.scalar(n, pa.int64())),
+                          pa.scalar(s, pa.int64()))
+        return b.filter(keep)
+
+    return partial_grouped_agg(
+        cents.map_batches(above, batch_format="pyarrow").select_columns(["event_type"]),
+        ["event_type"], count_alias="n_events",
+    )
+
+
 def q_hopping_window(sf_dir: str):
     """Overlapping (hopping) 60-minute windows hopping every 15 minutes:
     per-window per-type event counts — the streaming-window shape tumbling
@@ -969,6 +1049,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n_orders
         FROM c GROUP BY 1
     """,
+    "q_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """,
+    "q_status_pivot": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS total_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS total_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS total_p,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_above_avg": """
+        SELECT event_type, count(*) AS n_events
+        FROM events
+        WHERE CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              * (SELECT count(*) FROM events)
+              > (SELECT CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) FROM events)
+        GROUP BY event_type
+    """,
     "q_revenue_by_nation": """
         SELECT n_name,
                CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
@@ -1180,6 +1290,9 @@ QUERIES = {
     "q_event_lag_delta": q_event_lag_delta,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
+    "q_order_priority": q_order_priority,
+    "q_status_pivot": q_status_pivot,
+    "q_above_avg": q_above_avg,
     "q_distinct_users": q_distinct_users,
     "q_token_count": q_token_count,
     "q_bpe_tokens": q_bpe_tokens,

@@ -985,6 +985,11 @@ def merge_component_block(block: pa.Table, starts) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
 
 
+# Target rows per hash-exchange reduce task (see grouped_apply docstring);
+# 2^18 keeps one reduce's concat+lexsort inside cache-friendly territory.
+_HASH_EXCHANGE_ROWS_PER_PART = 262144
+
+
 def grouped_apply(
     ds: rd.Dataset,
     keys: list[str],
@@ -994,6 +999,7 @@ def grouped_apply(
     hash_sort: bool = False,
     block_fn=None,
     order_col: str | None = None,
+    exchange: str = "sort",
 ) -> rd.Dataset:
     """Hash-partitioned grouped apply emitting ONE block per partition.
 
@@ -1011,18 +1017,38 @@ def grouped_apply(
     run scan reads uint64 arrays zero-copy instead of materializing Python
     string objects.  Two groups merge only if BOTH independent polynomial
     hash families collide (~1e-19 at 10^10 groups) — the collision model the
-    CC pair keys and the alias map already accept."""
+    CC pair keys and the alias map already accept.
+
+    ``exchange`` picks the all-to-all implementation (hash_sort only):
+
+    * ``"sort"`` — Ray's range sort.  Establishes a GLOBAL order the run
+      scan never needed, paying a sampling pass, boundary coordination and
+      repeated sorted-run merge-concats.  Measured on this host the merge
+      phase is memory-bus-bound and stops scaling past ~8 workers (edges.merge
+      ran 20 s @ 8 cpus → 25 s @ 32 in the round-3 campaign).
+    * ``"hash"`` — explicit map/reduce exchange: one split task per input
+      block partitions rows by ``gh1 % P`` (one argsort + P compact takes),
+      one reduce task per partition concats its B parts, lexsorts by the
+      128-bit hash and applies the same run-scan reducer.  Exactly two task
+      waves, no sampling, no global order, O(rows/P) memory per reduce —
+      the shape a real cluster's object store executes as a single
+      all-to-all.  Groups colocate because equal keys share gh1."""
     import numpy as np
 
     # NOTE: ds.sort range-partitions with equal keys colocated (ties cannot
-    # straddle a boundary); key-hash repartition would be preferable but
-    # requires the global HASH_SHUFFLE strategy in Ray 2.49.
+    # straddle a boundary); exchange="hash" below is the key-hash repartition
+    # that note used to wish for, without the global HASH_SHUFFLE strategy.
 
     # NOTE (measured, round 3): dictionary-encoding the string payload
     # before the sort LOSES 3-7x on this engine — Ray's sort re-concats
     # blocks constantly and every concat pays a dictionary unification, so
     # the byte savings are swamped by repeated O(dict) merges.  Plain
     # string columns shuffle faster; do not re-add compression here.
+    if exchange not in ("sort", "hash"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    if exchange == "hash" and not hash_sort:
+        raise ValueError("exchange='hash' requires hash_sort=True")
+
     if hash_sort:
         from ..functions.hashing import hash2_key_columns, hash_key_columns
 
@@ -1038,10 +1064,8 @@ def grouped_apply(
                 "_gh2", pa.array(hash2_key_columns(t, keys), pa.uint64())
             )
 
-        s = ds.map_batches(add_gh, batch_format="pyarrow").sort(["_gh1", "_gh2"])
         run_cols = ["_gh1", "_gh2"]
     else:
-        s = ds.sort(keys)
         run_cols = keys
 
     def apply_block(block: pa.Table) -> pa.Table:
@@ -1075,6 +1099,68 @@ def grouped_apply(
         ]
         return pa.Table.from_pylist(rows, schema=schema)
 
+    if exchange == "hash":
+        mat = ds.materialize()
+        total = mat.count()
+        # Partition count follows DATA SIZE, capped by the caller's
+        # num_partitions — never the CPU count.  Measured on this host: with
+        # P == num_cpus the 32-cpu leg ran 32 tiny concat+lexsort reduces
+        # that fight for one memory bus and the merge stage anti-scaled
+        # (10-12 s @ 32 vs 3.3 s @ 8 cpus); ~2^18 rows per reduce keeps each
+        # task cache-friendly and the task count proportional to rows — the
+        # same rule that yields thousands of partitions at 100 TB.
+        P = max(1, min(int(num_partitions), -(-total // _HASH_EXCHANGE_ROWS_PER_PART)))
+
+        @ray.remote
+        def _split(block: pa.Table):
+            t = add_gh(block)
+            if t.num_rows == 0:
+                return None if P == 1 else tuple(None for _ in range(P))
+            if P == 1:
+                return t
+            h1 = t.column("_gh1").to_numpy(zero_copy_only=False)
+            part = (h1 % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            bounds = np.searchsorted(part[order], np.arange(P + 1))
+            out = []
+            for i in range(P):
+                ii = order[bounds[i]:bounds[i + 1]]
+                # compact per-partition take (no sliced-buffer shipping)
+                out.append(t.take(pa.array(ii, pa.int64())) if ii.size else None)
+            return tuple(out)
+
+        @ray.remote
+        def _reduce(*parts):
+            tabs = [p for p in parts if p is not None and p.num_rows]
+            if not tabs:
+                return schema.empty_table()
+            # blocks from a union() can carry the same columns in different
+            # order; concat_tables is strict — normalize to the first block's
+            cols = tabs[0].column_names
+            tabs = [t if t.column_names == cols else t.select(cols) for t in tabs]
+            t = pa.concat_tables(tabs).combine_chunks()
+            h1 = t.column("_gh1").to_numpy(zero_copy_only=False)
+            h2 = t.column("_gh2").to_numpy(zero_copy_only=False)
+            return apply_block(t.take(pa.array(np.lexsort((h2, h1)), pa.int64())))
+
+        refs = mat.to_arrow_refs()
+        if not refs:
+            return rd.from_arrow(schema.empty_table())
+        split_opts = _split.options(num_returns=P) if P > 1 else _split
+        splits = [split_opts.remote(r) for r in refs]
+        if P == 1:
+            splits = [[s] for s in splits]
+        out_refs = [
+            _reduce.remote(*[splits[b][p] for b in range(len(splits))])
+            for p in range(P)
+        ]
+        return rd.from_arrow_refs(out_refs)
+
+    s = (
+        ds.map_batches(add_gh, batch_format="pyarrow").sort(["_gh1", "_gh2"])
+        if hash_sort
+        else ds.sort(keys)
+    )
     return s.map_batches(
         apply_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
@@ -1146,6 +1232,11 @@ def canonicalize(
     nodes = grouped_apply(
         merge_in, ["comp"], _with_registry(merge_component_row), NODES_SCHEMA,
         num_partitions=num_partitions,
+        # hash keys + map/reduce exchange (round 3): the node merge needs
+        # colocation by comp, not a global comp order — same rationale and
+        # collision model as the edge merge.
+        hash_sort=True,
+        exchange="hash",
         block_fn=_with_registry(merge_component_block), order_col="mid",
     ).materialize()
     LAST_TIMINGS["merge"] = round(_time.monotonic() - t0, 3)

@@ -667,8 +667,14 @@ def materialize_edges(
         EDGES_SCHEMA,
         num_partitions=num_partitions,
         # 16-byte int sort keys instead of three variable-length strings:
-        # the edge-merge range sort is the widest shuffle in the graph stage
+        # the edge-merge exchange is the widest shuffle in the graph stage
         hash_sort=True,
+        # explicit map/reduce hash exchange, not a range sort: the reducer
+        # needs colocation + in-partition runs, not global order.  Ray's
+        # sort was the worst-scaling stage in the round-3 campaign (20 s @ 8
+        # cpus -> 25 s @ 32, memory-bus-bound merge-concats); two task waves
+        # scale with the partition count instead.
+        exchange="hash",
         block_fn=merge_edge_block,
         order_col="ord",
     ).materialize()

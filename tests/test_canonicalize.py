@@ -352,3 +352,67 @@ def test_merge_reducers_precombined_n_column(ray_session):
     want = merge_component_row(raw.sort_by("mid"))
     assert got == want
     assert got["n_mentions"] == 5
+
+
+def test_grouped_apply_hash_exchange_equals_sort_exchange(ray_session):
+    """exchange='hash' (map/reduce split + per-partition lexsort) must
+    produce the same multiset of reduced rows as the range-sort path, at
+    several partition counts, including order_col in-run ordering."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.canonicalize import grouped_apply
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    ks = [f"k{int(v)}" for v in rng.integers(0, 400, n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(ks, pa.string()),
+            "ord": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        }
+    )
+    schema = pa.schema(
+        [("k", pa.string()), ("n", pa.int64()), ("first_v", pa.int64())]
+    )
+
+    def block_fn(block: pa.Table, starts) -> pa.Table:
+        kcol = block.column("k").to_pylist()
+        v = block.column("v").to_numpy(zero_copy_only=False)
+        starts = list(starts) + [block.num_rows]
+        return pa.Table.from_pylist(
+            [
+                {"k": kcol[s], "n": e - s, "first_v": int(v[s])}
+                for s, e in zip(starts[:-1], starts[1:])
+            ],
+            schema=schema,
+        )
+
+    def canon(t: pa.Table):
+        return sorted(
+            zip(
+                t.column("k").to_pylist(),
+                t.column("n").to_pylist(),
+                t.column("first_v").to_pylist(),
+            )
+        )
+
+    ds = rd.from_arrow(tbl).repartition(7)
+    ref = None
+    for P in (1, 3, 16):
+        srt = grouped_apply(ds, ["k"], None, schema, num_partitions=P,
+                            hash_sort=True, block_fn=block_fn, order_col="ord")
+        hsh = grouped_apply(ds, ["k"], None, schema, num_partitions=P,
+                            hash_sort=True, block_fn=block_fn, order_col="ord",
+                            exchange="hash")
+        a = canon(pa.Table.from_pylist(srt.take_all(), schema=schema))
+        b = canon(pa.Table.from_pylist(hsh.take_all(), schema=schema))
+        assert a == b
+        assert len(a) == 400
+        if ref is None:
+            ref = b
+        else:
+            assert b == ref  # partition-count invariance of the content

@@ -94,6 +94,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_hopping_window",
     "q_event_lag_delta",
     "q_case_bucket", "q_revenue_by_nation", "q_distinct_users",
+    "q_order_priority", "q_status_pivot", "q_above_avg",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
@@ -105,6 +106,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 @pytest.mark.parametrize("name", [
     "q_lang_id", "q_rolling_fp", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
+    "q_hnsw_knn",
     "q_kg_nodes_by_type", "q_kg_edges_by_type", "q_kg_linking",
 ])
 def test_rows_only_queries_run(entry_mod, name):
