@@ -358,6 +358,18 @@ def q_distinct_users(sf_dir: str):
     )
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate GLOBAL distinct users via HyperLogLog (p=14, ~0.8% s.e.):
+    the 100-TB path where the exact distinct's shuffle is the bottleneck —
+    one register vector per block, tree-merged in zero-CPU tasks.  Rows-only
+    by nature (DuckDB's approx_count_distinct uses its own HLL variant); the
+    pytest oracle bounds the error vs exact and proves partition invariance."""
+    from ..stages.aggregates import hll_count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_count_distinct(ds, ["user_id"], p=14)
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -1310,6 +1322,7 @@ QUERIES = {
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)
+    "q_distinct_users_hll": q_distinct_users_hll,
     "q_lang_id": q_lang_id,
     "q_rolling_fp": q_rolling_fp,
     "q_simhash": q_simhash,
@@ -1330,6 +1343,11 @@ QUERIES = {
 # verify the operator's semantics, so "no_oracle" in the driver report never
 # means "untested".
 PYTEST_ORACLES: dict[str, list[str]] = {
+    "q_distinct_users_hll": [
+        "tests/test_hll.py::test_hll_accuracy_int_column",
+        "tests/test_hll.py::test_hll_duplicates_and_partitioning_invariant",
+        "tests/test_hll.py::test_hll_string_and_composite_columns",
+    ],
     "q_lang_id": [
         "tests/test_driver_contract.py::test_lang_id_heuristic_on_real_sentences",
         "tests/test_driver_contract.py::test_lang_id_deterministic",

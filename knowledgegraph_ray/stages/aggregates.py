@@ -217,3 +217,131 @@ def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
         return t.group_by(keys).aggregate([])
 
     return rd.from_arrow_refs([combine.remote(refs)])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate count-distinct — the scale path next to the exact
+# grouped_count_distinct above.  At 10^12 rows an exact distinct moves every
+# distinct pair through a shuffle; HLL moves ONE 2^p-byte register vector per
+# block through a tree of zero-CPU merge tasks (register merge = elementwise
+# max, associative and idempotent), so the exchange is O(blocks × 2^p) bytes
+# and the answer has a proven ~1.04/sqrt(2^p) standard error (p=14 → 0.8%).
+# The reference has no sketch layer (it counts via DB aggregates); this is
+# part of the large-scale-training-pipeline operator set.
+# ---------------------------------------------------------------------------
+
+# leading-zero count within one byte (index 0 → 8)
+_LZ8 = np.array(
+    [8] + [7 - int(i).bit_length() + 1 for i in range(1, 256)], dtype=np.uint8
+)
+
+
+def _hll_rho(w: np.ndarray, max_rho: int) -> np.ndarray:
+    """Position of the leftmost 1-bit of each uint64 (1-based), all-zero words
+    → max_rho.  Vectorized via an MSB-first byte view + per-byte LZ table —
+    exact for the full 64-bit range (float log2 rounds 2^53+ wrongly)."""
+    b = w.byteswap().view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    first = np.argmax(nz, axis=1)
+    any_nz = nz.any(axis=1)
+    clz = first.astype(np.int64) * 8 + _LZ8[b[np.arange(len(w)), first]]
+    rho = np.where(any_nz, clz + 1, max_rho).astype(np.uint8)
+    return np.minimum(rho, np.uint8(max_rho))
+
+
+def hll_register_block(block: pa.Table, value_cols: list[str], p: int) -> np.ndarray:
+    """2^p uint8 HLL registers of one block's value tuples (deterministic
+    polynomial row hash — identical across processes and partitionings)."""
+    from ..functions.hashing import hash_key_columns
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if block.num_rows == 0:
+        return regs
+    h = hash_key_columns(block, value_cols)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, MSB-aligned
+    rho = _hll_rho(w, 64 - p + 1)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. estimator with the small-range (linear counting)
+    correction; no large-range correction needed at 64-bit hash width."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_count_distinct(
+    ds: rd.Dataset, value_cols: list[str], *, p: int = 14, fanin: int = 64
+) -> rd.Dataset:
+    """Approximate global distinct count of ``value_cols`` tuples.
+
+    One map pass emits per-block register vectors; a fan-in tree of zero-CPU
+    tasks max-merges them (depth log_fanin(blocks), never O(blocks) on any
+    single process); the root row carries the estimate.  Returns a 1-row
+    Dataset {n_distinct_approx: int64, hll_p: int64} so it composes like
+    every other operator.  The register vector is a pure function of the
+    VALUE SET — duplicates and partitioning cannot change the answer."""
+    import ray
+
+    m = 1 << p
+
+    def per_block(b: pa.Table) -> pa.Table:
+        # zero-row Ray blocks can carry a degenerate empty schema — emit the
+        # identity registers without touching the (possibly absent) columns
+        if b.num_rows == 0:
+            regs = np.zeros(m, dtype=np.uint8)
+        else:
+            regs = hll_register_block(b.select(value_cols), value_cols, p)
+        return pa.Table.from_pydict({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    refs = list(partials.to_arrow_refs())
+    if not refs:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"n_distinct_approx": pa.array([0], pa.int64()),
+                 "hll_p": pa.array([p], pa.int64())}
+            )
+        )
+
+    @ray.remote(num_cpus=0)
+    def merge(*tbls) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for t in tbls:
+            # empty input blocks pass through map_batches untouched (the UDF
+            # is skipped), so tolerate regs-less degenerate tables
+            if "regs" not in t.column_names:
+                continue
+            for buf in t.column("regs").to_pylist():
+                np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+        return pa.Table.from_pydict({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
+        ]
+
+    @ray.remote(num_cpus=0)
+    def finish(t: pa.Table) -> pa.Table:
+        if "regs" in t.column_names and t.num_rows:
+            regs = np.frombuffer(t.column("regs")[0].as_py(), dtype=np.uint8)
+        else:
+            regs = np.zeros(m, dtype=np.uint8)
+        return pa.Table.from_pydict(
+            {
+                "n_distinct_approx": pa.array([int(round(hll_estimate(regs)))], pa.int64()),
+                "hll_p": pa.array([p], pa.int64()),
+            }
+        )
+
+    return rd.from_arrow_refs([finish.remote(refs[0])])

@@ -1,0 +1,105 @@
+"""HyperLogLog approximate count-distinct (stages/aggregates.py).
+
+Oracle strategy: the register vector is a PURE FUNCTION of the value set, so
+partition invariance is exact (register equality, not just estimate
+closeness); accuracy is bounded by the published 1.04/sqrt(m) standard error
+with a 3-sigma margin; duplicates provably cannot move the estimate.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.aggregates import (
+    hll_count_distinct,
+    hll_estimate,
+    hll_register_block,
+)
+
+P = 14
+REL_ERR_3SIGMA = 3 * 1.04 / np.sqrt(1 << P)  # ~2.4% at p=14
+
+
+def _est(ds, cols, p=P):
+    out = hll_count_distinct(ds, cols, p=p).take_all()
+    assert len(out) == 1
+    return out[0]["n_distinct_approx"]
+
+
+def test_hll_rho_via_known_registers():
+    # one value per register index with a known remaining-bit pattern is hard
+    # to construct through the string hash; instead check the numpy kernel's
+    # invariants directly on the block API: registers are uint8, bounded by
+    # 64 - p + 1, and a superset's registers dominate a subset's.
+    tbl = pa.Table.from_pydict({"v": pa.array([str(i) for i in range(10_000)])})
+    regs = hll_register_block(tbl, ["v"], P)
+    assert regs.dtype == np.uint8
+    assert regs.max() <= 64 - P + 1
+    sub = hll_register_block(tbl.slice(0, 5_000), ["v"], P)
+    assert (regs >= sub).all()
+
+
+def test_hll_accuracy_int_column(ray_session):
+    n = 60_000
+    vals = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.Table.from_pydict({"user_id": pa.array(vals)})).repartition(8)
+    est = _est(ds, ["user_id"])
+    assert abs(est - n) / n < REL_ERR_3SIGMA
+
+
+def test_hll_duplicates_and_partitioning_invariant(ray_session):
+    n = 20_000
+    base = np.arange(n, dtype=np.int64)
+    dup = np.concatenate([base, base, base])  # 3x duplicated
+    rng = np.random.default_rng(11)
+    rng.shuffle(dup)
+    est_by_parts = set()
+    for parts in (1, 4, 13):
+        ds = rd.from_arrow(
+            pa.Table.from_pydict({"v": pa.array(dup)})
+        ).repartition(parts)
+        est_by_parts.add(_est(ds, ["v"]))
+    # pure function of the value set: every partitioning yields the SAME int
+    assert len(est_by_parts) == 1
+    est = est_by_parts.pop()
+    assert abs(est - n) / n < REL_ERR_3SIGMA
+
+
+def test_hll_string_and_composite_columns(ray_session):
+    n = 15_000
+    t = pa.Table.from_pydict(
+        {
+            "s": pa.array([f"user-{i % 5000}" for i in range(n)]),
+            "k": pa.array([i % 3 for i in range(n)], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    est_s = _est(ds, ["s"])
+    assert abs(est_s - 5000) / 5000 < REL_ERR_3SIGMA
+    est_sk = _est(ds, ["s", "k"])
+    assert abs(est_sk - 15_000) / 15_000 < REL_ERR_3SIGMA
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    # far below 2.5*m the linear-counting correction makes tiny sets near-exact
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"v": pa.array(np.arange(300, dtype=np.int64))})
+    ).repartition(3)
+    est = _est(ds, ["v"])
+    assert abs(est - 300) <= 6  # < 2%
+
+
+def test_hll_empty_dataset(ray_session):
+    ds = rd.from_arrow(
+        pa.schema([("v", pa.int64())]).empty_table()
+    )
+    out = hll_count_distinct(ds, ["v"]).take_all()
+    assert out[0]["n_distinct_approx"] == 0
+
+
+def test_hll_estimate_zero_registers():
+    assert hll_estimate(np.zeros(1 << P, dtype=np.uint8)) == 0.0
