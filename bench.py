@@ -408,6 +408,53 @@ def _spin_rate(dur: float) -> float:
     return n / dur
 
 
+def _membw_rate(dur: float) -> float:
+    """Steady-state memory bandwidth of ONE process (bytes/s): big-array
+    c = a + b, arrays pre-faulted so the timed loop measures the bus, not
+    first-touch page faults."""
+    import numpy as np
+
+    n = 32 * 1024 * 1024  # 3 × 256 MB working set — far beyond any cache
+    a = np.ones(n, dtype=np.float64)
+    b = np.ones(n, dtype=np.float64)
+    c = np.empty(n, dtype=np.float64)
+    np.add(a, b, out=c)  # warm / fault everything once
+    t_end = time.perf_counter() + dur
+    t0 = time.perf_counter()
+    passes = 0
+    while time.perf_counter() < t_end:
+        np.add(a, b, out=c)
+        passes += 1
+    return passes * 3 * n * 8 / (time.perf_counter() - t0)
+
+
+def main_host_probe_mem() -> dict:
+    """Aggregate MEMORY BANDWIDTH at the two scaling widths — the ceiling
+    that matters for Arrow/shuffle-heavy stages.  The blake2b spin probe
+    measures per-core clocks (no memory traffic); a shared-bus VM can hold
+    clocks while bandwidth stops scaling at just a few busy cores, capping
+    any memory-bound stage's N→4N efficiency at bw(4N)/bw(N)/4 regardless
+    of engine quality."""
+    import multiprocessing as mp
+
+    lo, hi = _scaling_cpus()
+    out: dict = {}
+    for w in sorted({1, lo, hi}):
+        with mp.Pool(w) as p:
+            rates = p.map(_membw_rate, [6.0] * w)
+        out[f"busy_{w}"] = {"total_gbps": round(sum(rates) / 1e9, 2),
+                            "per_worker_gbps": round(sum(rates) / len(rates) / 1e9, 2)}
+        time.sleep(3)
+    ceiling = (out[f"busy_{hi}"]["total_gbps"]
+               / out[f"busy_{lo}"]["total_gbps"] / (hi / lo))
+    return {
+        "metric": f"host {lo}→{hi} MEMORY-BANDWIDTH scaling ceiling (numpy add, 768 MB/proc)",
+        "value": round(ceiling, 3),
+        "unit": "efficiency",
+        **out,
+    }
+
+
 def main_scaling() -> dict:
     """North-rule two-cluster-size criterion, sandbox-adapted: the same job at
     8 and 32 CPUs in fresh processes; efficiency = speedup / cpu-ratio.
@@ -476,6 +523,7 @@ if __name__ == "__main__":
     ap.add_argument("--scaling-compute", action="store_true")
     ap.add_argument("--scaling-heavy", action="store_true")
     ap.add_argument("--host-probe", action="store_true")
+    ap.add_argument("--host-probe-mem", action="store_true")
     ap.add_argument("--child", type=int, default=0)
     ap.add_argument("--child-compute", type=int, default=0)
     args = ap.parse_args()
@@ -489,6 +537,8 @@ if __name__ == "__main__":
         print(json.dumps(main_scaling_heavy()))
     elif args.host_probe:
         print(json.dumps(main_host_probe()))
+    elif args.host_probe_mem:
+        print(json.dumps(main_host_probe_mem()))
     elif args.scaling:
         print(json.dumps(main_scaling()))
     else:
