@@ -693,6 +693,16 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-source document cap (keep the 5 earliest doc_ids per source) —
+    the URL/domain-level repetition control of CC-scale corpus passes; one
+    hash map/reduce exchange + a grouped-arange selection per partition."""
+    from ..stages.dedup import per_key_cap
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return per_key_cap(ds, key_cols=["source"], order_col="doc_id", n=5)
+
+
 def q_knn_top10(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_mod.topk_cosine(ds, KNN_QUERY_VEC, k=10)
@@ -1135,6 +1145,10 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_dups
         FROM documents GROUP BY 1
     """,
+    "q_domain_cap": """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+    """,
     # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
     # full O(n²) shingle self-join (char shingles == byte shingles on this
     # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
@@ -1310,6 +1324,7 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
+    "q_domain_cap": q_domain_cap,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

@@ -826,3 +826,54 @@ def simhash_band_pairs(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def per_key_cap(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    n: int,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Keep at most ``n`` rows per key, the first by ``order_col`` — the
+    URL/domain-level repetition cap every Common-Crawl-scale corpus pass
+    runs (hub domains contribute millions of near-identical pages; capping
+    per key bounds any single source's weight in the training mix).
+
+    SQL shape: ``row_number() OVER (PARTITION BY keys ORDER BY order_col)
+    <= n``.  Ray-Data-first: the hash map/reduce exchange colocates each
+    key's rows (grouped_apply exchange="hash" — two task waves, partition
+    count follows data size), and one vectorized pass per reduce partition
+    selects each run's first ``n`` rows (grouped arange, no per-group
+    Python).  Hot keys cost O(their rows) in ONE reduce task and are cut to
+    ``n`` there — the cap itself is the skew relief."""
+    from .canonicalize import grouped_apply
+
+    schema = ds.schema()
+    out_schema = pa.schema(
+        [(f.name, f.type) for f in schema.base_schema]
+    )
+
+    def cap_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        total = block.num_rows
+        if total == 0:
+            return out_schema.empty_table()
+        sizes = np.diff(np.r_[starts, total])
+        pos_in_run = np.arange(total, dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), sizes
+        )
+        keep = np.flatnonzero(pos_in_run < n)
+        return block.take(pa.array(keep, pa.int64())).select(out_schema.names)
+
+    return grouped_apply(
+        ds,
+        key_cols,
+        None,
+        out_schema,
+        num_partitions=num_partitions,
+        hash_sort=True,
+        block_fn=cap_block,
+        order_col=order_col,
+        exchange="hash",
+    )

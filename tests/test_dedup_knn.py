@@ -431,3 +431,32 @@ def test_ivf_efs_recall_knob(vec_ds):
     from knowledgegraph_ray.stages.knn import topk_cosine
     want = {r["vec_id"] for r in topk_cosine(ds, queries[0], k=10).take_all()}
     assert got == want
+
+
+def test_per_key_cap_matches_row_number_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import per_key_cap
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    # one hot key (half the rows) + a long tail — the CC hub-domain shape
+    keys = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 2_000, n))
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.Table.from_pydict(
+        {"k": pa.array([f"dom-{k}" for k in keys]), "doc_id": pa.array(ids)}
+    )
+    expected = set()
+    by_key: dict = {}
+    for k, i in zip(keys, ids):
+        by_key.setdefault(k, []).append(i)
+    for k, lst in by_key.items():
+        expected.update((k, i) for i in sorted(lst)[:7])
+
+    for parts in (1, 5, 16):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = per_key_cap(ds, key_cols=["k"], order_col="doc_id", n=7).take_all()
+        got = {(int(r["k"].split("-")[1]), r["doc_id"]) for r in out}
+        assert got == expected, f"parts={parts}"
