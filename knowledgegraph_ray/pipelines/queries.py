@@ -703,6 +703,18 @@ def q_domain_cap(sf_dir: str):
     return per_key_cap(ds, key_cols=["source"], order_col="doc_id", n=5)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs (doc_id >= 25) sharing any char
+    13-gram with the probe set (doc_id < 25) — broadcast probe-gram set +
+    one streaming rolling-hash map pass, no shuffle."""
+    from ..stages.dedup import contamination_hits
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    probe = docs.filter(expr="doc_id < 25")
+    corpus = docs.filter(expr="doc_id >= 25")
+    return contamination_hits(corpus, probe, k=13)
+
+
 def q_knn_top10(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_mod.topk_cosine(ds, KNN_QUERY_VEC, k=10)
@@ -1149,6 +1161,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, source FROM documents
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
     """,
+    # benchmark decontamination: distinct char-13-gram overlap counts
+    # (substr is 1-based; last valid start is length - 12)
+    "q_decontaminate": """
+        WITH probe AS (
+          SELECT DISTINCT substr(text, CAST(i AS INTEGER), 13) AS g
+          FROM documents, UNNEST(range(1, length(text) - 11)) AS t(i)
+          WHERE doc_id < 25
+        ),
+        corp AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 13) AS g
+          FROM documents, UNNEST(range(1, length(text) - 11)) AS t(i)
+          WHERE doc_id >= 25
+        )
+        SELECT doc_id, count(*) AS n_hits
+        FROM corp JOIN probe USING (g) GROUP BY 1
+    """,
     # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
     # full O(n²) shingle self-join (char shingles == byte shingles on this
     # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
@@ -1325,6 +1353,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
+    "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

@@ -877,3 +877,77 @@ def per_key_cap(
         order_col=order_col,
         exchange="hash",
     )
+
+
+def contamination_hits(
+    corpus: rd.Dataset,
+    probe: rd.Dataset,
+    *,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3/FineWeb k-gram overlap filter):
+    for every corpus doc, count its DISTINCT char k-grams that also occur
+    anywhere in the probe (benchmark) set; docs with n_hits ≥ 1 are
+    contamination candidates.
+
+    Scale shape: the probe side is the benchmark suite — small by
+    construction — so its sorted-unique k-gram hash set is built once
+    (map partials + one zero-CPU union task) and broadcast via the object
+    store; the corpus side is ONE streaming map pass (rolling-hash windows
+    over each batch's flat byte buffer + a searchsorted membership probe),
+    no shuffle, no join.  Hashes are the shared 61-bit rolling polynomial;
+    a false hit needs a 61-bit collision (~1e-12 at 10^6 probe grams).
+    Returns (doc_id, n_hits) for hit docs only."""
+    import ray
+
+    def probe_grams(batch: pa.Table) -> pa.Table:
+        t = _doc_shingle_lists(batch, text_col=text_col, id_col=id_col, k=k)
+        flat = np.unique(
+            t.column("sh").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
+        return pa.Table.from_pydict({"g": pa.array(flat, pa.int64())})
+
+    parts = probe.map_batches(
+        probe_grams, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    @ray.remote(num_cpus=0)
+    def union(refs: list) -> np.ndarray:
+        arrs = [
+            t.column("g").to_numpy(zero_copy_only=False)
+            for t in ray.get(list(refs))
+            if t.num_rows and "g" in t.column_names
+        ]
+        if not arrs:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    grams_ref = union.remote(parts.to_arrow_refs())
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_hits", pa.int64())])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        g = ray.get(grams_ref)  # local object store, zero-copy after first get
+        t = _doc_shingle_lists(batch, text_col=text_col, id_col=id_col, k=k)
+        sh = t.column("sh").combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False)
+        sizes = np.diff(sh.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        if g.size and flat.size:
+            pos = np.searchsorted(g, flat).clip(max=g.size - 1)
+            member = (g[pos] == flat).astype(np.int64)
+        else:
+            member = np.zeros(flat.size, np.int64)
+        doc_of = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        hits = np.bincount(doc_of, weights=member, minlength=len(sizes)).astype(np.int64)
+        keep = np.flatnonzero(hits > 0)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids[keep], pa.int64()),
+             "n_hits": pa.array(hits[keep], pa.int64())},
+            schema=out_schema,
+        )
+
+    return corpus.map_batches(scan, batch_format="pyarrow")

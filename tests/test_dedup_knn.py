@@ -460,3 +460,36 @@ def test_per_key_cap_matches_row_number_semantics(ray_session):
         out = per_key_cap(ds, key_cols=["k"], order_col="doc_id", n=7).take_all()
         got = {(int(r["k"].split("-")[1]), r["doc_id"]) for r in out}
         assert got == expected, f"parts={parts}"
+
+
+def test_contamination_hits_known_overlaps(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import contamination_hits
+
+    bench = "the quick brown fox jumps over the lazy dog"
+    probe = rd.from_arrow(
+        pa.Table.from_pydict({"doc_id": pa.array([0], pa.int64()),
+                              "text": pa.array([bench])})
+    )
+    corpus = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array(
+                    [
+                        "xxxx quick brown fox yyyy",   # shares 13-grams
+                        "completely unrelated words here none overlap",
+                        bench,                          # verbatim copy
+                        "tiny",                         # shorter than k
+                    ]
+                ),
+            }
+        )
+    ).repartition(3)
+    out = {r["doc_id"]: r["n_hits"] for r in
+           contamination_hits(corpus, probe, k=13).take_all()}
+    assert 10 in out and out[10] >= 1
+    assert 12 in out and out[12] == len(bench) - 12  # all distinct 13-grams hit
+    assert 11 not in out and 13 not in out
