@@ -370,6 +370,17 @@ def q_distinct_users_hll(sf_dir: str):
     return hll_count_distinct(ds, ["user_id"], p=14)
 
 
+def q_distinct_users_hll_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users: one 4 KB register row per
+    (group, block) through the hash exchange instead of every distinct pair."""
+    from ..stages.aggregates import grouped_hll_count_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_hll_count_distinct(
+        ds, key_col="event_type", value_col="user_id", p=12
+    )
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -1367,6 +1378,7 @@ QUERIES = {
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)
     "q_distinct_users_hll": q_distinct_users_hll,
+    "q_distinct_users_hll_by_type": q_distinct_users_hll_by_type,
     "q_lang_id": q_lang_id,
     "q_rolling_fp": q_rolling_fp,
     "q_simhash": q_simhash,
@@ -1391,6 +1403,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
         "tests/test_hll.py::test_hll_accuracy_int_column",
         "tests/test_hll.py::test_hll_duplicates_and_partitioning_invariant",
         "tests/test_hll.py::test_hll_string_and_composite_columns",
+    ],
+    "q_distinct_users_hll_by_type": [
+        "tests/test_hll.py::test_grouped_hll_accuracy_and_invariance",
     ],
     "q_lang_id": [
         "tests/test_driver_contract.py::test_lang_id_heuristic_on_real_sentences",

@@ -345,3 +345,88 @@ def hll_count_distinct(
         )
 
     return rd.from_arrow_refs([finish.remote(refs[0])])
+
+
+def grouped_hll_count_distinct(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "n_distinct_approx",
+    p: int = 12,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group approximate distinct count — the scale sibling of the exact
+    ``grouped_count_distinct`` above.  Each block emits ONE register row per
+    group it contains (2^p bytes, p=12 → 4 KB, ~1.6% s.e.), so the exchange
+    moves O(groups × blocks × 2^p) bytes instead of every distinct
+    (group, value) pair; register rows hash-colocate per group through
+    ``grouped_apply(exchange="hash")`` and max-merge in one run scan.  Wins
+    over the exact path when per-group distinct cardinality is large (user
+    sets, url sets at 100 TB); duplicates and partitioning cannot change the
+    registers, so the output is deterministic."""
+    from ..functions.hashing import hash_key_columns
+    from .canonicalize import grouped_apply
+
+    m = 1 << p
+    out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
+    regs_schema = pa.schema([(key_col, pa.string()), ("regs", pa.binary())])
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return regs_schema.empty_table()
+        b = b.select([key_col, value_col]).combine_chunks()
+        enc = pc.dictionary_encode(b.column(key_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = len(enc.dictionary)
+        h = hash_key_columns(b, [value_col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = _hll_rho(h << np.uint64(p), 64 - p + 1)
+        regs = np.zeros(n_groups * m, dtype=np.uint8)
+        np.maximum.at(regs, gcodes * m + idx, rho)
+        regs2 = regs.reshape(n_groups, m)
+        return pa.Table.from_pydict(
+            {
+                key_col: pc.cast(enc.dictionary, pa.string()),
+                "regs": pa.array([regs2[i].tobytes() for i in range(n_groups)],
+                                 pa.binary()),
+            },
+            schema=regs_schema,
+        )
+
+    partials = ds.map_batches(per_block, batch_format="pyarrow")
+
+    def merge_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        total = block.num_rows
+        if total == 0:
+            return out_schema.empty_table()
+        keys = block.column(key_col)
+        bufs = block.column("regs").to_pylist()
+        ends = np.r_[starts[1:], total]
+        out_keys, out_vals = [], []
+        for s, e in zip(starts, ends):
+            regs = np.frombuffer(bufs[s], dtype=np.uint8)
+            if e - s > 1:
+                regs = np.stack(
+                    [np.frombuffer(bufs[i], dtype=np.uint8) for i in range(s, e)]
+                ).max(axis=0)
+            out_keys.append(keys[s].as_py())
+            out_vals.append(int(round(hll_estimate(regs))))
+        return pa.Table.from_pydict(
+            {key_col: pa.array(out_keys, pa.string()),
+             out_col: pa.array(out_vals, pa.int64())},
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        partials,
+        [key_col],
+        None,
+        out_schema,
+        num_partitions=num_partitions,
+        hash_sort=True,
+        block_fn=merge_block,
+        exchange="hash",
+    )

@@ -103,3 +103,34 @@ def test_hll_empty_dataset(ray_session):
 
 def test_hll_estimate_zero_registers():
     assert hll_estimate(np.zeros(1 << P, dtype=np.uint8)) == 0.0
+
+
+def test_grouped_hll_accuracy_and_invariance(ray_session):
+    from knowledgegraph_ray.stages.aggregates import grouped_hll_count_distinct
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    groups = np.array(["alpha", "beta", "gamma"])[rng.integers(0, 3, n)]
+    # distinct cardinality differs per group: value ranges scale by group
+    scale = {"alpha": 500, "beta": 5_000, "gamma": 15_000}
+    vals = np.array([rng.integers(0, scale[g]) for g in groups], dtype=np.int64)
+    t = pa.Table.from_pydict({"k": pa.array(groups), "v": pa.array(vals)})
+    exact = {
+        g: len({int(v) for v, gg in zip(vals, groups) if gg == g})
+        for g in scale
+    }
+    rel = 3 * 1.04 / np.sqrt(1 << 12)  # p=12 → ~4.9%
+    results = []
+    for parts in (2, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = {
+            r["k"]: r["n_distinct_approx"]
+            for r in grouped_hll_count_distinct(
+                ds, key_col="k", value_col="v", p=12
+            ).take_all()
+        }
+        assert set(out) == set(exact)
+        for g in exact:
+            assert abs(out[g] - exact[g]) / exact[g] < rel, (g, out[g], exact[g])
+        results.append(out)
+    assert results[0] == results[1]  # partition invariance is exact
