@@ -163,6 +163,30 @@ def q_semi_join(sf_dir: str):
     ).rename_columns({"c_nationkey": "nationkey"})
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered exact semi join: lineitems of URGENT orders, per
+    returnflag.  The probe (lineitem, the big side at scale) streams through
+    a 12-bit/key Bloom membership test built from the order-key set BEFORE
+    any exchange — only matches plus the ~0.8% false-positive residue reach
+    the exact join, which removes them.  Result is identical to a plain
+    semi join (the bloom admits no false negatives)."""
+    from ..functions.bloom import bloom_semi_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).select_columns(["o_orderkey"])
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    semi = bloom_semi_join(
+        lineitem, urgent, left_keys=["l_orderkey"], right_keys=["o_orderkey"]
+    )
+    return partial_grouped_agg(semi, ["l_returnflag"], count_alias="n_items")
+
+
 def q_anti_join(sf_dir: str):
     """M3/J2-analog (left anti): orders with no lineitems, per priority — the
     same shape as checkpoint-resume's skip-done anti-join.  The existence set
@@ -966,6 +990,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
         GROUP BY c_nationkey
     """,
+    "q_bloom_semi_join": """
+        SELECT l_returnflag, count(*) AS n_items
+        FROM lineitem WHERE l_orderkey IN
+            (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
     "q_anti_join": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
@@ -1340,6 +1370,7 @@ QUERIES = {
     "q_sorted_limit": q_sorted_limit,
     "q_join_agg": q_join_agg,
     "q_semi_join": q_semi_join,
+    "q_bloom_semi_join": q_bloom_semi_join,
     "q_anti_join": q_anti_join,
     "q_lineitem_agg": q_lineitem_agg,
     "q_events_hourly": q_events_hourly,

@@ -203,7 +203,20 @@ def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
         return b.select(keys).group_by(keys).aggregate([])
 
     per = ds.map_batches(per_block, batch_format="pyarrow").materialize()
-    schema = per.schema().base_schema
+    per_schema = per.schema(fetch_if_missing=True)
+    if per_schema is None:
+        # fully-empty input (zero blocks survive materialize): derive the
+        # key schema from the INPUT dataset instead so callers still get a
+        # typed empty result
+        in_schema = ds.schema(fetch_if_missing=True)
+        base = (
+            in_schema.base_schema
+            if in_schema is not None
+            else pa.schema([pa.field(k, pa.null()) for k in keys])
+        )
+        schema = pa.schema([base.field(k) for k in keys])
+        return rd.from_arrow(schema.empty_table())
+    schema = per_schema.base_schema
     refs = per.to_arrow_refs()
 
     @ray.remote(num_cpus=0)
