@@ -738,6 +738,18 @@ def q_domain_cap(sf_dir: str):
     return per_key_cap(ds, key_cols=["source"], order_col="doc_id", n=5)
 
 
+def q_passage_dedup(sf_dir: str):
+    """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
+    20-word windows): per-doc total vs corpus-first-occurrence-kept passage
+    counts.  Explode is one vectorized split+binary_join map; first
+    occurrence is one grouped MIN with map-side combine; totals are a
+    counting map over the docs; the final doc-keyed aggregate×aggregate
+    join is adaptive broadcast/shuffle."""
+    from ..stages.dedup import passage_dedup_stats
+
+    return passage_dedup_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs (doc_id >= 25) sharing any char
     13-gram with the probe set (doc_id < 25) — broadcast probe-gram set +
@@ -1202,6 +1214,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, source FROM documents
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
     """,
+    # passage-level exact dedup (CCNet paragraph-dedup shape): every 20-word
+    # window is a passage; a passage is kept only at its corpus-first
+    # occurrence (global min of doc_id*2^20 + position)
+    "q_passage_dedup": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, i // 20 AS pos, string_agg(word, ' ' ORDER BY i) AS passage
+          FROM w GROUP BY doc_id, i // 20
+        ),
+        firsts AS (
+          SELECT min(doc_id * 1048576 + pos) AS mo FROM chunks GROUP BY passage
+        ),
+        kept AS (
+          SELECT (mo // 1048576) AS doc_id, count(*) AS kept_passages
+          FROM firsts GROUP BY 1
+        ),
+        tot AS (
+          SELECT doc_id, count(*) AS total_passages FROM chunks GROUP BY doc_id
+        )
+        SELECT t.doc_id AS doc_id, t.total_passages AS total_passages,
+               coalesce(k.kept_passages, 0) AS kept_passages
+        FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
+    """,
     # benchmark decontamination: distinct char-13-gram overlap counts
     # (substr is 1-based; last valid start is length - 12)
     "q_decontaminate": """
@@ -1395,6 +1435,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
+    "q_passage_dedup": q_passage_dedup,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,

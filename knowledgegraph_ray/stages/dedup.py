@@ -951,3 +951,145 @@ def contamination_hits(
         )
 
     return corpus.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+PASSAGE_ORD_BASE = 1 << 20  # ordkey = doc_id * BASE + passage_pos
+
+
+def explode_passages(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 20,
+) -> pa.Table:
+    """Explode each document into fixed-width word-window passages.
+
+    Fully vectorized: one ``split_pattern`` per batch, then the passage
+    strings are rebuilt with a single ``binary_join`` over a re-windowed
+    ListArray — the chunk offsets are contiguous by construction (chunk j's
+    end is chunk j+1's start within a doc, and doc boundaries meet exactly),
+    so no per-row Python and no string copies beyond the joined output.
+
+    Emits (passage:string, doc_id:int64, ordkey:int64) where
+    ordkey = doc_id * 2^20 + position — a single int64 whose global MIN is
+    the corpus-first occurrence of the passage (doc order, then offset).
+    """
+    W = int(words_per_passage)
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern(col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values
+    counts = np.diff(off)
+    if counts.size and counts.max() >= W * PASSAGE_ORD_BASE:
+        raise ValueError("document exceeds the 2^20-passage ordkey budget")
+    n_chunks = (counts + W - 1) // W
+    total = int(n_chunks.sum())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if total == 0:
+        return pa.Table.from_pydict(
+            {
+                "passage": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "ordkey": pa.array([], pa.int64()),
+            }
+        )
+    doc_idx = np.repeat(np.arange(len(counts)), n_chunks)
+    first_of_doc = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    k = np.arange(total, dtype=np.int64) - first_of_doc
+    starts = off[:-1][doc_idx] + W * k
+    chunk_off = np.append(starts, off[-1]).astype(np.int32)
+    chunk_list = pa.ListArray.from_arrays(pa.array(chunk_off, pa.int32()), flat)
+    passages = pc.binary_join(chunk_list, " ")
+    ordkey = ids[doc_idx] * PASSAGE_ORD_BASE + k
+    return pa.Table.from_pydict(
+        {
+            "passage": passages,
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "ordkey": pa.array(ordkey, pa.int64()),
+        }
+    )
+
+
+def passage_dedup_stats(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 20,
+) -> rd.Dataset:
+    """Passage-level exact dedup, the CCNet/RefinedWeb paragraph-dedup shape:
+    every W-word window is a passage; a passage survives only at its
+    corpus-FIRST occurrence (global min of doc_id·2^20+pos).  Returns one row
+    per document: (doc_id, total_passages, kept_passages) — the retention
+    profile a corpus pass uses to drop or rewrite boilerplate-heavy pages.
+
+    100-TB shape: the explode is a streaming map; "first occurrence" is ONE
+    grouped MIN over the passage string with map-side combine (the exchange
+    moves O(distinct passages per block), not O(words)); per-doc totals come
+    from a counting map over the docs (no second explode); the final join is
+    doc-keyed aggregate × aggregate via the adaptive broadcast/shuffle join.
+    Group key is the passage text itself — exact (no collision caveat); at
+    extreme scale swap the key for a 128-bit strong hash, same topology.
+    """
+    from ..functions.joins import adaptive_join
+    from .aggregates import partial_grouped_agg
+
+    W = int(words_per_passage)
+
+    chunks = ds.map_batches(
+        lambda b: explode_passages(
+            b, text_col=text_col, id_col=id_col, words_per_passage=W
+        ),
+        batch_format="pyarrow",
+    )
+    firsts = partial_grouped_agg(chunks, ["passage"], mins={"ordkey": "mo"})
+
+    def decode_winner(b: pa.Table) -> pa.Table:
+        mo = b.column("mo").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(mo // PASSAGE_ORD_BASE, pa.int64())}
+        )
+
+    kept = partial_grouped_agg(
+        firsts.map_batches(decode_winner, batch_format="pyarrow"),
+        ["doc_id"],
+        count_alias="kept_passages",
+    )
+
+    def totals_block(b: pa.Table) -> pa.Table:
+        col = b.column(text_col)
+        n_words = pc.add(pc.count_substring(col, " "), 1)
+        tot = pc.cast(
+            pc.divide(pc.add(n_words, W - 1), W), pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(b.column(id_col), pa.int64()),
+                "total_passages": tot,
+            }
+        )
+
+    tot = ds.map_batches(totals_block, batch_format="pyarrow")
+    joined = adaptive_join(tot, kept, left_keys=["doc_id"], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "total_passages": b.column("total_passages"),
+                "kept_passages": pc.fill_null(
+                    pc.cast(b.column("kept_passages"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")

@@ -493,3 +493,39 @@ def test_contamination_hits_known_overlaps(ray_session):
     assert 10 in out and out[10] >= 1
     assert 12 in out and out[12] == len(bench) - 12  # all distinct 13-grams hit
     assert 11 not in out and 13 not in out
+
+
+def test_passage_dedup_stats_edge_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import passage_dedup_stats
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    # doc 0: 2 full passages (40 words), all unique
+    # doc 1: exact copy of doc 0 -> every passage duplicates doc 0 -> kept 0
+    # doc 2: short doc (7 words < W) -> 1 passage, unique
+    # doc 3: first 20 words copy doc 0's first passage, next 20 unique
+    # doc 4: 21 words -> 2 passages (20 + 1-word tail), both unique
+    docs = [
+        (0, w(40, "a")),
+        (1, w(40, "a")),
+        (2, w(7, "b")),
+        (3, " ".join(f"a{i}" for i in range(20)) + " " + w(20, "c")),
+        (4, w(21, "d")),
+    ]
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([s for _, s in docs])}
+    )
+    for parts in (1, 3):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = {r["doc_id"]: (r["total_passages"], r["kept_passages"])
+               for r in passage_dedup_stats(ds).take_all()}
+        assert out == {
+            0: (2, 2),
+            1: (2, 0),   # fully-duplicate doc: left-join fill path
+            2: (1, 1),
+            3: (2, 1),
+            4: (2, 2),
+        }, f"parts={parts}"
