@@ -141,6 +141,83 @@ def q_join_agg(sf_dir: str):
     )
 
 
+def q_left_join(sf_dir: str):
+    """Left outer join with null-fill: every customer with order count and
+    spend, ZERO for order-less customers.  Scale shape: the fact side is
+    aggregated FIRST (map-side combined groupby → O(customers) rows), then
+    the dimension left-joins the aggregate — never a raw-fact outer join."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents").drop_columns(
+            ["o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = partial_grouped_agg(
+        orders, ["o_custkey"], sums={"price_cents": "spent_cents"},
+        count_alias="n_orders",
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = adaptive_join(
+        cust, per_cust, left_keys=["c_custkey"], right_keys=["o_custkey"],
+        how="left",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "n_orders": pc.fill_null(
+                    pc.cast(b.column("n_orders"), pa.int64()), 0
+                ),
+                "spent_cents": pc.fill_null(
+                    pc.cast(b.column("spent_cents"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP (grouping sets) — revenue by (nation, order year) at every
+    prefix level incl. the grand total.  The input is aggregated once; the
+    coarser levels cascade from the finest partials (see rollup_agg)."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import rollup_agg
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "cents")
+        .append_column("yr", pc.cast(pc.year(b.column("o_orderdate")), pa.int64()))
+        .drop_columns(["o_totalprice", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    j = adaptive_join(
+        orders, customer, left_keys=["o_custkey"], right_keys=["c_custkey"]
+    )
+    j = adaptive_join(
+        j, nation, left_keys=["c_nationkey"], right_keys=["n_nationkey"]
+    )
+    return rollup_agg(
+        j, ["n_name", "yr"],
+        sums={"cents": "revenue_cents"}, count_alias="n_orders",
+        sentinels={"n_name": "ALL", "yr": -1},
+    )
+
+
 def q_semi_join(sf_dir: str):
     """J2-analog (left semi): customers with at least one order, per nation.
     The probe side is a shuffle-free distinct-key set (per-block unique +
@@ -1002,6 +1079,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
         GROUP BY c_nationkey
     """,
+    "q_left_join": """
+        SELECT c.c_custkey AS c_custkey,
+               coalesce(o.n_orders, 0) AS n_orders,
+               coalesce(o.spent_cents, 0) AS spent_cents
+        FROM customer c LEFT JOIN (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS spent_cents
+          FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    """,
+    "q_rollup_revenue": """
+        WITH base AS (
+          SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT coalesce(n_name, 'ALL') AS n_name,
+               coalesce(yr, -1) AS yr,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM base GROUP BY ROLLUP(n_name, yr)
+    """,
     "q_bloom_semi_join": """
         SELECT l_returnflag, count(*) AS n_items
         FROM lineitem WHERE l_orderkey IN
@@ -1409,6 +1511,8 @@ QUERIES = {
     "q_topk_events": q_topk_events,
     "q_sorted_limit": q_sorted_limit,
     "q_join_agg": q_join_agg,
+    "q_left_join": q_left_join,
+    "q_rollup_revenue": q_rollup_revenue,
     "q_semi_join": q_semi_join,
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_anti_join": q_anti_join,

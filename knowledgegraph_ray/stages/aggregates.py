@@ -443,3 +443,80 @@ def grouped_hll_count_distinct(
         block_fn=merge_block,
         exchange="hash",
     )
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    count_alias: str | None = None,
+    sentinels: dict[str, object] | None = None,
+) -> rd.Dataset:
+    """ROLLUP (hierarchical grouping-sets) aggregate: one row per group at
+    every prefix level of ``keys`` — (k1,k2), (k1), and the grand total —
+    with ``sentinels[key]`` filling the rolled-up key columns.
+
+    100-TB shape: the INPUT is aggregated exactly once (the finest level via
+    ``partial_grouped_agg``, map-side combined); every coarser level is a
+    re-aggregation of the finest RESULT (O(groups) rows), cascading sum
+    partials the way a warehouse rollup does — no second pass over the data
+    and no extra wide exchange beyond the single finest-level groupby.
+    Only distributive aggregates (sum/count) are offered; their level
+    cascade is exact."""
+    sums = dict(sums or {})
+    sentinels = dict(sentinels or {})
+    out_vals = list(sums.values()) + ([count_alias] if count_alias else [])
+    out_cols = list(keys) + out_vals
+
+    # The finest level is consumed by every coarser level; materialize it so
+    # the expensive input aggregation runs ONCE.  It is O(groups) rows — the
+    # small-result exception to the no-mid-pipeline-materialize rule.
+    finest = partial_grouped_agg(
+        ds, keys, sums=sums, count_alias=count_alias
+    ).materialize()
+
+    def _sentinel_type(v) -> pa.DataType:
+        if isinstance(v, str):
+            return pa.string()
+        if isinstance(v, float):
+            return pa.float64()
+        return pa.int64()
+
+    def _with_sentinels(level_keys: list[str]):
+        def fill(b: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = b.column(k)
+                else:
+                    v = sentinels[k]
+                    cols[k] = pa.array([v] * b.num_rows, type=_sentinel_type(v))
+            for v in out_vals:
+                cols[v] = pc.cast(b.column(v), pa.int64())
+            return pa.Table.from_pydict(cols)
+
+        return fill
+
+    levels = [finest.map_batches(_with_sentinels(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:i]
+        if lvl_keys:
+            lvl = partial_grouped_agg(
+                finest, lvl_keys, sums={v: v for v in out_vals}
+            )
+        else:
+            def _const(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "_all", pa.array(np.zeros(b.num_rows, np.int8))
+                )
+
+            lvl = partial_grouped_agg(
+                finest.map_batches(_const, batch_format="pyarrow"),
+                ["_all"],
+                sums={v: v for v in out_vals},
+            ).drop_columns(["_all"])
+        levels.append(lvl.map_batches(_with_sentinels(lvl_keys), batch_format="pyarrow"))
+
+    out = levels[0].union(*levels[1:])
+    return out.map_batches(lambda b: b.select(out_cols), batch_format="pyarrow")
