@@ -386,3 +386,82 @@ __all__: list[Any] = [
     "clear_broadcast_cache",
     "DEFAULT_BROADCAST_ROWS",
 ]
+
+
+def full_outer_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """FULL OUTER join with a unique-keyed right side.
+
+    Composition (no dedicated outer-shuffle operator needed):
+      left-preserving pass  = the adaptive broadcast/shuffle LEFT join;
+      right-exclusive pass  = right anti-joined against the LEFT key set
+                              (per-block unique + one combine task — the
+                              same shuffle-free distinct-key build the anti
+                              join uses), key columns renamed to the left's
+                              names and left payload columns typed-null.
+    Output schema: left columns (left order) + right payload columns.
+
+    Scale contract: the LEFT side's distinct-key set must fit one task's
+    heap (true for the aggregate×aggregate joins this serves); at higher
+    key cardinality pre-aggregate or fall back to a shuffle join."""
+    from ..stages.aggregates import distinct_keys
+
+    right_keys = list(right_keys or left_keys)
+    left_keys = list(left_keys)
+
+    left_schema = left.schema(fetch_if_missing=True).base_schema
+    right_schema = right.schema(fetch_if_missing=True).base_schema
+    right_payload = [n for n in right_schema.names if n not in right_keys]
+    left_payload = [n for n in left_schema.names if n not in left_keys]
+    out_names = list(left_schema.names) + right_payload
+
+    lj = adaptive_join(
+        left, right, left_keys=left_keys, right_keys=right_keys, how="left",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(out_names), batch_format="pyarrow")
+
+    lkeys = distinct_keys(
+        left.map_batches(
+            lambda b: b.select(left_keys), batch_format="pyarrow"
+        ),
+        left_keys,
+    ).map_batches(
+        lambda b: b.append_column("_has", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    # explicit right_schema: a fully-EMPTY left side materializes to zero
+    # blocks with no schema, which would silently drop the _has payload and
+    # misclassify every right row as matched
+    lkeys_schema = pa.schema(
+        [(k, left_schema.field(k).type) for k in left_keys]
+        + [("_has", pa.int8())]
+    )
+    r_marked = lookup_join(
+        right,
+        lkeys.materialize().to_arrow_refs(),
+        left_keys=right_keys,
+        right_keys=left_keys,
+        how="left",
+        right_schema=lkeys_schema,
+    )
+
+    def right_exclusive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b.column("_has")))
+        cols = {}
+        for lk, rk in zip(left_keys, right_keys):
+            cols[lk] = b.column(rk)
+        for n in left_payload:
+            cols[n] = pa.nulls(b.num_rows, left_schema.field(n).type)
+        for n in right_payload:
+            cols[n] = b.column(n)
+        return pa.Table.from_pydict(cols).select(out_names)
+
+    return lj.union(
+        r_marked.map_batches(right_exclusive, batch_format="pyarrow")
+    )

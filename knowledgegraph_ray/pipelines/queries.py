@@ -544,6 +544,63 @@ def q_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir, ["text"]), k=50)
 
 
+def q_top_terms_by_source(sf_dir: str):
+    """Per-source top-5 terms (grouped heavy hitters): tokenize → map-side
+    combined (source, term) counts → grouped_topk (hash exchange + ONE
+    multi-key C++ sort per reduce partition, grouped-arange selection)."""
+    from ..stages.aggregates import grouped_topk, partial_grouped_agg
+    from ..stages.textops import doc_token_rows
+
+    docs = _docs(sf_dir, ["source", "text"])
+    tok = docs.map_batches(
+        lambda b: doc_token_rows(b, id_col="source").rename_columns(
+            ["source", "term"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_grouped_agg(tok, ["source", "term"], count_alias="cnt")
+    return grouped_topk(
+        counts, ["source"], value_col="cnt", tiebreak_cols=["term"], k=5
+    )
+
+
+def q_full_outer(sf_dir: str):
+    """FULL OUTER join of two per-user event aggregates with disjoint user
+    slices (user_id < 100 vs user_id >= 50) — both null directions really
+    occur.  Left-preserving adaptive join ∪ right-exclusive anti pass."""
+    from ..functions.joins import full_outer_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    # both sides are O(users) aggregates consumed by BOTH outer-join passes
+    # (left-preserving + right-exclusive): materialize once so the events
+    # scan/agg doesn't re-execute per union branch
+    lo = partial_grouped_agg(
+        ev.filter(expr="user_id < 100"), ["user_id"], count_alias="n_lo"
+    ).materialize()
+    hi = (
+        partial_grouped_agg(
+            ev.filter(expr="user_id >= 50"), ["user_id"], count_alias="n_hi"
+        )
+        .map_batches(
+            lambda b: b.rename_columns(["uid", "n_hi"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    out = full_outer_join(lo, hi, left_keys=["user_id"], right_keys=["uid"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": b.column("user_id"),
+                "n_lo": pc.fill_null(pc.cast(b.column("n_lo"), pa.int64()), -1),
+                "n_hi": pc.fill_null(pc.cast(b.column("n_hi"), pa.int64()), -1),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_top_terms_sketch(sf_dir: str):
     """Heavy-hitter scale path: bounded per-block summaries + exact recount
     of the pruned candidate set — provably identical output to q_top_terms."""
@@ -1441,6 +1498,35 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cnt DESC, term ASC
         LIMIT 50
     """,
+    "q_top_terms_by_source": """
+        WITH toks AS (
+          SELECT source,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        g AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY source, term
+        )
+        SELECT source, term, cnt FROM g
+        QUALIFY row_number() OVER (
+          PARTITION BY source ORDER BY cnt DESC, term
+        ) <= 5
+    """,
+    "q_full_outer": """
+        WITH lo AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_lo
+          FROM events WHERE user_id < 100 GROUP BY user_id
+        ),
+        hi AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_hi
+          FROM events WHERE user_id >= 50 GROUP BY user_id
+        )
+        SELECT coalesce(lo.user_id, hi.user_id) AS user_id,
+               coalesce(n_lo, -1) AS n_lo,
+               coalesce(n_hi, -1) AS n_hi
+        FROM lo FULL OUTER JOIN hi ON lo.user_id = hi.user_id
+    """,
     # the sketch path's output is exact top-k by construction (candidate
     # upper/lower-bound pruning + exact recount) — same oracle as q_top_terms
     "q_top_terms_sketch": """
@@ -1546,6 +1632,8 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_norm_text": q_norm_text,
     "q_top_terms": q_top_terms,
+    "q_top_terms_by_source": q_top_terms_by_source,
+    "q_full_outer": q_full_outer,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,

@@ -520,3 +520,65 @@ def rollup_agg(
 
     out = levels[0].union(*levels[1:])
     return out.map_batches(lambda b: b.select(out_cols), batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    *,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    k: int,
+    descending: bool = True,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Top-``k`` rows per group by ``value_col`` (desc by default), ties
+    broken by ``tiebreak_cols`` ascending — the grouped-heavy-hitter /
+    per-domain-top-terms shape.
+
+    SQL: ``row_number() OVER (PARTITION BY keys ORDER BY value DESC,
+    ties) <= k``.  Ray-Data-first: the hash map/reduce exchange colocates
+    each key's rows (two task waves, partition count follows data size);
+    within each reduce partition ONE multi-key C++ ``sort_indices``
+    (run, value, ties) orders every group at once and a grouped arange
+    keeps each run's first ``k`` — no per-group Python.  Hot groups cost
+    O(their rows log rows) inside one reduce task; the k-cap bounds the
+    output skew."""
+    from .canonicalize import grouped_apply
+
+    tiebreak_cols = list(tiebreak_cols or [])
+    schema = ds.schema(fetch_if_missing=True)
+    out_schema = pa.schema([(f.name, f.type) for f in schema.base_schema])
+    value_dir = "descending" if descending else "ascending"
+
+    def topk_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        total = block.num_rows
+        if total == 0:
+            return out_schema.empty_table()
+        sizes = np.diff(np.r_[starts, total])
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        tmp = block.select([value_col] + tiebreak_cols).append_column(
+            "_run", pa.array(run_of)
+        )
+        order = pc.sort_indices(
+            tmp,
+            sort_keys=[("_run", "ascending"), (value_col, value_dir)]
+            + [(c, "ascending") for c in tiebreak_cols],
+        ).to_numpy()
+        # stable sort on _run keeps each run contiguous at its original slot
+        pos_in_run = np.arange(total, dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), sizes
+        )
+        keep = order[np.flatnonzero(pos_in_run < k)]
+        return block.take(pa.array(keep, pa.int64())).select(out_schema.names)
+
+    return grouped_apply(
+        ds,
+        key_cols,
+        None,
+        out_schema,
+        num_partitions=num_partitions,
+        hash_sort=True,
+        block_fn=topk_block,
+        exchange="hash",
+    )

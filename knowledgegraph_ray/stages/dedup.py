@@ -983,6 +983,9 @@ def explode_passages(
     col = batch.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # null text ≡ empty doc (real corpora carry nulls; a null list slot would
+    # desync the offset math below)
+    col = pc.fill_null(col, "")
     words = pc.split_pattern(col, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -1066,7 +1069,7 @@ def passage_dedup_stats(
     )
 
     def totals_block(b: pa.Table) -> pa.Table:
-        col = b.column(text_col)
+        col = pc.fill_null(b.column(text_col), "")
         n_words = pc.add(pc.count_substring(col, " "), 1)
         tot = pc.cast(
             pc.divide(pc.add(n_words, W - 1), W), pa.int64()

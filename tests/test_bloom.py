@@ -93,3 +93,74 @@ def test_bloom_empty_sides(ray_session):
     bloom = build_bloom(empty, ["k"])
     assert bloom_filter_dataset(data, ["k"], bloom).count() == 0
     assert bloom_semi_join(data, empty, left_keys=["k"]).count() == 0
+
+
+def test_full_outer_join_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.functions.joins import full_outer_join
+
+    left = pa.Table.from_pydict(
+        {"k": pa.array([1, 2, 3], pa.int64()), "a": pa.array([10, 20, 30], pa.int64())}
+    )
+    right = pa.Table.from_pydict(
+        {"rk": pa.array([2, 3, 4], pa.int64()), "b": pa.array([200, 300, 400], pa.int64())}
+    )
+    out = full_outer_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(2),
+        left_keys=["k"],
+        right_keys=["rk"],
+    ).take_all()
+    got = {r["k"]: (r["a"], r["b"]) for r in out}
+    assert got == {
+        1: (10, None),
+        2: (20, 200),
+        3: (30, 300),
+        4: (None, 400),
+    }
+
+    # one side empty: degenerates to the other side (typed nulls opposite)
+    empty = rd.from_arrow(left.slice(0, 0))
+    out2 = full_outer_join(
+        empty, rd.from_arrow(right), left_keys=["k"], right_keys=["rk"]
+    ).take_all()
+    assert {r["k"]: (r["a"], r["b"]) for r in out2} == {
+        2: (None, 200), 3: (None, 300), 4: (None, 400)
+    }
+
+
+def test_grouped_topk_matches_row_number_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    # hot group + tail, heavy value ties to exercise the tiebreak
+    grp = np.where(rng.random(n) < 0.4, 0, rng.integers(1, 500, n))
+    val = rng.integers(0, 20, n).astype(np.int64)
+    tag = np.array([f"t{int(x):04d}" for x in rng.integers(0, 10_000, n)])
+    t = pa.Table.from_pydict(
+        {"g": pa.array([f"g{int(x)}" for x in grp]),
+         "v": pa.array(val), "tag": pa.array(tag)}
+    )
+    # reference: exact row_number() semantics
+    import duckdb
+    want = duckdb.connect().execute(
+        """SELECT g, v, tag FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY g ORDER BY v DESC, tag) <= 7"""
+    ).df()
+    want_set = set(map(tuple, want.itertuples(index=False)))
+    for parts in (1, 4, 16):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = grouped_topk(
+            ds, ["g"], value_col="v", tiebreak_cols=["tag"], k=7
+        ).take_all()
+        got = {(r["g"], r["v"], r["tag"]) for r in out}
+        # rows with fully-equal (g, v, tag) are interchangeable; compare sets
+        assert got == want_set, f"parts={parts}"
