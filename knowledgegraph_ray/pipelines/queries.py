@@ -884,6 +884,24 @@ def q_passage_dedup(sf_dir: str):
     return passage_dedup_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_intra_doc_repetition(sf_dir: str):
+    """Per-doc passage repetition profile (Gopher-style intra-doc signal):
+    NO shuffle — a doc is one row, so explode + distinct count run entirely
+    inside one streaming map (two C++ hash group_bys per block)."""
+    from ..stages.dedup import intra_doc_repetition
+
+    return intra_doc_repetition(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup dedup with keep-best-quality representative per LSH cluster
+    (LSH components ∘ quality scores ∘ grouped_topk(k=1)); singletons keep
+    themselves.  Pytest oracle: test_dedup_keep_best_representatives."""
+    from ..stages.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(sf_dir, ["doc_id", "text"]), num_partitions=4)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs (doc_id >= 25) sharing any char
     13-gram with the probe set (doc_id < 25) — broadcast probe-gram set +
@@ -1401,6 +1419,22 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(k.kept_passages, 0) AS kept_passages
         FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
     """,
+    # per-doc passage repetition: same chunking CTE as q_passage_dedup
+    "q_intra_doc_repetition": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, i // 20 AS pos, string_agg(word, ' ' ORDER BY i) AS passage
+          FROM w GROUP BY doc_id, i // 20
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS total_passages,
+               CAST(count(DISTINCT passage) AS BIGINT) AS distinct_passages
+        FROM chunks GROUP BY doc_id
+    """,
     # benchmark decontamination: distinct char-13-gram overlap counts
     # (substr is 1-based; last valid start is length - 12)
     "q_decontaminate": """
@@ -1626,6 +1660,7 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,
+    "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
@@ -1641,6 +1676,7 @@ QUERIES = {
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_distinct_users_hll": q_distinct_users_hll,
     "q_distinct_users_hll_by_type": q_distinct_users_hll_by_type,
     "q_lang_id": q_lang_id,
@@ -1681,6 +1717,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     "q_simhash": [
         "tests/test_dedup_knn.py::test_simhash_near_vs_far",
         "tests/test_dedup_knn.py::test_add_simhash_column",
+    ],
+    "q_dedup_keep_best": [
+        "tests/test_dedup_knn.py::test_dedup_keep_best_representatives",
     ],
     "q_minhash_lsh": [
         "tests/test_dedup_knn.py::test_minhash_lsh_clusters_near_dups",

@@ -1096,3 +1096,123 @@ def passage_dedup_stats(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def intra_doc_repetition(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 20,
+) -> rd.Dataset:
+    """Per-document passage repetition profile (Gopher-style intra-doc
+    repetition signal): (doc_id, total_passages, distinct_passages) over
+    fixed W-word windows.
+
+    100-TB shape: NO shuffle at all — a document is one input row, so all
+    its passages emerge from the same batch; the explode + per-doc distinct
+    count (two C++ hash group_bys) run entirely inside one streaming map."""
+    W = int(words_per_passage)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        chunks = explode_passages(
+            batch, text_col=text_col, id_col=id_col, words_per_passage=W
+        )
+        per_pass = chunks.group_by(["doc_id", "passage"]).aggregate(
+            [("ordkey", "count")]
+        )
+        # select by pyarrow's generated "{col}_{fn}" names, never by position
+        dist = (
+            per_pass.group_by("doc_id")
+            .aggregate([("passage", "count")])
+            .select(["doc_id", "passage_count"])
+            .rename_columns(["doc_id", "distinct_passages"])
+        )
+        tot = (
+            chunks.group_by("doc_id")
+            .aggregate([("passage", "count")])
+            .select(["doc_id", "passage_count"])
+            .rename_columns(["doc_id", "total_passages"])
+        )
+        joined = tot.join(dist, keys="doc_id")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": joined.column("doc_id"),
+                "total_passages": pc.cast(
+                    joined.column("total_passages"), pa.int64()
+                ),
+                "distinct_passages": pc.cast(
+                    joined.column("distinct_passages"), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(per_block, batch_format="pyarrow")
+
+
+def dedup_keep_best(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = 16,
+    k: int = 5,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Near-dup dedup with KEEP-BEST representative selection — the policy a
+    training-data pass actually ships (drop near-duplicates, keep each
+    cluster's highest-quality member, not an arbitrary first).
+
+    Composition of existing scale paths: MinHash-LSH connected components
+    (banded int keys → distributed CC) left-joined onto per-doc quality
+    scores (docs without collisions are singleton clusters of themselves),
+    then ONE grouped_topk(k=1) per cluster by (quality desc, doc_id asc).
+    Returns (cluster, doc_id, q_int): the kept representative per cluster.
+    """
+    from ..functions.joins import adaptive_join
+    from .aggregates import grouped_topk
+    from .textops import add_quality_score
+
+    def score_block(b: pa.Table) -> pa.Table:
+        t = add_quality_score(b, text_col=text_col)
+        qi = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(t.column("quality_score"), 10000.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {id_col: pc.cast(t.column(id_col), pa.int64()), "q_int": qi}
+        )
+
+    quality = ds.map_batches(score_block, batch_format="pyarrow")
+    comps = minhash_lsh_components(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, k=k, num_partitions=num_partitions,
+    )
+    marked = adaptive_join(
+        quality, comps, left_keys=[id_col], right_keys=["mid"], how="left",
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..functions.arrow_utils import safe_coalesce
+
+        cluster = safe_coalesce(
+            pc.cast(b.column("comp"), pa.int64()),
+            pc.cast(b.column(id_col), pa.int64()),
+        )
+        return pa.Table.from_pydict(
+            {
+                "cluster": cluster,
+                id_col: b.column(id_col),
+                "q_int": b.column("q_int"),
+            }
+        )
+
+    clustered = marked.map_batches(finish, batch_format="pyarrow")
+    return grouped_topk(
+        clustered, ["cluster"], value_col="q_int", tiebreak_cols=[id_col],
+        k=1, num_partitions=num_partitions,
+    )

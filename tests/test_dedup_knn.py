@@ -529,3 +529,52 @@ def test_passage_dedup_stats_edge_cases(ray_session):
             3: (2, 1),
             4: (2, 2),
         }, f"parts={parts}"
+
+
+def test_dedup_keep_best_representatives(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import dedup_keep_best
+    from knowledgegraph_ray.stages.textops import add_quality_score
+
+    # two near-dup families (long shared prefix, tiny suffix edits) with
+    # different punctuation density -> different quality scores; plus
+    # unrelated singleton docs
+    base_a = "the quick brown fox jumps over the lazy dog " * 20
+    base_b = "pack my box with five dozen liquor jugs now " * 20
+    docs = [
+        (0, base_a + "alpha end."),
+        (1, base_a + "alpha end!!!! ;;;; ::: ,,,,"),   # worse quality (punct)
+        (2, base_a + "alpha ending here."),
+        (10, base_b + "beta."),
+        (11, base_b + "beta!!!! ,,,, ;;;;"),
+        (50, "completely unrelated text about distributed query engines"),
+        (51, "another standalone document with no near duplicates at all"),
+    ]
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([s for _, s in docs])}
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    reps = dedup_keep_best(ds, num_partitions=4).take_all()
+    by_cluster = {r["cluster"]: r["doc_id"] for r in reps}
+
+    # quality ground truth per doc (same kernel the operator uses)
+    q = {r["doc_id"]: r["quality_score"]
+         for r in add_quality_score(t).to_pylist()}
+
+    # family A (cluster rooted at min id 0) and family B (min id 10) must
+    # each keep exactly their highest-quality member
+    assert 0 in by_cluster and 10 in by_cluster
+    fam_a = [0, 1, 2]
+    best_a = max(fam_a, key=lambda d: (q[d], -d))
+    assert by_cluster[0] == best_a
+    fam_b = [10, 11]
+    best_b = max(fam_b, key=lambda d: (q[d], -d))
+    assert by_cluster[10] == best_b
+    # singletons keep themselves
+    assert by_cluster.get(50) == 50 and by_cluster.get(51) == 51
+    # exactly one representative per cluster, reps are real doc ids
+    assert len(reps) == len(by_cluster)
+    assert {r["doc_id"] for r in reps} <= {d for d, _ in docs}

@@ -85,6 +85,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_filter_project", "q_point_lookup", "q_groupby_count",
     "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
     "q_left_join", "q_rollup_revenue", "q_top_terms_by_source", "q_full_outer",
+    "q_intra_doc_repetition",
     "q_semi_join", "q_anti_join", "q_lineitem_agg", "q_events_hourly",
     "q_token_count", "q_bpe_tokens", "q_quality", "q_exact_dedup",
     "q_passage_dedup",
@@ -107,6 +108,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 
 @pytest.mark.parametrize("name", [
+    "q_dedup_keep_best",
     "q_lang_id", "q_rolling_fp", "q_simhash", "q_minhash_lsh", "q_ivf_knn",
     "q_hnsw_knn",
     "q_kg_nodes_by_type", "q_kg_edges_by_type", "q_kg_linking",
