@@ -416,3 +416,51 @@ def test_grouped_apply_hash_exchange_equals_sort_exchange(ray_session):
             ref = b
         else:
             assert b == ref  # partition-count invariance of the content
+
+
+def test_hub_entity_skew_partition_invariant(ray_session):
+    """Head-entity skew (north-rule salting concern): one Wikipedia-style hub
+    name carries half of all mentions, spread over every partition.  The
+    map-side partial min must keep the exchange bounded and the output must
+    be byte-identical across partition counts — one hub node aggregating all
+    its mentions, tail entities untouched."""
+    import json as _json
+
+    from knowledgegraph_ray.stages.canonicalize import canonicalize
+
+    rows = []
+    mid = 0
+    for i in range(4000):
+        rows.append({
+            "mid": mid, "name": "Google",
+            "type": "Organization",
+            "attrs": {"name": "Google", "industry": "tech"},
+        })
+        mid += 1
+        if i % 2 == 0:
+            rows.append({
+                "mid": mid, "name": f"Tail Entity {i}",
+                "type": "Organization",
+                "attrs": {"name": f"Tail Entity {i}"},
+            })
+            mid += 1
+
+    t = _mentions_table(rows)
+    baseline = None
+    for parts in (1, 4, 16):
+        ds = rd.from_arrow(t).repartition(parts)
+        nodes, with_comp = canonicalize(ds, num_partitions=4)
+        got = sorted(
+            (r["name"], r["type"], r["min_ord"]) for r in nodes.take_all()
+        )
+        hub_comps = {
+            r["comp"] for r in with_comp.take_all()
+            if r["entity_name"] == "Google"
+        }
+        assert len(hub_comps) == 1, f"hub split into {len(hub_comps)} comps"
+        if baseline is None:
+            baseline = got
+            assert sum(1 for n, _, _ in got if n == "Google") == 1
+            assert len(got) == 1 + 2000   # hub + tails
+        else:
+            assert got == baseline, f"parts={parts} diverged"
