@@ -640,6 +640,26 @@ def q_value_p90(sf_dir: str):
     )
 
 
+def q_value_p90_hist(sf_dir: str):
+    """Same exact p90 as q_value_p90 but through the SCALE path: iterative
+    histogram refinement — no group colocation, map-side-combined
+    (key, bin) counts, cents-range brackets converge in 2 rounds."""
+    from ..stages.aggregates import grouped_quantile_histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").select(
+            ["event_type", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_histogram(
+        ds, key_col="event_type", value_col="value_cents",
+        q_num=9, q_den=10, out_col="p90_cents",
+    )
+
+
 def q_event_lag_delta(sf_dir: str):
     """Per-user lag window: value_cents - lag(value_cents) over
     (PARTITION BY user_id ORDER BY ts, event_id) → (event_id, delta_cents);
@@ -1291,6 +1311,12 @@ ORACLE_SQL: dict[str, str] = {
                  AS p90_cents
         FROM events GROUP BY event_type
     """,
+    "q_value_p90_hist": """
+        SELECT event_type,
+               quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.9)
+                 AS p90_cents
+        FROM events GROUP BY event_type
+    """,
     "q_event_lag_delta": """
         WITH c AS (
           SELECT event_id, user_id, ts,
@@ -1645,6 +1671,7 @@ QUERIES = {
     "q_top3_orders": q_top3_orders,
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
+    "q_value_p90_hist": q_value_p90_hist,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

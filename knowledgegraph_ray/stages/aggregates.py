@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 
 def grouped_quantile(
@@ -581,4 +581,141 @@ def grouped_topk(
         hash_sort=True,
         block_fn=topk_block,
         exchange="hash",
+    )
+
+
+def grouped_quantile_histogram(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
+    num_bins: int = 4096,
+    max_rounds: int | None = None,
+) -> pa.Table:
+    """Per-key EXACT discrete quantile via iterative histogram refinement —
+    the 100-TB path `grouped_quantile`'s docstring promises: NO group
+    colocation, no sort shuffle, a hot group never lands in one task.
+
+    Each round streams the data once, emitting map-side-combined
+    (key, bin) counts over each group's current [lo, hi] bracket
+    (exchange O(groups × bins × blocks) partials → O(groups × bins) rows);
+    a driver-side cumulative scan walks the rank into one bin and narrows
+    the bracket ×num_bins.  Integer brackets converge in
+    ceil(log_bins(range)) rounds (cents-range values: 2; full int64: 6).
+    Positioning matches DuckDB ``quantile_disc`` exactly: the element at
+    sorted index ceil(q·n) − 1, rank arithmetic kept in exact integers.
+
+    Returns an Arrow table (key_col, out_col) — O(groups) rows.  The
+    per-round state is O(groups); suitable while groups × num_bins fits the
+    driver (pre-aggregate or shard the key space beyond that)."""
+    B = int(num_bins)
+
+    base = partial_grouped_agg(
+        ds.select_columns([key_col, value_col]),
+        [key_col],
+        mins={value_col: "_lo"},
+        maxs={value_col: "_hi"},
+        count_alias="_n",
+    ).take_all()
+    # state per group: bracket [lo, hi] and the 0-based rank of the target
+    # within the bracket (ceil(q*n) - 1, exact ints)
+    state: dict = {}
+    done: dict = {}
+    for r in base:
+        n = int(r["_n"])
+        rank = -(-(q_num * n) // q_den) - 1
+        lo, hi = int(r["_lo"]), int(r["_hi"])
+        if lo == hi:
+            done[r[key_col]] = lo
+        else:
+            state[r[key_col]] = (lo, hi, rank)
+
+    if max_rounds is None and state:
+        # each round shrinks a bracket to <= ceil(width/B): log_B of the
+        # widest initial bracket, plus slack for the +1-per-round residue
+        w0 = max(hi - lo + 1 for lo, hi, _ in state.values())
+        max_rounds = int(np.ceil(np.log(w0) / np.log(B))) + 8
+    rounds = 0
+    while state:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("histogram quantile did not converge")
+        snap = dict(state)  # small: O(groups); shipped by value per task
+
+        def bin_counts(batch: pa.Table) -> pa.Table:
+            t = batch.select([key_col, value_col]).combine_chunks()
+            enc = pc.dictionary_encode(t.column(key_col))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_vals = enc.dictionary.to_pylist()
+            # per-DISTINCT-key bracket lookup (O(distinct), not O(rows))
+            los = np.empty(len(dict_vals), np.int64)
+            his = np.empty(len(dict_vals), np.int64)
+            act = np.zeros(len(dict_vals), bool)
+            for i, kv in enumerate(dict_vals):
+                s = snap.get(kv)
+                if s is not None:
+                    los[i], his[i], act[i] = s[0], s[1], True
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = pc.cast(t.column(value_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            lo_r, hi_r = los[codes], his[codes]
+            m = act[codes] & (v >= lo_r) & (v <= hi_r)
+            if not m.any():
+                return pa.Table.from_pydict(
+                    {key_col: pa.array([], t.column(key_col).type),
+                     "_bin": pa.array([], pa.int64()),
+                     "_c": pa.array([], pa.int64())}
+                )
+            width = hi_r[m] - lo_r[m] + 1
+            b = (v[m] - lo_r[m]) * B // width
+            part = pa.Table.from_pydict(
+                {key_col: t.column(key_col).filter(pa.array(m)),
+                 "_bin": pa.array(b, pa.int64())}
+            )
+            g = part.group_by([key_col, "_bin"]).aggregate([([], "count_all")])
+            return g.rename_columns([key_col, "_bin", "_c"])
+
+        counts = (
+            ds.map_batches(bin_counts, batch_format="pyarrow")
+            .groupby([key_col, "_bin"])
+            .aggregate(Sum("_c", alias_name="_c"))
+            .take_all()
+        )
+        # per-group cumulative walk (O(groups × bins) driver work)
+        per_group: dict = {}
+        for r in counts:
+            per_group.setdefault(r[key_col], []).append((r["_bin"], r["_c"]))
+        new_state: dict = {}
+        for kv, (lo, hi, rank) in state.items():
+            bins = sorted(per_group.get(kv, ()))
+            cum = 0
+            width = hi - lo + 1
+            for b, c in bins:
+                if cum + c > rank:
+                    # bin b holds exactly the integers x with x*B//width == b,
+                    # i.e. x in [ceil(b*w/B), ceil((b+1)*w/B) - 1] — a tight
+                    # consecutive partition (floor bounds would re-admit bin
+                    # b-1 values and clip the bin's top value)
+                    nlo = lo + -(-(b * width) // B)
+                    nhi = lo + -(-((b + 1) * width) // B) - 1
+                    rank -= cum
+                    if nlo == nhi:
+                        done[kv] = nlo
+                    else:
+                        new_state[kv] = (nlo, nhi, rank)
+                    break
+                cum += c
+            else:
+                raise RuntimeError(f"rank walked past histogram for {kv!r}")
+        state = new_state
+
+    keys = sorted(done)
+    return pa.Table.from_pydict(
+        {key_col: pa.array(keys),
+         out_col: pa.array([done[k] for k in keys], pa.int64())}
     )

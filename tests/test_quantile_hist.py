@@ -1,0 +1,69 @@
+"""Exact grouped quantile via iterative histogram refinement
+(stages/aggregates.py grouped_quantile_histogram).
+
+Oracle strategy: numpy sort per group gives the exact discrete quantile
+(element at index ceil(q*n) - 1); the histogram path must reproduce it
+bit-for-bit regardless of bin count, value range, sign, skew, or
+partitioning — the bin-boundary arithmetic is a tight integer partition,
+so any off-by-one shows up as a wrong element or a rank walk-off.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.aggregates import grouped_quantile_histogram
+
+
+def _exact(keys, vals, q_num, q_den):
+    out = {}
+    for k in np.unique(keys):
+        v = np.sort(vals[keys == k])
+        out[str(k)] = int(v[-(-(q_num * len(v)) // q_den) - 1])
+    return out
+
+
+def _run(keys, vals, q_num, q_den, num_bins, parallelism=7):
+    tbl = pa.Table.from_pydict(
+        {"k": pa.array([str(x) for x in keys]), "v": pa.array(vals, pa.int64())}
+    )
+    ds = rd.from_arrow(tbl).repartition(parallelism)
+    res = grouped_quantile_histogram(
+        ds, key_col="k", value_col="v", q_num=q_num, q_den=q_den,
+        out_col="q", num_bins=num_bins,
+    )
+    return {r["k"]: r["q"] for r in res.to_pylist()}
+
+
+@pytest.mark.parametrize("num_bins", [2, 3, 16, 4096])
+@pytest.mark.parametrize("q_num,q_den", [(1, 2), (9, 10), (1, 100), (99, 100)])
+def test_hist_quantile_matches_sort(ray_session, num_bins, q_num, q_den):
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 7, size=5_000)
+    # mixed-sign, wide-range, heavy-tailed values stress the bracket math
+    vals = (rng.standard_cauchy(5_000) * 1e6).astype(np.int64)
+    got = _run(keys, vals, q_num, q_den, num_bins)
+    assert got == _exact(keys, vals, q_num, q_den)
+
+
+def test_hist_quantile_edge_groups(ray_session):
+    # single-element groups (lo == hi short-circuit), constant groups,
+    # two-element groups straddling a bin boundary, and a hot key holding
+    # 90% of the rows
+    keys = (["solo"] + ["const"] * 50 + ["pair"] * 2 + ["hot"] * 500)
+    vals = ([7] + [-3] * 50 + [0, 1] + list(range(500)))
+    got = _run(np.array(keys), np.array(vals, np.int64), 1, 2, num_bins=4)
+    exact = _exact(np.array(keys), np.array(vals, np.int64), 1, 2)
+    assert got == exact
+    assert got["solo"] == 7 and got["const"] == -3
+
+
+def test_hist_quantile_partition_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 3, size=2_000)
+    vals = rng.integers(-(10**12), 10**12, size=2_000)
+    a = _run(keys, vals, 3, 4, num_bins=8, parallelism=1)
+    b = _run(keys, vals, 3, 4, num_bins=8, parallelism=13)
+    assert a == b == _exact(keys, vals, 3, 4)
