@@ -678,6 +678,24 @@ def q_event_lag_delta(sf_dir: str):
     )
 
 
+def q_rank_windows(sf_dir: str):
+    """Four ranking windows in one colocated pass: per event_type, RANK /
+    DENSE_RANK over value_cents, NTILE(4) and a ROWS-frame running sum over
+    the (value_cents, event_id) total order → one row per event."""
+    from ..stages.windows import grouped_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_rank(
+        ds, key_col="event_type", value_col="value_cents",
+        id_col="event_id", ntile_k=4,
+    )
+
+
 def q_case_bucket(sf_dir: str):
     """Conditional bucketing (CASE WHEN): orders classified by total price
     into small/mid/big, counted and summed per bucket."""
@@ -1317,6 +1335,21 @@ ORACLE_SQL: dict[str, str] = {
                  AS p90_cents
         FROM events GROUP BY event_type
     """,
+    "q_rank_windows": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT event_id,
+               RANK()       OVER (PARTITION BY event_type ORDER BY v) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY event_type ORDER BY v) AS drnk,
+               NTILE(4)     OVER (PARTITION BY event_type ORDER BY v, event_id)
+                 AS tile,
+               SUM(v)       OVER (PARTITION BY event_type ORDER BY v, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_sum
+        FROM c
+    """,
     "q_event_lag_delta": """
         WITH c AS (
           SELECT event_id, user_id, ts,
@@ -1675,6 +1708,7 @@ QUERIES = {
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
+    "q_rank_windows": q_rank_windows,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,

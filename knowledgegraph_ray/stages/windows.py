@@ -288,3 +288,97 @@ def hopping_counts(
         expand, batch_format="pyarrow"
     )
     return partial_grouped_agg(exp, ["window_us", key_col], count_alias="n")
+
+def grouped_rank(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    ntile_k: int = 4,
+    descending: bool = False,
+) -> rd.Dataset:
+    """Four SQL ranking windows in ONE pass over the key-colocated sort:
+    (id_col, rnk, drnk, tile, run_sum) per row, where
+
+    * ``rnk``     = RANK()        OVER (PARTITION BY key ORDER BY value)
+    * ``drnk``    = DENSE_RANK()  OVER (PARTITION BY key ORDER BY value)
+    * ``tile``    = NTILE(k)      OVER (PARTITION BY key ORDER BY value, id)
+    * ``run_sum`` = SUM(value)    OVER (PARTITION BY key ORDER BY value, id
+                                        ROWS UNBOUNDED PRECEDING)
+
+    rank/dense_rank are tie-insensitive (peers share); ntile and run_sum use
+    the (value, id) TOTAL order so every output is deterministic (the SQL
+    default RANGE frame for SUM is avoided on purpose — ROWS over a total
+    order is the only frame two engines can agree on bit-for-bit).
+
+    Same scale shape as the rest of this module: key-only range sort (equal
+    keys can't straddle a partition), then one in-block C sort + vectorized
+    run scans — no per-row Python, per-block memory O(block)."""
+    import pyarrow.compute as pc
+
+    need = list(dict.fromkeys([key_col, value_col, id_col]))
+    s = ds.select_columns(need).sort([key_col])
+    direction = "descending" if descending else "ascending"
+
+    def per_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(id_col, block.schema.field(id_col).type),
+             ("rnk", pa.int64()), ("drnk", pa.int64()),
+             ("tile", pa.int64()), ("run_sum", pa.int64())]
+        )
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[(key_col, "ascending"), (value_col, direction),
+                       (id_col, "ascending")],
+        )
+        block = block.take(order)
+        k = block.column(key_col).to_numpy(zero_copy_only=False)
+        v = pc.cast(block.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts_idx = np.flatnonzero(new_key)
+        run_id = np.cumsum(new_key) - 1
+        rn0 = np.arange(n, dtype=np.int64) - starts_idx[run_id]  # 0-based
+
+        # tie runs over (key, value): rank = tie-run start's rn0 + 1
+        new_val = new_key | np.r_[True, v[1:] != v[:-1]]
+        tie_start = np.flatnonzero(new_val)
+        tie_id = np.cumsum(new_val) - 1
+        rnk = rn0[tie_start][tie_id] + 1
+
+        cnv = np.cumsum(new_val)
+        drnk = cnv - cnv[starts_idx][run_id] + 1
+
+        # NTILE(k): first n%k buckets get floor(n/k)+1 rows (SQL semantics)
+        ends = np.r_[starts_idx[1:], n]
+        n_run = (ends - starts_idx)[run_id]
+        size = n_run // ntile_k
+        rem = n_run % ntile_k
+        big = rem * (size + 1)
+        in_big = rn0 < big
+        tile = np.where(
+            in_big,
+            rn0 // np.maximum(size + 1, 1) + 1,
+            rem + (rn0 - big) // np.maximum(size, 1) + 1,
+        )
+
+        ps = np.cumsum(v)
+        base = np.r_[0, ps][starts_idx][run_id]
+        run_sum = ps - base
+
+        return pa.Table.from_pydict(
+            {id_col: block.column(id_col),
+             "rnk": pa.array(rnk, pa.int64()),
+             "drnk": pa.array(drnk, pa.int64()),
+             "tile": pa.array(tile.astype(np.int64), pa.int64()),
+             "run_sum": pa.array(run_sum, pa.int64())},
+            schema=out_schema,
+        )
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,72 @@
+"""grouped_rank (stages/windows.py): RANK / DENSE_RANK / NTILE / running
+sum in one colocated pass.
+
+Oracle strategy: DuckDB window functions over the identical frame spec —
+rank/dense_rank are tie-insensitive, ntile and the running sum use the
+(value, id) total order with a ROWS frame, so every cell is deterministic
+and must match bit-for-bit under any partitioning.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.windows import grouped_rank
+
+
+def _oracle(tbl: pa.Table, k: int) -> dict:
+    con = duckdb.connect()
+    con.register("t", tbl)
+    df = con.execute(f"""
+        SELECT id,
+               RANK()       OVER (PARTITION BY k ORDER BY v) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS drnk,
+               NTILE({k})   OVER (PARTITION BY k ORDER BY v, id) AS tile,
+               SUM(v)       OVER (PARTITION BY k ORDER BY v, id
+                                  ROWS UNBOUNDED PRECEDING) AS run_sum
+        FROM t
+    """).df()
+    return {
+        int(r.id): (int(r.rnk), int(r.drnk), int(r.tile), int(r.run_sum))
+        for r in df.itertuples()
+    }
+
+
+def _run(tbl: pa.Table, k: int, parallelism: int) -> dict:
+    ds = rd.from_arrow(tbl).repartition(parallelism)
+    out = grouped_rank(
+        ds, key_col="k", value_col="v", id_col="id", ntile_k=k
+    ).take_all()
+    return {
+        int(r["id"]): (r["rnk"], r["drnk"], r["tile"], r["run_sum"])
+        for r in out
+    }
+
+
+@pytest.mark.parametrize("parallelism", [1, 9])
+def test_grouped_rank_matches_duckdb(ray_session, parallelism):
+    rng = np.random.default_rng(11)
+    n = 4_000
+    tbl = pa.Table.from_pydict({
+        # hot key holds half the rows; values drawn from a tiny domain so
+        # tie runs are long (rank vs dense_rank diverge hard)
+        "k": pa.array(np.where(rng.random(n) < 0.5, 0, rng.integers(1, 8, n))
+                      .astype(np.int64)),
+        "v": pa.array(rng.integers(-5, 6, n), pa.int64()),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    assert _run(tbl, 4, parallelism) == _oracle(tbl, 4)
+
+
+def test_grouped_rank_small_partitions(ray_session):
+    # groups smaller than ntile_k (size-0 buckets), singleton groups, and
+    # an all-ties group
+    tbl = pa.Table.from_pydict({
+        "k": pa.array([0, 0, 1, 2, 2, 2, 2, 2], pa.int64()),
+        "v": pa.array([7, 7, 3, 1, 1, 1, 1, 1], pa.int64()),
+        "id": pa.array(list(range(8)), pa.int64()),
+    })
+    assert _run(tbl, 4, 3) == _oracle(tbl, 4)
