@@ -660,6 +660,27 @@ def q_value_p90_hist(sf_dir: str):
     )
 
 
+def q_value_median_cont(sf_dir: str):
+    """Interpolated (percentile_cont) per-type median of value_cents via the
+    histogram scale path: both bracketing order statistics resolve as two
+    slots of one shared refinement walk; the q=1/2 blend is dyadic, so the
+    float64 result is bit-identical to DuckDB quantile_cont."""
+    from ..stages.aggregates import grouped_quantile_cont
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").select(
+            ["event_type", "value_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_cont(
+        ds, key_col="event_type", value_col="value_cents",
+        q_num=1, q_den=2, out_col="median_cents_cont",
+    )
+
+
 def q_event_lag_delta(sf_dir: str):
     """Per-user lag window: value_cents - lag(value_cents) over
     (PARTITION BY user_id ORDER BY ts, event_id) → (event_id, delta_cents);
@@ -1335,6 +1356,12 @@ ORACLE_SQL: dict[str, str] = {
                  AS p90_cents
         FROM events GROUP BY event_type
     """,
+    "q_value_median_cont": """
+        SELECT event_type,
+               quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
+                 AS median_cents_cont
+        FROM events GROUP BY event_type
+    """,
     "q_rank_windows": """
         WITH c AS (
           SELECT event_id, event_type,
@@ -1705,6 +1732,7 @@ QUERIES = {
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
     "q_value_p90_hist": q_value_p90_hist,
+    "q_value_median_cont": q_value_median_cont,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -584,6 +584,167 @@ def grouped_topk(
     )
 
 
+def _grouped_order_stats(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    rank_fns,
+    num_bins: int = 4096,
+    max_rounds: int | None = None,
+):
+    """Engine behind the histogram quantiles: resolve, for every group, the
+    order statistics at 0-based ranks ``[f(n) for f in rank_fns]`` in ONE
+    shared iterative refinement — all slots of all groups walk the same
+    per-round histogram stream.
+
+    Each round streams the data once, emitting map-side-combined
+    (key, slot, bin) counts over each slot's current [lo, hi] bracket
+    (exchange O(groups × slots × bins × blocks) partials); a driver-side
+    cumulative scan walks each rank into one bin and narrows its bracket
+    ×num_bins.  Integer brackets converge in ceil(log_bins(range)) rounds
+    (cents-range values: 2; full int64: 6).  NO group colocation, no sort
+    shuffle — a hot group never lands in one task.
+
+    Returns (n_map, vals): group key → row count, and group key →
+    [resolved value per rank_fn].  Driver state is O(groups × slots);
+    pre-aggregate or shard the key space beyond that."""
+    B = int(num_bins)
+    S = len(rank_fns)
+
+    base = partial_grouped_agg(
+        ds.select_columns([key_col, value_col]),
+        [key_col],
+        mins={value_col: "_lo"},
+        maxs={value_col: "_hi"},
+        count_alias="_n",
+    ).take_all()
+    # state per (group, slot): bracket [lo, hi] and the 0-based rank of the
+    # target within the bracket, exact ints throughout
+    state: dict = {}
+    done: dict = {}
+    n_map: dict = {}
+    for r in base:
+        kv = r[key_col]
+        n = int(r["_n"])
+        n_map[kv] = n
+        lo, hi = int(r["_lo"]), int(r["_hi"])
+        done[kv] = [None] * S
+        for s, f in enumerate(rank_fns):
+            if lo == hi:
+                done[kv][s] = lo
+            else:
+                state[(kv, s)] = (lo, hi, int(f(n)))
+
+    if max_rounds is None and state:
+        # each round shrinks a bracket to <= ceil(width/B): log_B of the
+        # widest initial bracket, plus slack for the +1-per-round residue
+        w0 = max(hi - lo + 1 for lo, hi, _ in state.values())
+        max_rounds = int(np.ceil(np.log(w0) / np.log(B))) + 8
+    rounds = 0
+    while state:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("histogram quantile did not converge")
+        snap = dict(state)  # small: O(groups x slots); shipped per task
+
+        def bin_counts(batch: pa.Table) -> pa.Table:
+            t = batch.select([key_col, value_col]).combine_chunks()
+            key_type = t.column(key_col).type
+            empty = pa.Table.from_pydict(
+                {key_col: pa.array([], key_type),
+                 "_slot": pa.array([], pa.int64()),
+                 "_bin": pa.array([], pa.int64()),
+                 "_c": pa.array([], pa.int64())}
+            )
+            if t.num_rows == 0:
+                return empty
+            enc = pc.dictionary_encode(t.column(key_col))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_vals = enc.dictionary.to_pylist()
+            nd = len(dict_vals)
+            # per-DISTINCT-key bracket lookup (O(distinct x slots), not rows)
+            los = np.empty((S, nd), np.int64)
+            his = np.empty((S, nd), np.int64)
+            act = np.zeros((S, nd), bool)
+            any_act = False
+            for i, kv in enumerate(dict_vals):
+                for s in range(S):
+                    st = snap.get((kv, s))
+                    if st is not None:
+                        los[s, i], his[s, i], act[s, i] = st[0], st[1], True
+                        any_act = True
+            if not any_act:
+                return empty
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = pc.cast(t.column(value_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            parts = []
+            for s in range(S):
+                if not act[s].any():
+                    continue
+                lo_r, hi_r = los[s][codes], his[s][codes]
+                m = act[s][codes] & (v >= lo_r) & (v <= hi_r)
+                if not m.any():
+                    continue
+                width = hi_r[m] - lo_r[m] + 1
+                b = (v[m] - lo_r[m]) * B // width
+                parts.append(pa.Table.from_pydict(
+                    {key_col: t.column(key_col).filter(pa.array(m)),
+                     "_slot": pa.array(np.full(int(m.sum()), s, np.int64)),
+                     "_bin": pa.array(b, pa.int64())}
+                ))
+            if not parts:
+                return empty
+            part = pa.concat_tables(parts)
+            g = part.group_by([key_col, "_slot", "_bin"]).aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns([key_col, "_slot", "_bin", "_c"])
+
+        counts = (
+            ds.map_batches(bin_counts, batch_format="pyarrow")
+            .groupby([key_col, "_slot", "_bin"])
+            .aggregate(Sum("_c", alias_name="_c"))
+            .take_all()
+        )
+        # per-slot cumulative walk (O(groups x slots x bins) driver work)
+        per_slot: dict = {}
+        for r in counts:
+            per_slot.setdefault((r[key_col], r["_slot"]), []).append(
+                (r["_bin"], r["_c"])
+            )
+        new_state: dict = {}
+        for (kv, s), (lo, hi, rank) in state.items():
+            bins = sorted(per_slot.get((kv, s), ()))
+            cum = 0
+            width = hi - lo + 1
+            for b, c in bins:
+                if cum + c > rank:
+                    # bin b holds exactly the integers x with
+                    # x*B//width == b, i.e. x in
+                    # [ceil(b*w/B), ceil((b+1)*w/B) - 1] — a tight
+                    # consecutive partition (floor bounds would re-admit
+                    # bin b-1 values and clip the bin top)
+                    nlo = lo + -(-(b * width) // B)
+                    nhi = lo + -(-((b + 1) * width) // B) - 1
+                    rank -= cum
+                    if nlo == nhi:
+                        done[kv][s] = nlo
+                    else:
+                        new_state[(kv, s)] = (nlo, nhi, rank)
+                    break
+                cum += c
+            else:
+                raise RuntimeError(
+                    f"rank walked past histogram for {kv!r} slot {s}"
+                )
+        state = new_state
+    return n_map, done
+
+
 def grouped_quantile_histogram(
     ds: rd.Dataset,
     *,
@@ -596,126 +757,54 @@ def grouped_quantile_histogram(
     max_rounds: int | None = None,
 ) -> pa.Table:
     """Per-key EXACT discrete quantile via iterative histogram refinement —
-    the 100-TB path `grouped_quantile`'s docstring promises: NO group
-    colocation, no sort shuffle, a hot group never lands in one task.
-
-    Each round streams the data once, emitting map-side-combined
-    (key, bin) counts over each group's current [lo, hi] bracket
-    (exchange O(groups × bins × blocks) partials → O(groups × bins) rows);
-    a driver-side cumulative scan walks the rank into one bin and narrows
-    the bracket ×num_bins.  Integer brackets converge in
-    ceil(log_bins(range)) rounds (cents-range values: 2; full int64: 6).
-    Positioning matches DuckDB ``quantile_disc`` exactly: the element at
-    sorted index ceil(q·n) − 1, rank arithmetic kept in exact integers.
-
-    Returns an Arrow table (key_col, out_col) — O(groups) rows.  The
-    per-round state is O(groups); suitable while groups × num_bins fits the
-    driver (pre-aggregate or shard the key space beyond that)."""
-    B = int(num_bins)
-
-    base = partial_grouped_agg(
-        ds.select_columns([key_col, value_col]),
-        [key_col],
-        mins={value_col: "_lo"},
-        maxs={value_col: "_hi"},
-        count_alias="_n",
-    ).take_all()
-    # state per group: bracket [lo, hi] and the 0-based rank of the target
-    # within the bracket (ceil(q*n) - 1, exact ints)
-    state: dict = {}
-    done: dict = {}
-    for r in base:
-        n = int(r["_n"])
-        rank = -(-(q_num * n) // q_den) - 1
-        lo, hi = int(r["_lo"]), int(r["_hi"])
-        if lo == hi:
-            done[r[key_col]] = lo
-        else:
-            state[r[key_col]] = (lo, hi, rank)
-
-    if max_rounds is None and state:
-        # each round shrinks a bracket to <= ceil(width/B): log_B of the
-        # widest initial bracket, plus slack for the +1-per-round residue
-        w0 = max(hi - lo + 1 for lo, hi, _ in state.values())
-        max_rounds = int(np.ceil(np.log(w0) / np.log(B))) + 8
-    rounds = 0
-    while state:
-        rounds += 1
-        if rounds > max_rounds:
-            raise RuntimeError("histogram quantile did not converge")
-        snap = dict(state)  # small: O(groups); shipped by value per task
-
-        def bin_counts(batch: pa.Table) -> pa.Table:
-            t = batch.select([key_col, value_col]).combine_chunks()
-            enc = pc.dictionary_encode(t.column(key_col))
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            dict_vals = enc.dictionary.to_pylist()
-            # per-DISTINCT-key bracket lookup (O(distinct), not O(rows))
-            los = np.empty(len(dict_vals), np.int64)
-            his = np.empty(len(dict_vals), np.int64)
-            act = np.zeros(len(dict_vals), bool)
-            for i, kv in enumerate(dict_vals):
-                s = snap.get(kv)
-                if s is not None:
-                    los[i], his[i], act[i] = s[0], s[1], True
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            v = pc.cast(t.column(value_col), pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            lo_r, hi_r = los[codes], his[codes]
-            m = act[codes] & (v >= lo_r) & (v <= hi_r)
-            if not m.any():
-                return pa.Table.from_pydict(
-                    {key_col: pa.array([], t.column(key_col).type),
-                     "_bin": pa.array([], pa.int64()),
-                     "_c": pa.array([], pa.int64())}
-                )
-            width = hi_r[m] - lo_r[m] + 1
-            b = (v[m] - lo_r[m]) * B // width
-            part = pa.Table.from_pydict(
-                {key_col: t.column(key_col).filter(pa.array(m)),
-                 "_bin": pa.array(b, pa.int64())}
-            )
-            g = part.group_by([key_col, "_bin"]).aggregate([([], "count_all")])
-            return g.rename_columns([key_col, "_bin", "_c"])
-
-        counts = (
-            ds.map_batches(bin_counts, batch_format="pyarrow")
-            .groupby([key_col, "_bin"])
-            .aggregate(Sum("_c", alias_name="_c"))
-            .take_all()
-        )
-        # per-group cumulative walk (O(groups × bins) driver work)
-        per_group: dict = {}
-        for r in counts:
-            per_group.setdefault(r[key_col], []).append((r["_bin"], r["_c"]))
-        new_state: dict = {}
-        for kv, (lo, hi, rank) in state.items():
-            bins = sorted(per_group.get(kv, ()))
-            cum = 0
-            width = hi - lo + 1
-            for b, c in bins:
-                if cum + c > rank:
-                    # bin b holds exactly the integers x with x*B//width == b,
-                    # i.e. x in [ceil(b*w/B), ceil((b+1)*w/B) - 1] — a tight
-                    # consecutive partition (floor bounds would re-admit bin
-                    # b-1 values and clip the bin's top value)
-                    nlo = lo + -(-(b * width) // B)
-                    nhi = lo + -(-((b + 1) * width) // B) - 1
-                    rank -= cum
-                    if nlo == nhi:
-                        done[kv] = nlo
-                    else:
-                        new_state[kv] = (nlo, nhi, rank)
-                    break
-                cum += c
-            else:
-                raise RuntimeError(f"rank walked past histogram for {kv!r}")
-        state = new_state
-
+    the 100-TB path `grouped_quantile`\'s docstring promises (see
+    `_grouped_order_stats` for the mechanism).  Positioning matches DuckDB
+    ``quantile_disc`` exactly: the element at sorted index ceil(q·n) − 1,
+    rank arithmetic kept in exact integers.  Returns an Arrow table
+    (key_col, out_col) — O(groups) rows."""
+    _, done = _grouped_order_stats(
+        ds, key_col=key_col, value_col=value_col,
+        rank_fns=[lambda n: -(-(q_num * n) // q_den) - 1],
+        num_bins=num_bins, max_rounds=max_rounds,
+    )
     keys = sorted(done)
     return pa.Table.from_pydict(
         {key_col: pa.array(keys),
-         out_col: pa.array([done[k] for k in keys], pa.int64())}
+         out_col: pa.array([done[k][0] for k in keys], pa.int64())}
+    )
+
+
+def grouped_quantile_cont(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
+    num_bins: int = 4096,
+) -> pa.Table:
+    """Per-key INTERPOLATED quantile (SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont``) through the histogram scale path: the continuous
+    position is h = q·(n−1); the two bracketing order statistics (0-based
+    ranks ⌊h⌋ and ⌈h⌉) resolve as two slots of ONE shared histogram walk,
+    then blend lo + (hi − lo)·frac in float64 — bit-identical to DuckDB
+    for integer inputs whenever frac is dyadic (e.g. the q=1/2 median) and
+    |values| < 2^52, since every intermediate is exactly representable."""
+    n_map, done = _grouped_order_stats(
+        ds, key_col=key_col, value_col=value_col,
+        rank_fns=[
+            lambda n: ((n - 1) * q_num) // q_den,
+            lambda n: -(-((n - 1) * q_num) // q_den),
+        ],
+        num_bins=num_bins,
+    )
+    keys = sorted(done)
+    vals = []
+    for k in keys:
+        lo, hi = done[k]
+        rem = ((n_map[k] - 1) * q_num) % q_den
+        vals.append(float(lo) + (float(hi) - float(lo)) * (rem / q_den))
+    return pa.Table.from_pydict(
+        {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
     )

@@ -67,3 +67,27 @@ def test_hist_quantile_partition_invariance(ray_session):
     a = _run(keys, vals, 3, 4, num_bins=8, parallelism=1)
     b = _run(keys, vals, 3, 4, num_bins=8, parallelism=13)
     assert a == b == _exact(keys, vals, 3, 4)
+
+def test_hist_quantile_cont_matches_duckdb(ray_session):
+    import duckdb
+
+    from knowledgegraph_ray.stages.aggregates import grouped_quantile_cont
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 6, size=3_001)  # odd AND even group sizes
+    vals = rng.integers(-(10**9), 10**9, size=3_001)
+    tbl = pa.Table.from_pydict(
+        {"k": pa.array([str(x) for x in keys]), "v": pa.array(vals, pa.int64())}
+    )
+    got = grouped_quantile_cont(
+        rd.from_arrow(tbl).repartition(5),
+        key_col="k", value_col="v", q_num=1, q_den=2, out_col="m",
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT k, quantile_cont(v, 0.5) AS m FROM t GROUP BY k ORDER BY k"
+    ).df()
+    got_m = {r["k"]: r["m"] for r in got.to_pylist()}
+    for r in exp.itertuples():
+        assert got_m[r.k] == r.m  # bit-exact: dyadic blend of int64 stats
