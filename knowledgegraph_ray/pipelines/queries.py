@@ -931,6 +931,17 @@ def q_domain_cap(sf_dir: str):
     return per_key_cap(ds, key_cols=["source"], order_col="doc_id", n=5)
 
 
+def q_sentences(sf_dir: str):
+    """Sentence segmentation: explode documents into (doc_id, sent_idx,
+    sentence) rows — one RE2 split per batch, offset-math re-windowing, no
+    per-row Python; bit-identical to DuckDB regexp_split_to_array."""
+    from ..stages.textops import explode_sentences
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(explode_sentences, batch_format="pyarrow")
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -1480,6 +1491,15 @@ ORACLE_SQL: dict[str, str] = {
     # passage-level exact dedup (CCNet paragraph-dedup shape): every 20-word
     # window is a passage; a passage is kept only at its corpus-first
     # occurrence (global min of doc_id*2^20 + position)
+    "q_sentences": """
+        SELECT doc_id,
+               CAST(generate_subscripts(
+                 regexp_split_to_array(coalesce(text, ''), '[.!?]+\\s+'), 1
+               ) AS BIGINT) AS sent_idx,
+               unnest(regexp_split_to_array(coalesce(text, ''), '[.!?]+\\s+'))
+                 AS sentence
+        FROM documents
+    """,
     "q_passage_dedup": """
         WITH w AS (
           SELECT doc_id,
@@ -1749,6 +1769,7 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,
+    "q_sentences": q_sentences,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,

@@ -523,3 +523,44 @@ def token_commonness(
         joined.select_columns(["doc_id", "cnt"]), ["doc_id"],
         sums={"cnt": "commonness"}, count_alias="n_tokens",
     )
+
+
+def explode_sentences(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = r"[.!?]+\s+",
+) -> pa.Table:
+    """Sentence segmentation as a pure batch map: explode each document into
+    (doc_id, sent_idx, sentence) rows, 1-based index in document order.
+
+    Fully vectorized — ONE RE2 ``split_pattern_regex`` per batch, then
+    offset math re-windows the flat values (no per-row Python, no string
+    copies).  The boundary regex avoids lookbehind (RE2 has none), so the
+    split is reproducible by any RE2-based engine — DuckDB's
+    ``regexp_split_to_array`` yields the identical list, which is the
+    oracle.  Terminator characters stay attached to the LEFT sentence's
+    final word minus the matched separator (i.e. the split consumes
+    ``[.!?]+<ws>``); trailing empty pieces are kept to mirror SQL."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    parts = pc.split_pattern_regex(col, pattern)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    off = parts.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(off)
+    total = int(counts.sum())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    sent_idx = (
+        np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts) + 1
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            "sent_idx": pa.array(sent_idx, pa.int64()),
+            "sentence": parts.flatten(),
+        }
+    )
