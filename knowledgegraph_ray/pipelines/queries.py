@@ -240,6 +240,47 @@ def q_semi_join(sf_dir: str):
     ).rename_columns({"c_nationkey": "nationkey"})
 
 
+def q_set_ops(sf_dir: str):
+    """SQL set algebra (INTERSECT then EXCEPT) on user_id event slices:
+    high-value purchasers ∩ signups ∖ high-value errorers (the value
+    filters keep the result non-degenerate on the synthetic corpus, where
+    every user touches every event type).  Each leg is a shuffle-free
+    distinct-key build (per-block unique + one combine task); INTERSECT is
+    a broadcast semi join, EXCEPT a left join + null filter — the whole
+    query never shuffles the event rows themselves."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys
+
+    def leg(event_type: str, min_value: float | None = None) -> rd.Dataset:
+        def flt(b: pa.Table, et=event_type, mv=min_value) -> pa.Table:
+            m = pc.equal(b.column("event_type"), et)
+            if mv is not None:
+                m = pc.and_(m, pc.greater(b.column("value"), mv))
+            return b.filter(m).select(["user_id"])
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        ).map_batches(flt, batch_format="pyarrow")
+        return distinct_keys(ds, ["user_id"])
+
+    inter = adaptive_join(
+        leg("purchase", 50.0), leg("signup"), left_keys=["user_id"], how="inner"
+    )
+    marked = adaptive_join(
+        inter,
+        leg("error", 80.0).map_batches(
+            lambda b: b.append_column("has", pa.array([1] * b.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        left_keys=["user_id"], how="left",
+    )
+    return marked.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("has"))).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Bloom-prefiltered exact semi join: lineitems of URGENT orders, per
     returnflag.  The probe (lineitem, the big side at scale) streams through
@@ -1367,6 +1408,17 @@ ORACLE_SQL: dict[str, str] = {
                  AS p90_cents
         FROM events GROUP BY event_type
     """,
+    "q_set_ops": """
+        SELECT user_id FROM (
+          (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND value > 50
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+          EXCEPT
+          SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 80
+        )
+    """,
     "q_value_median_cont": """
         SELECT event_type,
                quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
@@ -1740,6 +1792,7 @@ QUERIES = {
     "q_left_join": q_left_join,
     "q_rollup_revenue": q_rollup_revenue,
     "q_semi_join": q_semi_join,
+    "q_set_ops": q_set_ops,
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_anti_join": q_anti_join,
     "q_lineitem_agg": q_lineitem_agg,

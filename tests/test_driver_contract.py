@@ -86,7 +86,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
     "q_left_join", "q_rollup_revenue", "q_top_terms_by_source", "q_full_outer",
     "q_intra_doc_repetition",
-    "q_semi_join", "q_anti_join", "q_lineitem_agg", "q_events_hourly",
+    "q_semi_join", "q_set_ops", "q_anti_join", "q_lineitem_agg",
+    "q_events_hourly",
     "q_token_count", "q_bpe_tokens", "q_quality", "q_exact_dedup",
     "q_passage_dedup",
     "q_sentences",
