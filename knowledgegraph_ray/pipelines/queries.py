@@ -983,6 +983,44 @@ def q_sentences(sf_dir: str):
     ).map_batches(explode_sentences, batch_format="pyarrow")
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization: deterministic messy URLs are synthesized from
+    (doc_id, source) — mixed-case scheme/host, www., default ports, query
+    strings, fragments, trailing slashes — then normalized with the
+    vectorized RE2 kernel chain.  Both the construction and every
+    normalization step are RE2+lower(), so DuckDB mirrors them exactly."""
+    from ..stages.textops import normalize_urls
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = b.column("source")
+        port = pa.array(np.where(ids % 3 == 0, ":443", ""), pa.string())
+        slash = pa.array(np.where(ids % 2 == 0, "/", ""), pa.string())
+        q = pa.array(
+            np.where(ids % 5 == 0, "?utm_source=feed&id=", ""), pa.string()
+        )
+        qv = pa.array(np.where(ids % 5 == 0, (ids % 7).astype(str), ""),
+                      pa.string())
+        frag = pa.array(np.where(ids % 4 == 0, "#frag", ""), pa.string())
+        idstr = pa.array(ids.astype(str), pa.string())
+        # NB: binary_join_element_wise's LAST argument is the separator
+        url = pc.binary_join_element_wise(
+            "HTTPS://WWW.", src, ".Example.COM", port, "/Path/", idstr,
+            slash, q, qv, frag, "",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"), "url": url}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(build, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: normalize_urls(b).select(["doc_id", "url_norm"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -1436,8 +1474,9 @@ ORACLE_SQL: dict[str, str] = {
                DENSE_RANK() OVER (PARTITION BY event_type ORDER BY v) AS drnk,
                NTILE(4)     OVER (PARTITION BY event_type ORDER BY v, event_id)
                  AS tile,
-               SUM(v)       OVER (PARTITION BY event_type ORDER BY v, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS run_sum
+               CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY v, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS run_sum
         FROM c
     """,
     "q_event_lag_delta": """
@@ -1551,6 +1590,42 @@ ORACLE_SQL: dict[str, str] = {
                unnest(regexp_split_to_array(coalesce(text, ''), '[.!?]+\\s+'))
                  AS sentence
         FROM documents
+    """,
+    "q_url_normalize": """
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.' || source || '.Example.COM'
+                 || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                 || '/Path/' || doc_id
+                 || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '?utm_source=feed&id=' || (doc_id % 7)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)', 1))
+                   AS scheme,
+                 regexp_replace(lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)', 2)),
+                   '^www\\.', '') AS host,
+                 regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)', 3)
+                   AS path
+          FROM u
+        )
+        SELECT doc_id,
+               scheme || '://'
+               || CASE WHEN scheme = 'https'
+                       THEN regexp_replace(host, ':443$', '')
+                       WHEN scheme = 'http'
+                       THEN regexp_replace(host, ':80$', '')
+                       ELSE host END
+               || regexp_replace(path, '/+$', '') AS url_norm
+        FROM p
     """,
     "q_passage_dedup": """
         WITH w AS (
@@ -1823,6 +1898,7 @@ QUERIES = {
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,
     "q_sentences": q_sentences,
+    "q_url_normalize": q_url_normalize,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,

@@ -564,3 +564,47 @@ def explode_sentences(
             "sentence": parts.flatten(),
         }
     )
+
+
+def normalize_urls(
+    batch: pa.Table,
+    *,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+) -> pa.Table:
+    """Canonicalize URLs for dedup/grouping — the Common-Crawl staple:
+    lowercase scheme and host, strip a leading ``www.``, drop the scheme's
+    default port (http:80 / https:443), drop query string and fragment,
+    trim trailing slashes from the path.  Rows that don't parse as
+    ``scheme://host...`` pass through unchanged.
+
+    Fully vectorized: one RE2 ``extract_regex`` + a handful of utf8/regex
+    kernels per batch.  Every step is RE2 + lower(), so an SQL engine with
+    RE2 regexps (DuckDB) reproduces the output bit-for-bit — that mirror is
+    the oracle."""
+    col = batch.column(url_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    m = pc.extract_regex(
+        col,
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+        r"(?P<host>[^/?#]*)(?P<path>[^?#]*)",
+    )
+    ok = pc.is_valid(m)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(m, "host"))
+    path = pc.struct_field(m, "path")
+    host = pc.replace_substring_regex(host, r"^www\.", "", max_replacements=1)
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, r":443$", "", max_replacements=1),
+        pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", "", max_replacements=1),
+            host,
+        ),
+    )
+    path = pc.replace_substring_regex(path, r"/+$", "", max_replacements=1)
+    norm = pc.binary_join_element_wise(scheme, "://", host, path, "")
+    return batch.append_column(out_col, pc.if_else(ok, norm, col))

@@ -190,3 +190,35 @@ def test_explode_sentences_matches_duckdb_re2(ray_session):
     d0 = sorted((r["sent_idx"], r["sentence"]) for r in got if r["doc_id"] == 0)
     assert d0 == [(1, "One sentence"), (2, "Two sentences"), (3, "Three"),
                   (4, "Four"), (5, "done")]
+
+
+def test_normalize_urls_edge_cases():
+    """Pure batch kernel — no Ray needed.  Covers branches the driver
+    query's synthetic URLs don't reach: http:80, a non-default port kept,
+    non-http(s) scheme ports untouched, unparseable rows passed through,
+    null input, multi-slash trailing trim, and a host without www."""
+    import pyarrow as pa
+
+    from knowledgegraph_ray.stages.textops import normalize_urls
+
+    urls = [
+        "HTTP://Host.COM:80/a/",          # http default port stripped
+        "http://host.com:8080/a",         # non-default port kept
+        "FTP://WWW.Host.com:443/x",       # ftp: :443 is NOT default -> kept
+        "not a url",                      # unparseable -> passthrough
+        None,                             # null -> "" -> passthrough
+        "https://deep.example.org/a/b///",  # multi-slash trim
+        "https://example.org",            # empty path stays empty
+    ]
+    out = normalize_urls(
+        pa.Table.from_pydict({"url": pa.array(urls, pa.string())})
+    ).column("url_norm").to_pylist()
+    assert out == [
+        "http://host.com/a",
+        "http://host.com:8080/a",
+        "ftp://host.com:443/x",
+        "not a url",
+        "",
+        "https://deep.example.org/a/b",
+        "https://example.org",
+    ]
