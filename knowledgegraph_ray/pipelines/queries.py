@@ -701,6 +701,26 @@ def q_value_p90_hist(sf_dir: str):
     )
 
 
+def q_profile_events(sf_dir: str):
+    """Single-pass column profile of the events table (Deequ/TFDV shape):
+    per numeric column, row count / null count / min / max from one scan —
+    O(columns × blocks) partials, never a per-column re-read."""
+    from ..stages.aggregates import profile_numeric
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "value_cents": _cents(b, "value", "vc").column("vc"),
+        }),
+        batch_format="pyarrow",
+    )
+    return profile_numeric(ds, ["event_id", "user_id", "ts_us", "value_cents"])
+
+
 def q_value_median_cont(sf_dir: str):
     """Interpolated (percentile_cont) per-type median of value_cents via the
     histogram scale path: both bracketing order statistics resolve as two
@@ -1457,6 +1477,26 @@ ORACLE_SQL: dict[str, str] = {
             WHERE event_type = 'error' AND value > 80
         )
     """,
+    "q_profile_events": """
+        WITH c AS (
+          SELECT event_id, user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+          FROM events
+        )
+        SELECT 'event_id' AS column, count(*) AS n,
+               count(*) - count(event_id) AS n_null,
+               min(event_id) AS min_v, max(event_id) AS max_v FROM c
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               min(user_id), max(user_id) FROM c
+        UNION ALL
+        SELECT 'ts_us', count(*), count(*) - count(ts_us),
+               min(ts_us), max(ts_us) FROM c
+        UNION ALL
+        SELECT 'value_cents', count(*), count(*) - count(value_cents),
+               min(value_cents), max(value_cents) FROM c
+    """,
     "q_value_median_cont": """
         SELECT event_type,
                quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
@@ -1881,6 +1921,7 @@ QUERIES = {
     "q_value_p90": q_value_p90,
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,
+    "q_profile_events": q_profile_events,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -808,3 +808,47 @@ def grouped_quantile_cont(
     return pa.Table.from_pydict(
         {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
     )
+
+
+def profile_numeric(
+    ds: rd.Dataset,
+    cols: list[str],
+) -> rd.Dataset:
+    """Single-pass data-quality profile of int64-castable columns →
+    (column, n, n_null, min_v, max_v), one output row per column.
+
+    The Deequ/TFDV-style profiling pass every ingest pipeline runs before
+    training: each block emits ONE tiny partial row per column (count,
+    null count, min, max — all distributive), so the exchange is
+    O(columns × blocks) regardless of row count, and every column is
+    profiled in the same scan (no per-column re-read)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def per_block(block: pa.Table) -> pa.Table:
+        names, ns, nulls, mins_, maxs_ = [], [], [], [], []
+        for c in cols:
+            col = pc.cast(block.column(c), pa.int64())
+            names.append(c)
+            ns.append(block.num_rows)
+            nulls.append(col.null_count)
+            mm = pc.min_max(col)  # ignores nulls; null if all-null
+            mins_.append(mm["min"].as_py())
+            maxs_.append(mm["max"].as_py())
+        return pa.Table.from_pydict(
+            {"column": pa.array(names, pa.string()),
+             "n": pa.array(ns, pa.int64()),
+             "n_null": pa.array(nulls, pa.int64()),
+             "min_v": pa.array(mins_, pa.int64()),
+             "max_v": pa.array(maxs_, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(per_block, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )

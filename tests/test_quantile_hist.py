@@ -91,3 +91,22 @@ def test_hist_quantile_cont_matches_duckdb(ray_session):
     got_m = {r["k"]: r["m"] for r in got.to_pylist()}
     for r in exp.itertuples():
         assert got_m[r.k] == r.m  # bit-exact: dyadic blend of int64 stats
+
+
+def test_profile_numeric_nulls_and_partitions(ray_session):
+    from knowledgegraph_ray.stages.aggregates import profile_numeric
+
+    tbl = pa.Table.from_pydict({
+        "a": pa.array([5, None, -2, None, 9], pa.int64()),
+        "b": pa.array([None, None, None, None, None], pa.int64()),
+    })
+    out = {
+        r["column"]: r
+        for r in profile_numeric(
+            rd.from_arrow(tbl).repartition(3), ["a", "b"]
+        ).take_all()
+    }
+    assert out["a"]["n"] == 5 and out["a"]["n_null"] == 2
+    assert out["a"]["min_v"] == -2 and out["a"]["max_v"] == 9
+    assert out["b"]["n"] == 5 and out["b"]["n_null"] == 5
+    assert out["b"]["min_v"] is None and out["b"]["max_v"] is None
