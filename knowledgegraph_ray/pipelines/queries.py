@@ -701,6 +701,44 @@ def q_value_p90_hist(sf_dir: str):
     )
 
 
+def q_user_journey(sf_dir: str):
+    """Ordered string_agg per user: the '>'-joined event_type path in
+    (ts, event_id) order — one ListArray re-window + binary_join per block
+    after the key-colocating sort."""
+    from ..stages.windows import grouped_string_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return grouped_string_agg(
+        ds, key_col="user_id", value_col="event_type",
+        order_cols=["ts", "event_id"], sep=">", out_col="journey",
+    )
+
+
+def q_mode_per_user(sf_dir: str):
+    """Per-user modal event_type (grouped argmax): map-side (user, type)
+    count partials, then grouped top-1 with a deterministic ascending-type
+    tiebreak — never ships raw event rows through the exchange."""
+    from ..stages.aggregates import grouped_topk, partial_grouped_agg
+
+    counts = partial_grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        ["user_id", "event_type"],
+        count_alias="n",
+    )
+    top = grouped_topk(
+        counts, ["user_id"], value_col="n",
+        tiebreak_cols=["event_type"], k=1,
+    )
+    return top.select_columns(["user_id", "event_type", "n"]).rename_columns(
+        {"event_type": "mode_type", "n": "n_events"}
+    )
+
+
 def q_profile_events(sf_dir: str):
     """Single-pass column profile of the events table (Deequ/TFDV shape):
     per numeric column, row count / null count / min / max from one scan —
@@ -1477,6 +1515,19 @@ ORACLE_SQL: dict[str, str] = {
             WHERE event_type = 'error' AND value > 80
         )
     """,
+    "q_user_journey": """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    """,
+    "q_mode_per_user": """
+        SELECT user_id, event_type AS mode_type, count(*) AS n_events
+        FROM events
+        GROUP BY user_id, event_type
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY count(*) DESC, event_type
+        ) = 1
+    """,
     "q_profile_events": """
         WITH c AS (
           SELECT event_id, user_id,
@@ -1922,6 +1973,8 @@ QUERIES = {
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,
     "q_profile_events": q_profile_events,
+    "q_mode_per_user": q_mode_per_user,
+    "q_user_journey": q_user_journey,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

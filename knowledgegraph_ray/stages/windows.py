@@ -382,3 +382,55 @@ def grouped_rank(
         )
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_string_agg(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ">",
+    out_col: str = "agg",
+) -> rd.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key →
+    (key, out_col) — the user-journey / path-string aggregate.
+
+    Key-only range sort colocates each key's rows; per block an in-block C
+    sort restores the order, then ONE ListArray re-window over the sorted
+    values + one ``binary_join`` emits every key's concatenation — no
+    per-row or per-group Python.  A hot key's rows land in one task (cost
+    O(rows log rows) there); output is O(keys) rows."""
+    import pyarrow.compute as pc
+
+    need = list(dict.fromkeys([key_col, value_col, *order_cols]))
+    s = ds.select_columns(need).sort([key_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        key_type = block.schema.field(key_col).type
+        out_schema = pa.schema([(key_col, key_type), (out_col, pa.string())])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        block = block.take(order)
+        k = block.column(key_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        offsets = pa.array(np.r_[starts, n], pa.int32())
+        vals = block.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.Table.from_pydict(
+            {key_col: block.column(key_col).take(pa.array(starts, pa.int64())),
+             out_col: joined},
+            schema=out_schema,
+        )
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)

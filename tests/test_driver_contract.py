@@ -99,6 +99,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_top3_orders", "q_value_median", "q_value_p90", "q_value_p90_hist",
     "q_value_median_cont",
     "q_profile_events",
+    "q_mode_per_user",
+    "q_user_journey",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",

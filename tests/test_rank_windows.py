@@ -70,3 +70,32 @@ def test_grouped_rank_small_partitions(ray_session):
         "id": pa.array(list(range(8)), pa.int64()),
     })
     assert _run(tbl, 4, 3) == _oracle(tbl, 4)
+
+
+def test_grouped_string_agg_order_and_ties(ray_session):
+    """Ordered concat must respect the full (order_cols) order across
+    partition boundaries, including duplicate order values (tiebreak col)."""
+    import duckdb
+
+    from knowledgegraph_ray.stages.windows import grouped_string_agg
+
+    rng = np.random.default_rng(5)
+    n = 1_200
+    tbl = pa.Table.from_pydict({
+        "k": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "v": pa.array([f"s{x}" for x in rng.integers(0, 4, n)], pa.string()),
+        "o1": pa.array(rng.integers(0, 10, n), pa.int64()),  # heavy ties
+        "o2": pa.array(np.arange(n), pa.int64()),            # unique tiebreak
+    })
+    got = grouped_string_agg(
+        rd.from_arrow(tbl).repartition(7),
+        key_col="k", value_col="v", order_cols=["o1", "o2"],
+        sep=",", out_col="j",
+    ).take_all()
+    got_m = {r["k"]: r["j"] for r in got}
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT k, string_agg(v, ',' ORDER BY o1, o2) AS j FROM t GROUP BY k"
+    ).fetchall()
+    assert got_m == dict(exp)
