@@ -701,6 +701,28 @@ def q_value_p90_hist(sf_dir: str):
     )
 
 
+def q_corr_qty_price(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extendedprice —
+    exact int64 sum partials through the exchange, the r division is the
+    only float op, mirrored bit-for-bit by HUGEINT SQL arithmetic."""
+    from ..stages.aggregates import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            "price_cents": _cents(b, "l_extendedprice", "pc_").column("pc_"),
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_corr(
+        ds, key_col="l_returnflag", x_col="qty", y_col="price_cents",
+    )
+
+
 def q_user_journey(sf_dir: str):
     """Ordered string_agg per user: the '>'-joined event_type path in
     (ts, event_id) order — one ListArray re-window + binary_join per block
@@ -1515,6 +1537,29 @@ ORACLE_SQL: dict[str, str] = {
             WHERE event_type = 'error' AND value > 80
         )
     """,
+    "q_corr_qty_price": """
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x * y AS HUGEINT)) AS sxy,
+                 sum(CAST(x * x AS HUGEINT)) AS sxx,
+                 sum(CAST(y * y AS HUGEINT)) AS syy
+          FROM c GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+        FROM s
+    """,
     "q_user_journey": """
         SELECT user_id,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
@@ -1975,6 +2020,7 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_mode_per_user": q_mode_per_user,
     "q_user_journey": q_user_journey,
+    "q_corr_qty_price": q_corr_qty_price,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -852,3 +852,61 @@ def profile_numeric(
             Max("max_v", alias_name="max_v"),
         )
     )
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr_xy",
+) -> pa.Table:
+    """Per-key Pearson correlation with REPRODUCIBLE float output.
+
+    Streaming float correlation (Welford / one-pass covariance) gives
+    engine-specific low-order bits, so instead the six distributive sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) travel as EXACT int64 partials through the
+    map-side-combined exchange, the driver forms
+    r = (n·Σxy − ΣxΣy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)) in arbitrary-
+    precision Python ints, and only the final division happens in float64 —
+    an SQL engine computing the same formula over HUGEINT sums produces the
+    bit-identical double.  Inputs must be integer-canonicalized (cents) and
+    small enough that per-row x·y fits int64; the n·Σ products that would
+    overflow int64 are driver-side Python ints.  Returns O(groups) rows;
+    null r for degenerate (zero-variance or n<2) groups."""
+    import math
+
+    def add_products(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        return pa.Table.from_pydict({
+            key_col: b.column(key_col),
+            "_x": x, "_y": y,
+            "_xy": pc.multiply_checked(x, y),
+            "_xx": pc.multiply_checked(x, x),
+            "_yy": pc.multiply_checked(y, y),
+        })
+
+    sums = partial_grouped_agg(
+        ds.select_columns([key_col, x_col, y_col]).map_batches(
+            add_products, batch_format="pyarrow"
+        ),
+        [key_col],
+        sums={"_x": "sx", "_y": "sy", "_xy": "sxy", "_xx": "sxx", "_yy": "syy"},
+        count_alias="n",
+    ).take_all()
+    keys, vals = [], []
+    for r in sorted(sums, key=lambda r: r[key_col]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        dx = n * int(r["sxx"]) - sx * sx
+        dy = n * int(r["syy"]) - sy * sy
+        keys.append(r[key_col])
+        if n < 2 or dx == 0 or dy == 0:
+            vals.append(None)
+        else:
+            vals.append(float(num) / math.sqrt(float(dx) * float(dy)))
+    return pa.Table.from_pydict(
+        {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
+    )

@@ -110,3 +110,40 @@ def test_profile_numeric_nulls_and_partitions(ray_session):
     assert out["a"]["min_v"] == -2 and out["a"]["max_v"] == 9
     assert out["b"]["n"] == 5 and out["b"]["n_null"] == 5
     assert out["b"]["min_v"] is None and out["b"]["max_v"] is None
+
+
+def test_grouped_corr_exact_and_degenerate(ray_session):
+    import math
+
+    from knowledgegraph_ray.stages.aggregates import grouped_corr
+
+    rng = np.random.default_rng(9)
+    # strongly correlated, anti-correlated, independent, constant, singleton
+    x1 = rng.integers(0, 1000, 800); y1 = x1 * 3 + rng.integers(0, 50, 800)
+    x2 = rng.integers(0, 1000, 500); y2 = 5000 - x2 * 2
+    x3 = rng.integers(0, 1000, 600); y3 = rng.integers(0, 1000, 600)
+    ks = (["pos"] * 800 + ["neg"] * 500 + ["ind"] * 600
+          + ["const"] * 10 + ["solo"])
+    xs = np.r_[x1, x2, x3, np.full(10, 7), [3]]
+    ys = np.r_[y1, y2, y3, rng.integers(0, 9, 10), [4]]
+    tbl = pa.Table.from_pydict({
+        "k": pa.array(ks), "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+    })
+    out = {r["k"]: r["corr_xy"] for r in grouped_corr(
+        rd.from_arrow(tbl).repartition(6), key_col="k", x_col="x", y_col="y",
+    ).to_pylist()}
+
+    def ref(x, y):
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x.astype(object) * y.astype(object)).sum())
+        sxx = int((x.astype(object) ** 2).sum())
+        syy = int((y.astype(object) ** 2).sum())
+        return float(n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+
+    assert out["pos"] == ref(x1, y1) and out["pos"] > 0.99
+    assert out["neg"] == ref(x2, y2) and out["neg"] == -1.0
+    assert out["ind"] == ref(x3, y3) and abs(out["ind"]) < 0.2
+    assert out["const"] is None and out["solo"] is None
