@@ -311,6 +311,9 @@ def grouped_rank(
     the (value, id) TOTAL order so every output is deterministic (the SQL
     default RANGE frame for SUM is avoided on purpose — ROWS over a total
     order is the only frame two engines can agree on bit-for-bit).
+    ``value_col`` must be non-null: the vectorized path casts it to a numpy
+    int64 vector, where a null would silently become NaN/garbage — the
+    kernel raises instead (canonicalize/filter nulls upstream).
 
     Same scale shape as the rest of this module: key-only range sort (equal
     keys can't straddle a partition), then one in-block C sort + vectorized
@@ -331,6 +334,12 @@ def grouped_rank(
         if n == 0:
             return out_schema.empty_table()
         block = block.combine_chunks()
+        if block.column(value_col).null_count:
+            raise ValueError(
+                f"grouped_rank: {value_col!r} contains nulls — canonicalize "
+                "or filter them upstream (a null would corrupt the int64 "
+                "vector path)"
+            )
         order = pc.sort_indices(
             block,
             sort_keys=[(key_col, "ascending"), (value_col, direction),
@@ -396,6 +405,11 @@ def grouped_string_agg(
     """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key →
     (key, out_col) — the user-journey / path-string aggregate.
 
+    Null values are SKIPPED (SQL string_agg semantics — a null element
+    would otherwise null the whole join); a key whose values are all null
+    aggregates to the empty string only if it still has rows after the
+    filter, else the key is absent (also SQL).
+
     Key-only range sort colocates each key's rows; per block an in-block C
     sort restores the order, then ONE ListArray re-window over the sorted
     values + one ``binary_join`` emits every key's concatenation — no
@@ -404,7 +418,14 @@ def grouped_string_agg(
     import pyarrow.compute as pc
 
     need = list(dict.fromkeys([key_col, value_col, *order_cols]))
-    s = ds.select_columns(need).sort([key_col])
+    s = (
+        ds.select_columns(need)
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(value_col))),
+            batch_format="pyarrow",
+        )
+        .sort([key_col])
+    )
 
     def per_block(block: pa.Table) -> pa.Table:
         key_type = block.schema.field(key_col).type

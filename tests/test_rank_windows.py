@@ -99,3 +99,35 @@ def test_grouped_string_agg_order_and_ties(ray_session):
         "SELECT k, string_agg(v, ',' ORDER BY o1, o2) AS j FROM t GROUP BY k"
     ).fetchall()
     assert got_m == dict(exp)
+
+
+def test_string_agg_skips_nulls_and_rank_rejects_them(ray_session):
+    import duckdb
+
+    from knowledgegraph_ray.stages.windows import grouped_rank, grouped_string_agg
+
+    tbl = pa.Table.from_pydict({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array(["a", None, "b", None, None], pa.string()),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+    })
+    got = {r["k"]: r["j"] for r in grouped_string_agg(
+        rd.from_arrow(tbl), key_col="k", value_col="v",
+        order_cols=["o"], sep=",", out_col="j",
+    ).take_all()}
+    con = duckdb.connect(); con.register("t", tbl)
+    exp = dict(con.execute(
+        "SELECT k, string_agg(v, ',' ORDER BY o) FROM t GROUP BY k"
+    ).fetchall())
+    # SQL: all-null group -> NULL row; ours: key absent. Compare non-nulls.
+    assert got == {k: v for k, v in exp.items() if v is not None}
+
+    bad = pa.Table.from_pydict({
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array([5, None], pa.int64()),
+        "id": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="contains nulls"):
+        grouped_rank(
+            rd.from_arrow(bad), key_col="k", value_col="v", id_col="id"
+        ).take_all()
