@@ -1293,6 +1293,24 @@ def q_kg_pagerank(sf_dir: str):
     return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
 
 
+def q_kg_khop(sf_dir: str):
+    """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
+    from a deterministic seed (the lexicographically first person node),
+    broadcast-frontier semi-joins — edge rows never shuffle."""
+    from ..stages.graph_query import khop
+
+    res = _kg_result(sf_dir)
+    seed = (
+        res.nodes().select_columns(["name", "type"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("type"), "Person")),
+            batch_format="pyarrow",
+        )
+        .sort("name").limit(1).take_all()[0]["name"]
+    )
+    return khop(res.edges(), [seed], k=2)
+
+
 def q_kg_linking(sf_dir: str):
     """Entity-linking candidate stage (north-star fuzzy capability): derive
     deterministic mention pairs from the documents table — an "org <hex>"
@@ -2071,6 +2089,7 @@ QUERIES = {
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
     "q_kg_linking": q_kg_linking,
+    "q_kg_khop": q_kg_khop,
 }
 
 # Machine-readable oracle map for the rows-only queries (no SQL-expressible
@@ -2133,5 +2152,8 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     "q_kg_linking": [
         "tests/test_linking.py::test_q_kg_linking_pairs_complete",
         "tests/test_linking.py::test_scored_candidates_find_variants_and_respect_type",
+    ],
+    "q_kg_khop": [
+        "tests/test_embedder_query_multimodal.py::test_khop_matches_bfs_reference",
     ],
 }

@@ -253,3 +253,54 @@ def pagerank(
         "rank_r": pa.array(np.floor(ranks_for_rows * 1e8) / 1e8, pa.float64()),
     })
     return rd.from_arrow(tbl)
+
+
+def khop(edges, seeds: list[str], k: int, direction: str = "both"):
+    """k-hop neighborhood expansion (the GraphRAG retrieval shape, the
+    multi-hop generalization of ``relations``): → Arrow table
+    (name, hop) for every node within k hops of the seed names, hop =
+    BFS distance (seeds are hop 0).
+
+    Distributed BFS with a BROADCAST frontier: each round streams the edge
+    table once through an ``is_in`` semi-join filter (the frontier ships
+    with the task closure — it is the neighborhood, small by design) and
+    emits per-block DISTINCT neighbors, so the exchange is
+    O(distinct neighbors × blocks) and edge rows never shuffle.  The
+    visited map is O(result) on the driver — the right trade for
+    neighborhood queries; a whole-graph traversal should use the
+    connected-components machinery (stages/canonicalize.py) instead."""
+    import pyarrow as pa
+
+    ds = _ds(edges).select_columns(["src", "dst"])
+    visited: dict[str, int] = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, int(k) + 1):
+        fr = pa.array(sorted(frontier), pa.string())
+
+        def neighbors(b: pa.Table, fr=fr) -> pa.Table:
+            outs = []
+            if direction in ("out", "both"):
+                outs.append(b.filter(pc.is_in(b.column("src"), value_set=fr))
+                            .column("dst"))
+            if direction in ("in", "both"):
+                outs.append(b.filter(pc.is_in(b.column("dst"), value_set=fr))
+                            .column("src"))
+            cat = pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in outs]
+            )
+            return pa.Table.from_pydict({"name": pc.unique(cat)})
+
+        reached = set()
+        for r in ds.map_batches(neighbors, batch_format="pyarrow").take_all():
+            reached.add(r["name"])
+        frontier = reached - visited.keys()
+        if not frontier:
+            break
+        for n in frontier:
+            visited[n] = hop
+    names = sorted(visited)
+    return pa.Table.from_pydict({
+        "name": pa.array(names, pa.string()),
+        "hop": pa.array([visited[n] for n in names], pa.int64()),
+    })

@@ -450,3 +450,48 @@ def test_pagerank_drops_unmatched_endpoints(ray_session):
         r = 0.15 / 2 + 0.85 * (contrib + dangling / 2)
     assert abs(got["a"] - np.floor(r[0] * 1e8) / 1e8) < 1e-12
     assert abs(got["b"] - np.floor(r[1] * 1e8) / 1e8) < 1e-12
+
+
+def test_khop_matches_bfs_reference(ray_session):
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import khop
+
+    rng = np.random.default_rng(13)
+    n = 60
+    names = [f"n{i}" for i in range(n)]
+    e = {(f"n{int(a)}", f"n{int(b)}")
+         for a, b in rng.integers(0, n, (150, 2)) if a != b}
+    edges = pa.table({"src": [s for s, _ in sorted(e)],
+                      "dst": [d for _, d in sorted(e)]})
+
+    def bfs(seeds, k, directed):
+        adj = collections.defaultdict(set)
+        for s, d in e:
+            adj[s].add(d)
+            if not directed:
+                adj[d].add(s)
+        dist = {s: 0 for s in seeds}
+        q = collections.deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] == k:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    ds = rd.from_arrow(edges).repartition(5)
+    for k in (1, 2, 3):
+        got = {r["name"]: r["hop"]
+               for r in khop(ds, ["n0", "n7"], k=k).to_pylist()}
+        assert got == bfs(["n0", "n7"], k, directed=False), k
+    got_out = {r["name"]: r["hop"]
+               for r in khop(ds, ["n0"], k=2, direction="out").to_pylist()}
+    assert got_out == bfs(["n0"], 2, directed=True)
