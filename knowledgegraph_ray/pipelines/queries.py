@@ -1101,6 +1101,26 @@ def q_url_normalize(sf_dir: str):
     )
 
 
+_LEV_PROBES = ["smal ring", "blue boltt", "red gizmo"]
+
+
+def q_fuzzy_match(sf_dir: str):
+    """Fuzzy string match (typo-tolerant lookup, the scored side of entity
+    linking): min edit distance from every part name to a broadcast probe
+    list, via the batch-vectorized Wagner-Fischer kernel (min-plus scan
+    breaks the DP's sequential dependency — the only Python loop is over
+    the probe's characters).  No shuffle; one streaming map.
+    Oracle: DuckDB LEAST(levenshtein(...), ...)."""
+    from ..stages.textops import add_min_levenshtein
+
+    return rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: add_min_levenshtein(b, _LEV_PROBES, text_col="p_name"),
+        batch_format="pyarrow",
+    )
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -1781,6 +1801,13 @@ ORACLE_SQL: dict[str, str] = {
                || regexp_replace(path, '/+$', '') AS url_norm
         FROM p
     """,
+    "q_fuzzy_match": """
+        SELECT p_partkey, p_name,
+               LEAST(levenshtein(p_name, 'smal ring'),
+                     levenshtein(p_name, 'blue boltt'),
+                     levenshtein(p_name, 'red gizmo')) AS min_lev
+        FROM part
+    """,
     "q_passage_dedup": """
         WITH w AS (
           SELECT doc_id,
@@ -2057,6 +2084,7 @@ QUERIES = {
     "q_passage_dedup": q_passage_dedup,
     "q_sentences": q_sentences,
     "q_url_normalize": q_url_normalize,
+    "q_fuzzy_match": q_fuzzy_match,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,

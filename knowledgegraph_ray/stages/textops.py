@@ -608,3 +608,76 @@ def normalize_urls(
     path = pc.replace_substring_regex(path, r"/+$", "", max_replacements=1)
     norm = pc.binary_join_element_wise(scheme, "://", host, path, "")
     return batch.append_column(out_col, pc.if_else(ok, norm, col))
+
+
+def _levenshtein_to_probe(col: pa.Array, probe: str) -> np.ndarray:
+    """Edit distance from every string in ``col`` to ONE probe string —
+    Wagner-Fischer vectorized ACROSS THE BATCH.
+
+    The classic DP has a sequential dependency along the string axis
+    (``new[j]`` needs ``new[j-1]``); we break it with the min-plus-scan
+    identity ``new[j] = min_{k<=j}(cand[k] + (j-k))`` =
+    ``minimum.accumulate(cand - j) + j``, so each probe character costs a
+    handful of O(batch × maxlen) numpy kernels and the only Python loop is
+    over the probe's characters (short by contract).  Strings decode once
+    per batch to a padded UTF-32 code matrix; NUL padding can't collide
+    because Arrow strings never contain NUL in this corpus and lengths come
+    from ``pc.utf8_length``, not the padding.
+
+    Unit-cost edits, case-sensitive — bit-identical to DuckDB
+    ``levenshtein(s, probe)``, which is the oracle."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.zeros(n, np.int64)
+    if n == 0:
+        return out
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False)
+    names = pc.fill_null(col, "").to_pylist()
+    arr = np.array(names, dtype="U")
+    maxlen = arr.dtype.itemsize // 4
+    pcodes = np.frombuffer(np.array([probe], dtype=f"U{max(len(probe), 1)}")
+                           .tobytes(), np.uint32)[: len(probe)]
+    if maxlen == 0:
+        out[:] = len(probe)
+        out[~valid] = 0
+        return out
+    codes = arr.view(np.uint32).reshape(n, maxlen)
+    idx = np.arange(maxlen + 1, dtype=np.int64)
+    d = np.broadcast_to(idx, (n, maxlen + 1)).copy()
+    full = np.empty((n, maxlen + 1), np.int64)
+    for i, pch in enumerate(pcodes, start=1):
+        sub = (codes != pch).astype(np.int64)
+        full[:, 0] = i
+        np.minimum(d[:, 1:] + 1, d[:, :-1] + sub, out=full[:, 1:])
+        np.subtract(full, idx, out=full)
+        np.minimum.accumulate(full, axis=1, out=full)
+        np.add(full, idx, out=full)
+        d, full = full, d
+    out = np.take_along_axis(d, lens[:, None].astype(np.int64), axis=1)[:, 0]
+    out[~valid] = 0
+    return out
+
+
+def add_min_levenshtein(
+    batch: pa.Table,
+    probes: list[str],
+    *,
+    text_col: str = "s_name",
+    out_col: str = "min_lev",
+) -> pa.Table:
+    """min over ``probes`` of levenshtein(row, probe) — the fuzzy-match
+    primitive (typo'd surface forms vs an alias dictionary; the scored
+    companion to stages/linking.py's candidate generation).  One broadcast
+    probe list, one padded-code-matrix DP per probe, no shuffle.
+    == DuckDB LEAST(levenshtein(col,'p1'), ...).  Null rows → null."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dists = np.stack([_levenshtein_to_probe(col, p) for p in probes])
+    best = dists.min(axis=0)
+    mask = pc.is_valid(col)
+    return batch.append_column(
+        out_col, pc.if_else(mask, pa.array(best, pa.int64()), pa.scalar(None, pa.int64()))
+    )

@@ -222,3 +222,44 @@ def test_normalize_urls_edge_cases():
         "https://deep.example.org/a/b",
         "https://example.org",
     ]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(a) + 1))
+    for i, bc in enumerate(b, 1):
+        cur = [i]
+        for j, ac in enumerate(a, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ac != bc)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_matches_reference_dp():
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledgegraph_ray.stages.textops import (
+        _levenshtein_to_probe, add_min_levenshtein,
+    )
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdü €x")
+    strs = ["".join(rng.choice(alpha, rng.integers(0, 12)))
+            for _ in range(200)] + ["", "exact probe", None]
+    col = pa.array(strs, pa.string())
+    for probe in ["", "abc", "exact probe", "dü €"]:
+        got = _levenshtein_to_probe(col, probe)
+        for s, g in zip(strs, got):
+            if s is not None:
+                assert g == _lev_ref(s, probe), (s, probe)
+
+    probes = ["abc", "dü €x"]
+    out = add_min_levenshtein(
+        pa.table({"s_name": col}), probes, out_col="min_lev"
+    ).column("min_lev").to_pylist()
+    for s, g in zip(strs, out):
+        if s is None:
+            assert g is None
+        else:
+            assert g == min(_lev_ref(s, p) for p in probes)
