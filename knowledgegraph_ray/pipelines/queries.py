@@ -1121,6 +1121,34 @@ def q_fuzzy_match(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle count (degree-ordered wedge counting) over a
+    deterministic derived graph: each doc_id links to (id+1)%N, (id+2)%N and
+    (id*7+3)%N — a ring-with-chords topology with guaranteed triangles and
+    degree variety.  Both the edge synthesis and the count are exactly
+    mirrored by DuckDB's 3-way self-join (orientation choice cannot change
+    the count)."""
+    from ..stages.graph_query import triangle_count
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([
+            (ids + 1) % n_docs, (ids + 2) % n_docs, (ids * 7 + 3) % n_docs
+        ])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(build, batch_format="pyarrow")
+    return triangle_count(edges)
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -1808,6 +1836,24 @@ ORACLE_SQL: dict[str, str] = {
                      levenshtein(p_name, 'red gizmo')) AS min_lev
         FROM part
     """,
+    "q_triangles": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        )
+        SELECT count(*) AS triangles FROM e e1
+        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
     "q_passage_dedup": """
         WITH w AS (
           SELECT doc_id,
@@ -2085,6 +2131,7 @@ QUERIES = {
     "q_sentences": q_sentences,
     "q_url_normalize": q_url_normalize,
     "q_fuzzy_match": q_fuzzy_match,
+    "q_triangles": q_triangles,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,

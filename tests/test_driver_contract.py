@@ -91,7 +91,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_token_count", "q_bpe_tokens", "q_quality", "q_exact_dedup",
     "q_passage_dedup",
     "q_sentences",
-    "q_url_normalize", "q_fuzzy_match",
+    "q_url_normalize", "q_fuzzy_match", "q_triangles",
     "q_ngram_jaccard_1k", "q_pii_mask", "q_gopher_quality",
     "q_norm_text", "q_sample_uniform",
     "q_sample_stratified", "q_knn_top10",

@@ -495,3 +495,45 @@ def test_khop_matches_bfs_reference(ray_session):
     got_out = {r["name"]: r["hop"]
                for r in khop(ds, ["n0"], k=2, direction="out").to_pylist()}
     assert got_out == bfs(["n0"], 2, directed=True)
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import triangle_count
+
+    rng = np.random.default_rng(5)
+    n = 70
+    E = {(int(a), int(b)) for a, b in rng.integers(0, n, (300, 2)) if a != b}
+    adj = {i: set() for i in range(n)}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert want > 0
+    tbl = pa.table({"src": [a for a, b in sorted(E)],
+                    "dst": [b for a, b in sorted(E)]})
+    for parts in (1, 3, 8):
+        got = triangle_count(rd.from_arrow(tbl).repartition(parts))
+        assert got.column("triangles")[0].as_py() == want, parts
+    # string node ids take the same path; reversed duplicates + self loops
+    # collapse in canonicalization
+    with_noise = pa.table({
+        "src": ([f"v{a}" for a, b in sorted(E)]
+                + [f"v{b}" for a, b in sorted(E)] + ["v0"]),
+        "dst": ([f"v{b}" for a, b in sorted(E)]
+                + [f"v{a}" for a, b in sorted(E)] + ["v0"]),
+    })
+    got = triangle_count(rd.from_arrow(with_noise).repartition(4))
+    assert got.column("triangles")[0].as_py() == want
+    # triangle-free graph
+    star = pa.table({"src": [0] * 10, "dst": list(range(1, 11))})
+    got = triangle_count(rd.from_arrow(star))
+    assert got.column("triangles")[0].as_py() == 0
