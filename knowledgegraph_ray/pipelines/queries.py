@@ -838,6 +838,25 @@ def q_rank_windows(sf_dir: str):
     )
 
 
+def q_dist_windows(sf_dir: str):
+    """Distribution windows from the SAME single colocated pass as the
+    ranking family: PERCENT_RANK, CUME_DIST (both floored to 1e-8 cells so
+    engine doubles hash identically), FIRST_VALUE/LAST_VALUE over the
+    (value, id) total order with the full ROWS frame."""
+    from ..stages.windows import grouped_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_rank(
+        ds, key_col="event_type", value_col="value_cents",
+        id_col="event_id", ntile_k=4, extended=True,
+    ).select_columns(["event_id", "pct_rnk", "cume", "fv", "lv"])
+
+
 def q_case_bucket(sf_dir: str):
     """Conditional bucketing (CASE WHEN): orders classified by total price
     into small/mid/big, counted and summed per bucket."""
@@ -1681,6 +1700,23 @@ ORACLE_SQL: dict[str, str] = {
                  AS run_sum
         FROM c
     """,
+    "q_dist_windows": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT event_id,
+               floor(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY v)
+                     * 1e8) / 1e8 AS pct_rnk,
+               floor(CUME_DIST() OVER (PARTITION BY event_type ORDER BY v)
+                     * 1e8) / 1e8 AS cume,
+               FIRST_VALUE(v) OVER (PARTITION BY event_type ORDER BY v, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+               LAST_VALUE(v) OVER (PARTITION BY event_type ORDER BY v, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        FROM c
+    """,
     "q_event_lag_delta": """
         WITH c AS (
           SELECT event_id, user_id, ts,
@@ -2116,6 +2152,7 @@ QUERIES = {
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
     "q_rank_windows": q_rank_windows,
+    "q_dist_windows": q_dist_windows,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,

@@ -297,6 +297,7 @@ def grouped_rank(
     id_col: str,
     ntile_k: int = 4,
     descending: bool = False,
+    extended: bool = False,
 ) -> rd.Dataset:
     """Four SQL ranking windows in ONE pass over the key-colocated sort:
     (id_col, rnk, drnk, tile, run_sum) per row, where
@@ -315,6 +316,20 @@ def grouped_rank(
     int64 vector, where a null would silently become NaN/garbage — the
     kernel raises instead (canonicalize/filter nulls upstream).
 
+    ``extended=True`` appends four more windows from the SAME pass (no new
+    exchange, no re-sort):
+
+    * ``pct_rnk`` = PERCENT_RANK() OVER (PARTITION BY key ORDER BY value)
+                    = (rank-1)/(n-1), 0.0 for single-row partitions —
+                    floored to 1e-8 cells (the q_kg_pagerank float
+                    convention) so both engines' doubles hash identically
+    * ``cume``    = CUME_DIST()  (peers share their tie-run's END offset),
+                    same 1e-8 floor
+    * ``fv``/``lv`` = FIRST_VALUE/LAST_VALUE(value) over the (value, id)
+                    total order with the full ROWS UNBOUNDED PRECEDING..
+                    UNBOUNDED FOLLOWING frame (the only frame the SQL
+                    default gotcha can't bite)
+
     Same scale shape as the rest of this module: key-only range sort (equal
     keys can't straddle a partition), then one in-block C sort + vectorized
     run scans — no per-row Python, per-block memory O(block)."""
@@ -325,11 +340,13 @@ def grouped_rank(
     direction = "descending" if descending else "ascending"
 
     def per_block(block: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [(id_col, block.schema.field(id_col).type),
-             ("rnk", pa.int64()), ("drnk", pa.int64()),
-             ("tile", pa.int64()), ("run_sum", pa.int64())]
-        )
+        fields = [(id_col, block.schema.field(id_col).type),
+                  ("rnk", pa.int64()), ("drnk", pa.int64()),
+                  ("tile", pa.int64()), ("run_sum", pa.int64())]
+        if extended:
+            fields += [("pct_rnk", pa.float64()), ("cume", pa.float64()),
+                       ("fv", pa.int64()), ("lv", pa.int64())]
+        out_schema = pa.schema(fields)
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
@@ -381,14 +398,24 @@ def grouped_rank(
         base = np.r_[0, ps][starts_idx][run_id]
         run_sum = ps - base
 
-        return pa.Table.from_pydict(
-            {id_col: block.column(id_col),
-             "rnk": pa.array(rnk, pa.int64()),
-             "drnk": pa.array(drnk, pa.int64()),
-             "tile": pa.array(tile.astype(np.int64), pa.int64()),
-             "run_sum": pa.array(run_sum, pa.int64())},
-            schema=out_schema,
-        )
+        cols = {id_col: block.column(id_col),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+                "run_sum": pa.array(run_sum, pa.int64())}
+        if extended:
+            pct = np.where(
+                n_run > 1,
+                (rnk - 1).astype(np.float64) / np.maximum(n_run - 1, 1),
+                0.0,
+            )
+            tie_end = np.r_[tie_start[1:], n][tie_id]
+            cume = (tie_end - starts_idx[run_id]).astype(np.float64) / n_run
+            cols["pct_rnk"] = pa.array(np.floor(pct * 1e8) / 1e8, pa.float64())
+            cols["cume"] = pa.array(np.floor(cume * 1e8) / 1e8, pa.float64())
+            cols["fv"] = pa.array(v[starts_idx][run_id], pa.int64())
+            cols["lv"] = pa.array(v[ends - 1][run_id], pa.int64())
+        return pa.Table.from_pydict(cols, schema=out_schema)
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 

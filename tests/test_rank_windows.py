@@ -131,3 +131,44 @@ def test_string_agg_skips_nulls_and_rank_rejects_them(ray_session):
         grouped_rank(
             rd.from_arrow(bad), key_col="k", value_col="v", id_col="id"
         ).take_all()
+
+
+def test_extended_windows_edge_cases(ray_session):
+    # single-row partition, all-tie partition, hot-key skew — checked
+    # against the DuckDB window oracle with explicit full ROWS frames
+    rng = np.random.default_rng(3)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.7, "hot",
+                    rng.choice(["a", "b", "c"], n))
+    keys[0] = "solo"                      # 1-row partition → pct_rnk 0
+    vals = rng.integers(0, 8, n)          # heavy ties
+    vals[keys == "b"] = 42                # all-tie partition → cume 1.0
+    tbl = pa.table({"k": keys.tolist(), "id": np.arange(n),
+                    "v": vals.astype("int64")})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT id,
+               floor(PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) * 1e8)
+                 / 1e8 AS pct_rnk,
+               floor(CUME_DIST() OVER (PARTITION BY k ORDER BY v) * 1e8)
+                 / 1e8 AS cume,
+               FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY v, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+               LAST_VALUE(v) OVER (PARTITION BY k ORDER BY v, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        FROM t ORDER BY id
+    """).df()
+    for parts in (1, 7):
+        got = (
+            grouped_rank(rd.from_arrow(tbl).repartition(parts),
+                         key_col="k", value_col="v", id_col="id",
+                         extended=True)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert (got["pct_rnk"] == want["pct_rnk"]).all()
+        assert (got["cume"] == want["cume"]).all()
+        assert (got["fv"] == want["fv"]).all()
+        assert (got["lv"] == want["lv"]).all()
+        solo = got[got["id"] == 0].iloc[0]
+        assert solo["pct_rnk"] == 0.0 and solo["cume"] == 1.0
