@@ -218,6 +218,73 @@ def q_rollup_revenue(sf_dir: str):
     )
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (the hybrid-retrieval combiner): two
+    independent top-100 document rankings — by token count (the "lexical"
+    leg) and by md5 fingerprint order (a deterministic second signal) —
+    fused with score = Σ 1/(60 + rank).  Each leg is a distributed
+    sort+limit; the fuse itself runs on the two BOUNDED k-row lists (the
+    accepted driver-side small-result shape).  Scores floor to 1e-8 cells
+    so engine doubles hash identically; ties break by doc_id."""
+    import numpy as np
+
+    from ..stages.textops import add_md5_fingerprint, add_token_count
+
+    K, C = 100, 60
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    leg_a = (
+        docs.map_batches(
+            lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+        .sort(["n_tokens", "doc_id"], descending=[True, False])
+        .limit(K).take_all()
+    )
+    leg_b = (
+        docs.map_batches(
+            lambda b: add_md5_fingerprint(b).select(["doc_id", "fingerprint"]),
+            batch_format="pyarrow",
+        )
+        .sort(["fingerprint", "doc_id"]).limit(K).take_all()
+    )
+    score: dict[int, float] = {}
+    for leg in (leg_a, leg_b):
+        for rank, row in enumerate(leg, start=1):
+            score[row["doc_id"]] = score.get(row["doc_id"], 0.0) + 1.0 / (C + rank)
+    ids = sorted(score, key=lambda d: (-score[d], d))[:20]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "rrf": pa.array([np.floor(score[d] * 1e8) / 1e8 for d in ids],
+                        pa.float64()),
+    })
+
+
+def q_cube_events(sf_dir: str):
+    """CUBE grouping sets — event value totals at EVERY subset of
+    (event_type, uid_bucket): all 2^2 levels cascade from one materialized
+    finest-level aggregate (see cube_agg)."""
+    from ..stages.aggregates import cube_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "cents")
+        .append_column(
+            "uid_bucket",
+            pc.cast(pc.bit_wise_and(b.column("user_id"), 7), pa.int64()),
+        )
+        .drop_columns(["value", "user_id"]),
+        batch_format="pyarrow",
+    )
+    return cube_agg(
+        ds, ["event_type", "uid_bucket"],
+        sums={"cents": "value_cents"}, count_alias="n_events",
+        sentinels={"event_type": "ALL", "uid_bucket": -1},
+    )
+
+
 def q_semi_join(sf_dir: str):
     """J2-analog (left semi): customers with at least one order, per nation.
     The probe side is a shuffle-free distinct-key set (per-block unique +
@@ -1493,6 +1560,38 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_orders
         FROM base GROUP BY ROLLUP(n_name, yr)
     """,
+    "q_rrf_fusion": """
+        WITH a AS (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS r
+          FROM documents QUALIFY r <= 100
+        ),
+        b AS (
+          SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS r
+          FROM documents QUALIFY r <= 100
+        ),
+        u AS (
+          SELECT doc_id, 1.0 / (60 + r) AS s FROM a
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + r) FROM b
+        ),
+        f AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+        SELECT doc_id, floor(score * 1e8) / 1e8 AS rrf
+        FROM f ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "q_cube_events": """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(user_id & 7 AS BIGINT) AS uid_bucket,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(uid_bucket, -1) AS uid_bucket,
+               CAST(sum(cents) AS BIGINT) AS value_cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM base GROUP BY CUBE(event_type, uid_bucket)
+    """,
     "q_bloom_semi_join": """
         SELECT l_returnflag, count(*) AS n_items
         FROM lineitem WHERE l_orderkey IN
@@ -2129,6 +2228,8 @@ QUERIES = {
     "q_join_agg": q_join_agg,
     "q_left_join": q_left_join,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_events": q_cube_events,
+    "q_rrf_fusion": q_rrf_fusion,
     "q_semi_join": q_semi_join,
     "q_set_ops": q_set_ops,
     "q_bloom_semi_join": q_bloom_semi_join,

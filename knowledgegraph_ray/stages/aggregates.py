@@ -445,25 +445,26 @@ def grouped_hll_count_distinct(
     )
 
 
-def rollup_agg(
+def grouping_sets_agg(
     ds: rd.Dataset,
     keys: list[str],
+    sets: list[list[str]],
     *,
     sums: dict[str, str] | None = None,
     count_alias: str | None = None,
     sentinels: dict[str, object] | None = None,
 ) -> rd.Dataset:
-    """ROLLUP (hierarchical grouping-sets) aggregate: one row per group at
-    every prefix level of ``keys`` — (k1,k2), (k1), and the grand total —
-    with ``sentinels[key]`` filling the rolled-up key columns.
+    """GROUPING SETS aggregate: one row per group for every key subset in
+    ``sets`` (each a sublist of ``keys``), with ``sentinels[key]`` filling
+    the rolled-up key columns.  ROLLUP and CUBE are thin wrappers.
 
-    100-TB shape: the INPUT is aggregated exactly once (the finest level via
-    ``partial_grouped_agg``, map-side combined); every coarser level is a
-    re-aggregation of the finest RESULT (O(groups) rows), cascading sum
-    partials the way a warehouse rollup does — no second pass over the data
-    and no extra wide exchange beyond the single finest-level groupby.
-    Only distributive aggregates (sum/count) are offered; their level
-    cascade is exact."""
+    100-TB shape: the INPUT is aggregated exactly once (the finest level —
+    all of ``keys`` — via ``partial_grouped_agg``, map-side combined); every
+    requested set is a re-aggregation of the finest RESULT (O(groups) rows),
+    cascading sum partials the way a warehouse rollup does — no second pass
+    over the data and no extra wide exchange beyond the single finest-level
+    groupby.  Only distributive aggregates (sum/count) are offered; their
+    level cascade is exact."""
     sums = dict(sums or {})
     sentinels = dict(sentinels or {})
     out_vals = list(sums.values()) + ([count_alias] if count_alias else [])
@@ -498,12 +499,13 @@ def rollup_agg(
 
         return fill
 
-    levels = [finest.map_batches(_with_sentinels(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, -1, -1):
-        lvl_keys = keys[:i]
-        if lvl_keys:
+    levels = []
+    for lvl_keys in sets:
+        if list(lvl_keys) == list(keys):
+            lvl = finest
+        elif lvl_keys:
             lvl = partial_grouped_agg(
-                finest, lvl_keys, sums={v: v for v in out_vals}
+                finest, list(lvl_keys), sums={v: v for v in out_vals}
             )
         else:
             def _const(b: pa.Table) -> pa.Table:
@@ -516,10 +518,51 @@ def rollup_agg(
                 ["_all"],
                 sums={v: v for v in out_vals},
             ).drop_columns(["_all"])
-        levels.append(lvl.map_batches(_with_sentinels(lvl_keys), batch_format="pyarrow"))
+        levels.append(
+            lvl.map_batches(_with_sentinels(list(lvl_keys)),
+                            batch_format="pyarrow")
+        )
 
-    out = levels[0].union(*levels[1:])
+    out = levels[0].union(*levels[1:]) if len(levels) > 1 else levels[0]
     return out.map_batches(lambda b: b.select(out_cols), batch_format="pyarrow")
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    count_alias: str | None = None,
+    sentinels: dict[str, object] | None = None,
+) -> rd.Dataset:
+    """ROLLUP (hierarchical grouping-sets): every prefix level of ``keys`` —
+    (k1,k2), (k1), and the grand total."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_agg(
+        ds, keys, sets, sums=sums, count_alias=count_alias,
+        sentinels=sentinels,
+    )
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    sums: dict[str, str] | None = None,
+    count_alias: str | None = None,
+    sentinels: dict[str, object] | None = None,
+) -> rd.Dataset:
+    """CUBE grouping-sets: one row per group for EVERY subset of ``keys``
+    (2^k levels), all cascaded from the one materialized finest level."""
+    k = len(keys)
+    sets = [
+        [keys[j] for j in range(k) if mask & (1 << j)]
+        for mask in range(2 ** k - 1, -1, -1)
+    ]
+    return grouping_sets_agg(
+        ds, keys, sets, sums=sums, count_alias=count_alias,
+        sentinels=sentinels,
+    )
 
 
 def grouped_topk(
