@@ -1098,6 +1098,24 @@ def q_sample_uniform(sf_dir: str):
     )
 
 
+def q_sample_weighted(sf_dir: str):
+    """Length-proportional document sample: inclusion probability
+    min(1, n_tokens/500) against the deterministic md5 id-hash coin —
+    the data-mixing primitive, same oracle machinery as the uniform
+    sampler with a per-row cutoff."""
+    from ..stages.sampling import sample_weighted
+    from ..stages.textops import add_token_count
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return sample_weighted(
+        ds, weight_col="n_tokens", scale=1.0 / 500.0,
+        id_col="doc_id", method="md5",
+    )
+
+
 def q_sample_stratified(sf_dir: str):
     from ..stages.sampling import sample_stratified
 
@@ -2193,6 +2211,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
                    AS UBIGINT) % 1000000 < 100000
     """,
+    "q_sample_weighted": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens FROM t
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 1000000
+              < least(n_tokens / 500.0, 1.0) * 1000000
+    """,
     "q_sample_stratified": """
         SELECT doc_id, source FROM documents
         WHERE CAST(CONCAT('0x',
@@ -2283,6 +2312,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,
+    "q_sample_weighted": q_sample_weighted,
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)

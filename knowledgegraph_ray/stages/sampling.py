@@ -122,3 +122,32 @@ def sample_stratified(
         return batch.filter(pa.array(b < cut))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_weighted(
+    ds: rd.Dataset,
+    *,
+    weight_col: str,
+    scale: float,
+    id_col: str = "doc_id",
+    method: str = "md5",
+    salt: str | int = "",
+) -> rd.Dataset:
+    """Weighted Bernoulli sample: keep a row with probability
+    ``min(1, weight·scale)`` — the training-data mixing primitive
+    (sample ∝ length, ∝ quality, ∝ source weight) in the same
+    deterministic-hash form as the uniform/stratified samplers: the
+    id-hash bucket is the "coin", the per-row weight sets the cutoff, so
+    the selected row set is reproducible at any parallelism / block layout
+    and expressible as one SQL predicate (the oracle).  Pure streaming
+    filter — no shuffle, no state."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        b = _bucket_column(batch, id_col, method, salt).astype(np.float64)
+        w = pc.cast(batch.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        cut = np.minimum(w * scale, 1.0) * _BUCKETS
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

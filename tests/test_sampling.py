@@ -71,3 +71,39 @@ def test_md5_bucket_matches_duckdb():
             "AS UBIGINT) % 1000000", [v]
         ).fetchone()[0]
         assert got[i] == want, (v, got[i], want)
+
+
+def test_sample_weighted_properties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.sampling import sample_weighted
+
+    n = 6000
+    rng = np.random.default_rng(11)
+    w = rng.integers(0, 200, n).astype("int64")
+    w[:50] = 0            # never selected
+    w[50:100] = 10_000    # prob capped at 1 → always selected
+    tbl = pa.table({"doc_id": np.arange(n, dtype="int64"), "w": w})
+
+    got = None
+    for parts, method in ((1, "fast"), (8, "fast"), (4, "md5")):
+        ds = sample_weighted(
+            rd.from_arrow(tbl).repartition(parts),
+            weight_col="w", scale=1.0 / 100.0, id_col="doc_id", method=method,
+        )
+        ids = sorted(r["doc_id"] for r in ds.take_all())
+        if method == "fast":
+            if got is None:
+                got = ids          # layout invariance within a method
+            else:
+                assert ids == got
+        sel = set(ids)
+        assert not (sel & set(range(50)))
+        assert set(range(50, 100)) <= sel
+    # proportionality: selection rate ≈ E[min(1, w/100)] within 3 sigma
+    p = np.minimum(w / 100.0, 1.0)
+    exp, sd = p.sum(), float(np.sqrt((p * (1 - p)).sum()))
+    assert abs(len(got) - exp) < 3 * sd + 1
