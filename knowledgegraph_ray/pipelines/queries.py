@@ -924,6 +924,24 @@ def q_dist_windows(sf_dir: str):
     ).select_columns(["event_id", "pct_rnk", "cume", "fv", "lv"])
 
 
+def q_zscore(sf_dir: str):
+    """Per-event z-score of value_cents within its event_type — exact int64
+    sum partials, one O(groups) factor table broadcast back, one float
+    multiply per row (see grouped_zscore); floored to 1e-6 cells so the
+    HUGEINT-sum SQL mirror hashes identically."""
+    from ..stages.aggregates import grouped_zscore
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_zscore(
+        ds, key_col="event_type", value_col="v", id_col="event_id"
+    )
+
+
 def q_case_bucket(sf_dir: str):
     """Conditional bucketing (CASE WHEN): orders classified by total price
     into small/mid/big, counted and summed per bucket."""
@@ -1817,6 +1835,29 @@ ORACLE_SQL: dict[str, str] = {
                  AS run_sum
         FROM c
     """,
+    "q_zscore": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s1,
+                 sum(CAST(v AS HUGEINT) * v) AS s2
+          FROM c GROUP BY event_type
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+                 floor(
+                   CAST(CAST(n AS HUGEINT) * v - s1 AS DOUBLE)
+                   * (sqrt(n * (n - 1.0))
+                      / (n * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))
+                   * 1e6) / 1e6
+               ELSE NULL END AS z
+        FROM c JOIN s USING (event_type)
+    """,
     "q_dist_windows": """
         WITH c AS (
           SELECT event_id, event_type,
@@ -2283,6 +2324,7 @@ QUERIES = {
     "q_event_lag_delta": q_event_lag_delta,
     "q_rank_windows": q_rank_windows,
     "q_dist_windows": q_dist_windows,
+    "q_zscore": q_zscore,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,

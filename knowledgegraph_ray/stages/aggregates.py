@@ -953,3 +953,90 @@ def grouped_corr(
     return pa.Table.from_pydict(
         {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
     )
+
+
+def grouped_zscore(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "z",
+) -> rd.Dataset:
+    """Per-row z-score within its group — (id, z) with
+    z = (x − mean) / stddev_samp, the feature-standardization staple —
+    with REPRODUCIBLE float output.
+
+    Same exactness recipe as ``grouped_corr``: the distributive sums
+    (n, Σx, Σx²) travel as EXACT int64 partials through the
+    map-side-combined exchange; each group's scale factor
+    f = sqrt(n(n−1)) / (n·sqrt(n·Σx² − (Σx)²)) forms once from
+    arbitrary-precision Python ints (floats only at the final sqrt /
+    divide), and every row pays ONE exact int64 subtraction (n·x − Σx,
+    never past 2^53 for cents-sized inputs) and ONE float multiply —
+    z = (n·x − Σx)·f, algebraically (x − mean)/std but with a float
+    expression tree an SQL engine reproduces bit-for-bit from HUGEINT
+    sums.  Output floors to 1e-6 cells.  Degenerate groups (n<2 or zero
+    variance) yield null.
+
+    Scale shape: one map-side-combined groupby (O(groups × blocks)
+    exchange), one broadcast join of the O(groups) factor table back onto
+    the stream, one vectorized map — the corpus never shuffles."""
+    import math
+
+    from ..functions.joins import lookup_join
+
+    def add_square(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(value_col), pa.int64())
+        return pa.Table.from_pydict(
+            {key_col: b.column(key_col), "_x": x,
+             "_xx": pc.multiply_checked(x, x)}
+        )
+
+    sums = partial_grouped_agg(
+        ds.select_columns([key_col, value_col]).map_batches(
+            add_square, batch_format="pyarrow"
+        ),
+        [key_col],
+        sums={"_x": "s1", "_xx": "s2"},
+        count_alias="n",
+    ).take_all()
+
+    keys, ns, s1s, fs = [], [], [], []
+    for r in sums:
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        d = n * s2 - s1 * s1
+        keys.append(r[key_col])
+        ns.append(n)
+        s1s.append(s1)
+        fs.append(
+            math.sqrt(n * (n - 1.0)) / (n * math.sqrt(float(d)))
+            if n >= 2 and d > 0 else None
+        )
+    factors = pa.Table.from_pydict({
+        key_col: pa.array(keys),
+        "_n": pa.array(ns, pa.int64()),
+        "_s1": pa.array(s1s, pa.int64()),
+        "_f": pa.array(fs, pa.float64()),
+    })
+
+    joined = lookup_join(
+        ds.select_columns([id_col, key_col, value_col]), factors,
+        left_keys=[key_col], how="inner",
+    )
+
+    def zmap(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = b.column("_n").to_numpy(zero_copy_only=False)
+        s1 = b.column("_s1").to_numpy(zero_copy_only=False)
+        f = b.column("_f").to_numpy(zero_copy_only=False)  # NaN where null
+        z = (n * x - s1).astype(np.float64) * f
+        z = np.floor(z * 1e6) / 1e6
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            out_col: pa.array(z, pa.float64(), from_pandas=True),
+        })
+
+    return joined.map_batches(zmap, batch_format="pyarrow")

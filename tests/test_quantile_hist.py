@@ -147,3 +147,52 @@ def test_grouped_corr_exact_and_degenerate(ray_session):
     assert out["neg"] == ref(x2, y2) and out["neg"] == -1.0
     assert out["ind"] == ref(x3, y3) and abs(out["ind"]) < 0.2
     assert out["const"] is None and out["solo"] is None
+
+
+def test_grouped_zscore_exact_and_degenerate(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouped_zscore
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    k = rng.choice(["a", "b", "hot"], n, p=[0.1, 0.1, 0.8]).tolist()
+    v = rng.integers(-500, 500, n).astype("int64")
+    # degenerate groups: single row, zero variance
+    k += ["solo", "const", "const", "const"]
+    v = np.r_[v, [7, 42, 42, 42]]
+    ids = np.arange(len(k), dtype="int64")
+    tbl = pa.table({"k": k, "v": v, "id": ids})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        WITH s AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s1,
+                 sum(CAST(v AS HUGEINT) * v) AS s2
+          FROM t GROUP BY k
+        )
+        SELECT id,
+               CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+                 floor(CAST(CAST(n AS HUGEINT) * v - s1 AS DOUBLE)
+                       * (sqrt(n * (n - 1.0))
+                          / (n * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))
+                       * 1e6) / 1e6
+               ELSE NULL END AS z
+        FROM t JOIN s USING (k) ORDER BY id
+    """).df()
+    for parts in (1, 6):
+        got = (
+            grouped_zscore(rd.from_arrow(tbl).repartition(parts),
+                           key_col="k", value_col="v", id_col="id")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got["z"].isna().equals(want["z"].isna())
+        m = ~want["z"].isna()
+        assert (got["z"][m] == want["z"][m]).all()
+        # degenerate rows are null
+        assert got["z"].iloc[-4:].isna().all()
