@@ -1271,6 +1271,33 @@ def q_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_connected_components(sf_dir: str):
+    """Standalone connected components (the canonicalize CC machinery as a
+    public graph operator): chain edges (u, u+1) within each 5-block of
+    doc_ids → components are the 5-blocks, comp = min member.  The DuckDB
+    oracle walks the same chains with a recursive CTE."""
+    from ..stages.canonicalize import connected_components
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        u = ids[(ids % 5 != 4) & (ids + 1 < n_docs)]
+        # a self-row per doc guarantees every doc gets a label even when its
+        # only chain edge is clipped at the corpus end (singleton component)
+        return pa.table({
+            "key": pa.array(np.concatenate([ids, u]), pa.int64()),
+            "mid": pa.array(np.concatenate([ids, u + 1]), pa.int64()),
+        })
+
+    pairs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(build, batch_format="pyarrow")
+    return connected_components(pairs)
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -2030,6 +2057,16 @@ ORACLE_SQL: dict[str, str] = {
                      levenshtein(p_name, 'red gizmo')) AS min_lev
         FROM part
     """,
+    "q_connected_components": """
+        WITH RECURSIVE comp(doc_id, comp) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT d.doc_id, c.comp FROM comp c
+          JOIN documents d ON d.doc_id = c.doc_id + 1
+          WHERE c.doc_id % 5 <> 4
+        )
+        SELECT doc_id AS mid, comp FROM comp
+    """,
     "q_triangles": """
         WITH n AS (SELECT count(*) AS c FROM documents),
         raw AS (
@@ -2341,6 +2378,7 @@ QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_fuzzy_match": q_fuzzy_match,
     "q_triangles": q_triangles,
+    "q_connected_components": q_connected_components,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
