@@ -672,6 +672,21 @@ def q_top_terms_by_source(sf_dir: str):
     )
 
 
+def q_latest_event(sf_dir: str):
+    """Keep-latest dedup (the CDC/upsert compaction shape): each user's most
+    recent event row via grouped_topk k=1 over the hash exchange — exact
+    row_number-over-partition semantics, no per-group Python."""
+    from ..stages.aggregates import grouped_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return grouped_topk(
+        ds, ["user_id"], value_col="ts", tiebreak_cols=["event_id"], k=1
+    )
+
+
 def q_full_outer(sf_dir: str):
     """FULL OUTER join of two per-user event aggregates with disjoint user
     slices (user_id < 100 vs user_id >= 50) — both null directions really
@@ -2238,6 +2253,11 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_latest_event": """
+        SELECT user_id, event_id, event_type, ts FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+    """,
     "q_full_outer": """
         WITH lo AS (
           SELECT user_id, CAST(count(*) AS BIGINT) AS n_lo
@@ -2388,6 +2408,7 @@ QUERIES = {
     "q_top_terms": q_top_terms,
     "q_top_terms_by_source": q_top_terms_by_source,
     "q_full_outer": q_full_outer,
+    "q_latest_event": q_latest_event,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
