@@ -939,6 +939,21 @@ def q_dist_windows(sf_dir: str):
     ).select_columns(["event_id", "pct_rnk", "cume", "fv", "lv"])
 
 
+def q_skewness(sf_dir: str):
+    """Per-event-type population skewness from exact int64 power-sum
+    partials (see grouped_skewness) — floats only at the final
+    sqrt/multiply/divide, mirrored HUGEINT expression as the oracle."""
+    from ..stages.aggregates import grouped_skewness
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_skewness(ds, key_col="event_type", value_col="v")
+
+
 def q_zscore(sf_dir: str):
     """Per-event z-score of value_cents within its event_type — exact int64
     sum partials, one O(groups) factor table broadcast back, one float
@@ -1877,6 +1892,31 @@ ORACLE_SQL: dict[str, str] = {
                  AS run_sum
         FROM c
     """,
+    "q_skewness": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s1,
+                 sum(CAST(v AS HUGEINT) * v) AS s2,
+                 sum(CAST(v AS HUGEINT) * v * v) AS s3
+          FROM c GROUP BY event_type
+        )
+        SELECT event_type,
+               CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+                 floor(
+                   CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                        AS DOUBLE)
+                   / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                   * 1e8) / 1e8
+               ELSE NULL END AS skew_r
+        FROM s
+    """,
     "q_zscore": """
         WITH c AS (
           SELECT event_id, event_type,
@@ -2382,6 +2422,7 @@ QUERIES = {
     "q_rank_windows": q_rank_windows,
     "q_dist_windows": q_dist_windows,
     "q_zscore": q_zscore,
+    "q_skewness": q_skewness,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,

@@ -1040,3 +1040,63 @@ def grouped_zscore(
         })
 
     return joined.map_batches(zmap, batch_format="pyarrow")
+
+
+def grouped_skewness(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "skew_r",
+) -> pa.Table:
+    """Per-key population skewness g1 = m3 / m2^(3/2) with REPRODUCIBLE
+    float output — the third member of the exact-moments family
+    (``grouped_corr``, ``grouped_zscore``).
+
+    The distributive power sums (n, Σx, Σx², Σx³) travel as EXACT int64
+    partials through the map-side-combined exchange; the driver forms the
+    integer-exact numerators  A = n²Σx³ − 3nΣxΣx² + 2(Σx)³  and
+    B = nΣx² − (Σx)²  in arbitrary-precision Python ints (g1 = A / (B·√B)
+    algebraically — the n³ denominators cancel), converts each ONCE to
+    float64 and
+    finishes with sqrt/multiply/divide only — sqrt and the ring ops are
+    IEEE-correctly-rounded, so an SQL engine evaluating the mirrored
+    HUGEINT expression produces the bit-identical double (pow() is
+    deliberately avoided: libm pow is NOT cross-engine deterministic).
+    Floored to 1e-8 cells.  Inputs must be integer-canonicalized (cents)
+    and small enough that per-row x³ fits int64 (|x| ≤ ~2 × 10⁶); null
+    for degenerate groups (n < 2 or zero variance)."""
+    import math
+
+    def add_powers(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(value_col), pa.int64())
+        xx = pc.multiply_checked(x, x)
+        return pa.Table.from_pydict({
+            key_col: b.column(key_col),
+            "_x": x, "_xx": xx,
+            "_xxx": pc.multiply_checked(xx, x),
+        })
+
+    sums = partial_grouped_agg(
+        ds.select_columns([key_col, value_col]).map_batches(
+            add_powers, batch_format="pyarrow"
+        ),
+        [key_col],
+        sums={"_x": "s1", "_xx": "s2", "_xxx": "s3"},
+        count_alias="n",
+    ).take_all()
+    keys, vals = [], []
+    for r in sorted(sums, key=lambda r: r[key_col]):
+        n, s1, s2, s3 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                         int(r["s3"]))
+        a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        b = n * s2 - s1 * s1
+        keys.append(r[key_col])
+        if n < 2 or b <= 0:
+            vals.append(None)
+        else:
+            g1 = float(a) / (float(b) * math.sqrt(float(b)))
+            vals.append(math.floor(g1 * 1e8) / 1e8)
+    return pa.Table.from_pydict(
+        {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
+    )

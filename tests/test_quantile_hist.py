@@ -196,3 +196,36 @@ def test_grouped_zscore_exact_and_degenerate(ray_session):
         assert (got["z"][m] == want["z"][m]).all()
         # degenerate rows are null
         assert got["z"].iloc[-4:].isna().all()
+
+
+def test_grouped_skewness_exact_and_degenerate(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouped_skewness
+
+    rng = np.random.default_rng(21)
+    vals = {
+        "sym": rng.integers(-100, 101, 500),
+        "right": rng.integers(0, 20, 400) ** 2,   # right-skewed
+        "solo": np.array([5]),
+        "const": np.array([3, 3, 3]),
+    }
+    k = np.concatenate([[g] * len(v) for g, v in vals.items()])
+    v = np.concatenate(list(vals.values())).astype("int64")
+    tbl = pa.table({"k": k.tolist(), "v": v})
+    for parts in (1, 5):
+        got = {r["k"]: r["skew_r"] for r in grouped_skewness(
+            rd.from_arrow(tbl).repartition(parts), key_col="k", value_col="v"
+        ).to_pylist()}
+        assert got["solo"] is None and got["const"] is None
+        for g in ("sym", "right"):
+            x = vals[g].astype(np.float64)
+            m2, m3 = ((x - x.mean()) ** 2).mean(), ((x - x.mean()) ** 3).mean()
+            ref = m3 / m2 ** 1.5
+            assert abs(got[g] - ref) < 1e-6, g
+        assert got["right"] > 0.3 and abs(got["sym"]) < 0.3
