@@ -672,6 +672,46 @@ def q_top_terms_by_source(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """Conversion-funnel analysis (min-timestamp semantics, the standard
+    product-analytics approximation): users whose first view precedes their
+    first click precedes their first purchase.  One map-side-combined
+    grouped MIN over type-masked timestamp columns (exchange O(users ×
+    blocks)), then a vectorized three-way comparison — event rows never
+    shuffle."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    steps = ["view", "click", "purchase"]
+
+    def mask(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        for s in steps:
+            cols[f"_t_{s}"] = pc.if_else(pc.equal(et, s), ts,
+                                         pa.scalar(None, pa.int64()))
+        return pa.Table.from_pydict(cols)
+
+    mins = partial_grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        ).map_batches(mask, batch_format="pyarrow"),
+        ["user_id"],
+        mins={f"_t_{s}": f"t_{s}" for s in steps},
+    )
+
+    def converted(b: pa.Table) -> pa.Table:
+        t1, t2, t3 = (b.column(f"t_{s}") for s in steps)
+        ok = pc.and_(pc.less(t1, t2), pc.less(t2, t3))  # null-safe: null→null
+        n = pc.sum(pc.cast(ok, pa.int64()))  # sum skips nulls
+        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    part = mins.map_batches(converted, batch_format="pyarrow")
+    total = sum(r["n"] for r in part.take_all())
+    return pa.table({"n_converted": pa.array([total], pa.int64())})
+
+
 def q_latest_event(sf_dir: str):
     """Keep-latest dedup (the CDC/upsert compaction shape): each user's most
     recent event row via grouped_topk k=1 over the hash exchange — exact
@@ -2293,6 +2333,20 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_funnel": """
+        WITH m AS (
+          SELECT user_id,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'view'))
+                      AS BIGINT) AS t1,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'click'))
+                      AS BIGINT) AS t2,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'purchase'))
+                      AS BIGINT) AS t3
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted
+        FROM m WHERE t1 < t2 AND t2 < t3
+    """,
     "q_latest_event": """
         SELECT user_id, event_id, event_type, ts FROM events
         QUALIFY row_number() OVER (
@@ -2450,6 +2504,7 @@ QUERIES = {
     "q_top_terms_by_source": q_top_terms_by_source,
     "q_full_outer": q_full_outer,
     "q_latest_event": q_latest_event,
+    "q_funnel": q_funnel,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,

@@ -537,3 +537,22 @@ def test_triangle_count_matches_brute_force(ray_session):
     star = pa.table({"src": [0] * 10, "dst": list(range(1, 11))})
     got = triangle_count(rd.from_arrow(star))
     assert got.column("triangles")[0].as_py() == 0
+
+
+def test_triangle_count_hot_hub(ray_session):
+    # wheel graph: one hub connected to every leaf + a leaf ring — the
+    # degree-ordered orientation charges every wedge to a LEAF (degree 3),
+    # so the hub's 2000-degree fan-out never lands in one group
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import triangle_count
+
+    n = 2000
+    src = ["hub"] * n + [f"l{i}" for i in range(n)]
+    dst = [f"l{i}" for i in range(n)] + [f"l{(i + 1) % n}" for i in range(n)]
+    got = triangle_count(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    )
+    assert got.column("triangles")[0].as_py() == n
