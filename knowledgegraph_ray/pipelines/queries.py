@@ -712,6 +712,48 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple): cohort = a
+    user's first active day, one row per (cohort_day, days_since) with the
+    distinct-user count.  The epoch-day key is monotone in ts, so the
+    cohort is ONE grouped MIN over an int column (map-side combined);
+    activity is the distinct (user, day) set; the O(users) cohort table
+    broadcasts back; the final count is O(cohorts × days).  Event rows
+    never shuffle."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    def ym_map(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        ym = pc.divide(us, 86_400_000_000)  # epoch days (int floor-div ≥ 0)
+        return pa.Table.from_pydict({"user_id": b.column("user_id"), "ym": ym})
+
+    e = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(ym_map, batch_format="pyarrow")
+    cohort = partial_grouped_agg(e, ["user_id"], mins={"ym": "cym"})
+    activity = (
+        e.map_batches(
+            lambda b: b.group_by(["user_id", "ym"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ym"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "ym"])
+    )
+    j = adaptive_join(activity, cohort, left_keys=["user_id"], how="inner")
+
+    def since(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "cohort_day": b.column("cym"),
+            "days_since": pc.subtract(b.column("ym"), b.column("cym")),
+        })
+
+    return partial_grouped_agg(
+        j.map_batches(since, batch_format="pyarrow"),
+        ["cohort_day", "days_since"], count_alias="n_users",
+    )
+
+
 def q_latest_event(sf_dir: str):
     """Keep-latest dedup (the CDC/upsert compaction shape): each user's most
     recent event row via grouped_topk k=1 over the hash exchange — exact
@@ -2333,6 +2375,19 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_retention": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS ym
+          FROM events
+        ),
+        c AS (SELECT user_id, min(ym) AS cym FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, ym FROM e)
+        SELECT cym AS cohort_day, ym - cym AS days_since,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_funnel": """
         WITH m AS (
           SELECT user_id,
@@ -2505,6 +2560,7 @@ QUERIES = {
     "q_full_outer": q_full_outer,
     "q_latest_event": q_latest_event,
     "q_funnel": q_funnel,
+    "q_retention": q_retention,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
