@@ -360,9 +360,12 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     deg = partial_grouped_agg(ends, ["node"], count_alias="deg")
     e = adaptive_join(e, deg, left_keys=["a"], right_keys=["node"],
                       how="inner", num_partitions=num_partitions)
+    # select-by-name (not rename-in-place): the shuffle-path join may keep
+    # the right key column, so pin the exact output surface after each join
     e = e.map_batches(
-        lambda t: t.rename_columns(
-            ["da" if c == "deg" else c for c in t.column_names]
+        lambda t: pa.Table.from_arrays(
+            [t.column("a"), t.column("b"), t.column("deg")],
+            names=["a", "b", "da"],
         ),
         batch_format="pyarrow",
     )
@@ -382,8 +385,9 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         )
 
     oriented = e.map_batches(
-        lambda t: orient(t.rename_columns(
-            ["db" if c == "deg" else c for c in t.column_names]
+        lambda t: orient(pa.Table.from_arrays(
+            [t.column("a"), t.column("b"), t.column("da"), t.column("deg")],
+            names=["a", "b", "da", "db"],
         )),
         batch_format="pyarrow",
     ).materialize()
