@@ -712,6 +712,47 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (the
+    behavioral-diversity / data-curation metric): H = ln(n) − Σc·ln(c)/n
+    from map-side-combined (user, type) count partials — raw events never
+    shuffle; the per-user term table is O(users × types).  Floored to 1e-4
+    cells (ln is transcendental — the floor4 convention the quality score
+    established; both engines' lns agree to ~1 ulp)."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    counts = partial_grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        ["user_id", "event_type"], count_alias="cnt",
+    )
+
+    def terms(b: pa.Table) -> pa.Table:
+        c = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "user_id": b.column("user_id"),
+            "cnt": b.column("cnt"),
+            "_clnc": pa.array(c * np.log(c), pa.float64()),
+        })
+
+    sums = partial_grouped_agg(
+        counts.map_batches(terms, batch_format="pyarrow"),
+        ["user_id"], sums={"cnt": "n", "_clnc": "s"},
+    )
+
+    def entropy(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        h = np.log(n) - s / n
+        return pa.Table.from_pydict({
+            "user_id": b.column("user_id"),
+            "entropy_r": pa.array(np.floor(h * 1e4) / 1e4, pa.float64()),
+        })
+
+    return sums.map_batches(entropy, batch_format="pyarrow")
+
+
 def q_retention(sf_dir: str):
     """Cohort retention matrix (the product-analytics staple): cohort = a
     user's first active day, one row per (cohort_day, days_since) with the
@@ -2375,6 +2416,19 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_user_entropy": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+                 sum(cnt * ln(cnt)) AS s
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, floor((ln(n) - s / n) * 1e4) / 1e4 AS entropy_r
+        FROM t
+    """,
     "q_retention": """
         WITH e AS (
           SELECT user_id,
@@ -2561,6 +2615,7 @@ QUERIES = {
     "q_latest_event": q_latest_event,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_user_entropy": q_user_entropy,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
