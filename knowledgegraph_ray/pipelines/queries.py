@@ -1661,6 +1661,19 @@ def q_kg_khop(sf_dir: str):
     return khop(res.edges(), [seed], k=2)
 
 
+def q_kg_communities(sf_dir: str):
+    """Community detection over the flagship KG edge set: 4 rounds of
+    deterministic synchronous label propagation (min-label tiebreak), then
+    community sizes — top 20 by (size desc, community)."""
+    from ..stages.aggregates import partial_grouped_agg
+    from ..stages.graph_query import label_propagation
+
+    labels = label_propagation(_kg_result(sf_dir).edges(), rounds=4)
+    sizes = partial_grouped_agg(labels, ["community"], count_alias="n_nodes")
+    return sizes.sort(["n_nodes", "community"],
+                      descending=[True, False]).limit(20)
+
+
 def q_kg_linking(sf_dir: str):
     """Entity-linking candidate stage (north-star fuzzy capability): derive
     deterministic mention pairs from the documents table — an "org <hex>"
@@ -2641,6 +2654,7 @@ QUERIES = {
     "q_kg_search": q_kg_search,
     "q_kg_linking": q_kg_linking,
     "q_kg_khop": q_kg_khop,
+    "q_kg_communities": q_kg_communities,
 }
 
 # Machine-readable oracle map for the rows-only queries (no SQL-expressible
@@ -2706,5 +2720,8 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_khop": [
         "tests/test_embedder_query_multimodal.py::test_khop_matches_bfs_reference",
+    ],
+    "q_kg_communities": [
+        "tests/test_embedder_query_multimodal.py::test_label_propagation_matches_reference",
     ],
 }

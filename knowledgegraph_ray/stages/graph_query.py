@@ -440,3 +440,95 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         how="inner", num_partitions=num_partitions,
     )
     return pa.table({"triangles": pa.array([closed.count()], pa.int64())})
+
+
+def label_propagation(edges, src: str = "src", dst: str = "dst",
+                      rounds: int = 5, num_partitions: int = 16):
+    """Community detection by SYNCHRONOUS label propagation (LPA, the
+    GraphFrames/Raghavan rule made deterministic): every node starts as its
+    own community; each round every node adopts the label most frequent
+    among its neighbors, ties broken by MIN label — fixed round count +
+    synchronous updates + deterministic tiebreak ⇒ the output is a pure
+    function of the edge set (reproducible at any parallelism).
+
+    Per round, entirely Dataset ops: the O(nodes) label table broadcasts
+    back onto one streamed pass of the edge table (two directions →
+    (node, neighbor_label) messages), map-side-combined (node, label)
+    counts, then ``grouped_topk`` k=1 (count desc, label asc) picks each
+    node's vote — edge rows never shuffle; the wide exchanges are
+    O(node-label pairs).  Returns a Dataset (node, community)."""
+    import pyarrow as pa
+
+    from ..functions.joins import adaptive_join
+    from .aggregates import grouped_topk, partial_grouped_agg
+
+    ds = _ds(edges).select_columns([src, dst])
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = b.column(src), b.column(dst)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        # undirected canonical order BEFORE distinct, or an edge present in
+        # both orientations would cast two votes per round
+        t = pa.Table.from_arrays(
+            [pc.min_element_wise(s, d), pc.max_element_wise(s, d)],
+            names=["u", "v"],
+        )
+        return t.group_by(["u", "v"]).aggregate([])
+
+    e = (
+        ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.chunked_array([t.column("u"), t.column("v")])], names=["node"]
+        )
+
+    labels = (
+        partial_grouped_agg(
+            e.map_batches(ends, batch_format="pyarrow"), ["node"],
+            count_alias="_d",
+        )
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), t.column("node")],
+                names=["node", "community"],
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(int(rounds)):
+        def msgs_dir(key: str, other: str):
+            j = adaptive_join(
+                e, labels, left_keys=[other], right_keys=["node"],
+                how="inner", num_partitions=num_partitions,
+            )
+            return j.map_batches(
+                lambda t, k=key: pa.Table.from_arrays(
+                    [t.column(k), t.column("community")],
+                    names=["node", "label"],
+                ),
+                batch_format="pyarrow",
+            )
+
+        msgs = msgs_dir("u", "v").union(msgs_dir("v", "u"))
+        counts = partial_grouped_agg(msgs, ["node", "label"],
+                                     count_alias="c")
+        labels = grouped_topk(
+            counts, ["node"], value_col="c", tiebreak_cols=["label"], k=1,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), t.column("label")],
+                names=["node", "community"],
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return labels

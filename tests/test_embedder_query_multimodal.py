@@ -556,3 +556,52 @@ def test_triangle_count_hot_hub(ray_session):
         rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
     )
     assert got.column("triangles")[0].as_py() == n
+
+
+def test_label_propagation_matches_reference(ray_session):
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import label_propagation
+
+    def reference(E, rounds):
+        adj = collections.defaultdict(set)
+        for u, v in E:
+            adj[u].add(v)
+            adj[v].add(u)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                cnt = collections.Counter(lab[m] for m in adj[n])
+                best = max(cnt.values())
+                new[n] = min(l for l, c in cnt.items() if c == best)
+            lab = new
+        return lab
+
+    # two cliques joined by one bridge edge
+    a = [f"a{i}" for i in range(6)]
+    b = [f"b{i}" for i in range(6)]
+    E = {(x, y) for i, x in enumerate(a) for y in a[i + 1:]}
+    E |= {(x, y) for i, x in enumerate(b) for y in b[i + 1:]}
+    E.add((a[0], b[0]))
+    # plus random noise graph (disjoint)
+    rng = np.random.default_rng(3)
+    E |= {(f"n{int(x)}", f"n{int(y)}")
+          for x, y in rng.integers(0, 40, (80, 2)) if x != y}
+
+    tbl = pa.table({"src": [u for u, v in sorted(E)],
+                    "dst": [v for u, v in sorted(E)]})
+    want = reference(E, rounds=4)
+    for parts in (1, 5):
+        got = {r["node"]: r["community"] for r in label_propagation(
+            rd.from_arrow(tbl).repartition(parts), rounds=4
+        ).take_all()}
+        assert got == want, parts
+    # structure: each clique coalesces to one community, and they differ
+    assert len({want[x] for x in a[1:]}) == 1
+    assert len({want[x] for x in b[1:]}) == 1
+    assert want[a[1]] != want[b[1]]
