@@ -712,6 +712,60 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized mean (robust statistics): per event_type, the mean of
+    value_cents clipped to the group's exact [p10, p90] discrete quantiles —
+    quantile via the no-colocation histogram path, the O(groups) clip
+    bounds broadcast back, exact int64 clipped sums, ONE float division,
+    1e-8 floor.  Composes three existing engines; event rows never
+    shuffle."""
+    from ..functions.joins import lookup_join
+    from ..stages.aggregates import (
+        grouped_quantile_histogram, partial_grouped_agg,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    ).materialize()
+    lo = grouped_quantile_histogram(
+        ds, key_col="event_type", value_col="v", q_num=1, q_den=10,
+        out_col="lo",
+    )
+    hi = grouped_quantile_histogram(
+        ds, key_col="event_type", value_col="v", q_num=9, q_den=10,
+        out_col="hi",
+    )
+    bounds = lo.join(hi, keys=["event_type"])
+    j = lookup_join(ds, bounds, left_keys=["event_type"], how="inner")
+
+    def clip(b: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.max_element_wise(b.column("v"), b.column("lo")),
+            b.column("hi"),
+        )
+        return pa.Table.from_pydict(
+            {"event_type": b.column("event_type"), "w": w}
+        )
+
+    sums = partial_grouped_agg(
+        j.map_batches(clip, batch_format="pyarrow"),
+        ["event_type"], sums={"w": "s"}, count_alias="n",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "event_type": b.column("event_type"),
+            "wmean": pa.array(np.floor(s / n * 1e8) / 1e8, pa.float64()),
+        })
+
+    return sums.map_batches(fin, batch_format="pyarrow")
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution (the
     behavioral-diversity / data-curation metric): H = ln(n) − Σc·ln(c)/n
@@ -2429,6 +2483,24 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_winsorized_mean": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        q AS (
+          SELECT event_type,
+                 CAST(quantile_disc(v, 0.1) AS BIGINT) AS lo,
+                 CAST(quantile_disc(v, 0.9) AS BIGINT) AS hi
+          FROM c GROUP BY event_type
+        )
+        SELECT c.event_type,
+               floor(CAST(sum(least(greatest(v, lo), hi)) AS DOUBLE)
+                     / count(*) * 1e8) / 1e8 AS wmean
+        FROM c JOIN q USING (event_type)
+        GROUP BY c.event_type
+    """,
     "q_user_entropy": """
         WITH c AS (
           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
@@ -2629,6 +2701,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
+    "q_winsorized_mean": q_winsorized_mean,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
