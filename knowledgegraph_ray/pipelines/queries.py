@@ -712,6 +712,55 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_centroid_per_label(sf_dir: str):
+    """Per-label embedding centroid (the k-means M-step as a standalone
+    vector-column aggregate): explode list<float> → (label, dim, v) rows,
+    map-side-combined float64 sums (exchange O(labels × dims × blocks)),
+    one division, 1e-6 floor (float summation order differs between
+    engines by ~1e-12 — cells absorb it)."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.list_flatten(emb), pa.float64())
+        lab = np.repeat(
+            pc.cast(b.column("label"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            lens,
+        )
+        ends = np.cumsum(lens)
+        dim = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - lens, lens)
+        return pa.Table.from_pydict({
+            "label": pa.array(lab, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "v": v,
+        })
+
+    rows = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(explode, batch_format="pyarrow")
+    sums = partial_grouped_agg(
+        rows, ["label", "dim"], sums={"v": "s"}, count_alias="n"
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "label": b.column("label"),
+            "dim": b.column("dim"),
+            "c": pa.array(np.floor(s / n * 1e6) / 1e6, pa.float64()),
+        })
+
+    return sums.map_batches(fin, batch_format="pyarrow")
+
+
 def q_winsorized_mean(sf_dir: str):
     """Winsorized mean (robust statistics): per event_type, the mean of
     value_cents clipped to the group's exact [p10, p90] discrete quantiles —
@@ -2483,6 +2532,17 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_centroid_per_label": """
+        WITH x AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        )
+        SELECT label, dim,
+               floor(sum(v) / count(*) * 1e6) / 1e6 AS c
+        FROM x GROUP BY label, dim
+    """,
     "q_winsorized_mean": """
         WITH c AS (
           SELECT event_type,
@@ -2702,6 +2762,7 @@ QUERIES = {
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,
+    "q_centroid_per_label": q_centroid_per_label,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
