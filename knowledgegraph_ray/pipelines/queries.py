@@ -712,6 +712,35 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_ratio_to_report(sf_dir: str):
+    """Per-row share of its group's total (the RATIO_TO_REPORT window):
+    exact int64 group sums (map-side combined) broadcast back, one float
+    division per row, 1e-8 floor — the same no-shuffle per-row-enrichment
+    shape as grouped_zscore."""
+    from ..functions.joins import lookup_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    sums = partial_grouped_agg(ds, ["event_type"], sums={"v": "s"})
+    tot = pa.Table.from_pylist(sums.take_all())
+    j = lookup_join(ds, tot, left_keys=["event_type"], how="inner")
+
+    def ratio(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "event_id": b.column("event_id"),
+            "share": pa.array(np.floor(v / s * 1e8) / 1e8, pa.float64()),
+        })
+
+    return j.map_batches(ratio, batch_format="pyarrow")
+
+
 def q_centroid_per_label(sf_dir: str):
     """Per-label embedding centroid (the k-means M-step as a standalone
     vector-column aggregate): explode list<float> → (label, dim, v) rows,
@@ -2532,6 +2561,21 @@ ORACLE_SQL: dict[str, str] = {
           PARTITION BY source ORDER BY cnt DESC, term
         ) <= 5
     """,
+    "q_ratio_to_report": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        s AS (
+          SELECT event_type, CAST(sum(v) AS BIGINT) AS s
+          FROM c GROUP BY event_type
+        )
+        SELECT event_id,
+               floor(CAST(v AS DOUBLE) / CAST(s AS DOUBLE) * 1e8) / 1e8
+                 AS share
+        FROM c JOIN s USING (event_type)
+    """,
     "q_centroid_per_label": """
         WITH x AS (
           SELECT CAST(label AS BIGINT) AS label,
@@ -2763,6 +2807,7 @@ QUERIES = {
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,
     "q_centroid_per_label": q_centroid_per_label,
+    "q_ratio_to_report": q_ratio_to_report,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,
