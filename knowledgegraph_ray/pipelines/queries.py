@@ -927,6 +927,62 @@ def q_retention(sf_dir: str):
     )
 
 
+def q_time_to_convert(sf_dir: str):
+    """Funnel latency quantiles: among converted users (first view < first
+    click < first purchase), the p50/p90 of purchase−view in microseconds —
+    exact discrete quantiles via the no-colocation histogram refinement
+    over the O(users) delta set."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    steps = ["view", "click", "purchase"]
+
+    def mask(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        for s in steps:
+            cols[f"_t_{s}"] = pc.if_else(pc.equal(et, s), ts,
+                                         pa.scalar(None, pa.int64()))
+        return pa.Table.from_pydict(cols)
+
+    mins = partial_grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        ).map_batches(mask, batch_format="pyarrow"),
+        ["user_id"],
+        mins={f"_t_{s}": f"t_{s}" for s in steps},
+    )
+
+    def deltas(b: pa.Table) -> pa.Table:
+        t1, t2, t3 = (b.column(f"t_{s}") for s in steps)
+        ok = pc.fill_null(
+            pc.and_(pc.less(t1, t2), pc.less(t2, t3)), False
+        )
+        d = pc.subtract(t3, t1).filter(ok)
+        return pa.Table.from_pydict({
+            "k": pa.array(["all"] * len(d), pa.string()), "delta": d,
+        })
+
+    # materialize the O(converted users) delta set ONCE: each histogram
+    # round streams its input again, and a lazy pipeline would re-run the
+    # whole funnel aggregation per round (measured 42 s unmaterialized);
+    # both ranks resolve in ONE shared refinement walk
+    from ..stages.aggregates import _grouped_order_stats
+
+    dds = mins.map_batches(deltas, batch_format="pyarrow").materialize()
+    _, done = _grouped_order_stats(
+        dds, key_col="k", value_col="delta",
+        rank_fns=[lambda n: -(-(1 * n) // 2) - 1,
+                  lambda n: -(-(9 * n) // 10) - 1],
+    )
+    p50, p90 = done["all"]
+    return pa.table({
+        "p50_us": pa.array([p50], pa.int64()),
+        "p90_us": pa.array([p90], pa.int64()),
+    })
+
+
 def q_latest_event(sf_dir: str):
     """Keep-latest dedup (the CDC/upsert compaction shape): each user's most
     recent event row via grouped_topk k=1 over the hash exchange — exact
@@ -2645,6 +2701,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS n_converted
         FROM m WHERE t1 < t2 AND t2 < t3
     """,
+    "q_time_to_convert": """
+        WITH m AS (
+          SELECT user_id,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'view'))
+                      AS BIGINT) AS t1,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'click'))
+                      AS BIGINT) AS t2,
+                 CAST(epoch_us(min(ts) FILTER (event_type = 'purchase'))
+                      AS BIGINT) AS t3
+          FROM events GROUP BY user_id
+        ),
+        d AS (SELECT t3 - t1 AS delta FROM m WHERE t1 < t2 AND t2 < t3)
+        SELECT CAST(quantile_disc(delta, 0.5) AS BIGINT) AS p50_us,
+               CAST(quantile_disc(delta, 0.9) AS BIGINT) AS p90_us
+        FROM d
+    """,
     "q_latest_event": """
         SELECT user_id, event_id, event_type, ts FROM events
         QUALIFY row_number() OVER (
@@ -2803,6 +2875,7 @@ QUERIES = {
     "q_full_outer": q_full_outer,
     "q_latest_event": q_latest_event,
     "q_funnel": q_funnel,
+    "q_time_to_convert": q_time_to_convert,
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,
