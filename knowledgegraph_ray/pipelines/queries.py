@@ -672,6 +672,51 @@ def q_top_terms_by_source(sf_dir: str):
     )
 
 
+def q_dense_grid(sf_dir: str):
+    """Dense reporting grid with zero-fill: every (user × day) cell,
+    including days a user was inactive (~half the grid at sf0.1) — the
+    distinct legs are small (shuffle-free `distinct_keys`), their cross
+    product builds in one bounded task, and the O(users × days) grid
+    left-joins the map-side-combined counts with coalesce-0.  Event rows
+    never shuffle."""
+    from ..functions.joins import lookup_join
+    from ..stages.aggregates import distinct_keys, partial_grouped_agg
+
+    def day_map(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        return pa.Table.from_pydict({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "day": pc.divide(us, 86_400_000_000),
+        })
+
+    e = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(day_map, batch_format="pyarrow")
+    counts = partial_grouped_agg(e, ["user_id", "day"], count_alias="n")
+    users = sorted(
+        r["user_id"] for r in distinct_keys(e, ["user_id"]).take_all()
+    )
+    days = sorted(r["day"] for r in distinct_keys(e, ["day"]).take_all())
+    grid = rd.from_arrow(pa.table({
+        "user_id": pa.array(np.repeat(users, len(days)), pa.int64()),
+        "day": pa.array(np.tile(days, len(users)), pa.int64()),
+    }))
+    counts_tbl = pa.Table.from_pylist(
+        counts.take_all(),
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                          ("n", pa.int64())]),
+    )
+    j = lookup_join(grid, counts_tbl, left_keys=["user_id", "day"],
+                    how="left")
+    return j.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n"), "n",
+            pc.fill_null(pc.cast(b.column("n"), pa.int64()), 0),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_funnel(sf_dir: str):
     """Conversion-funnel analysis (min-timestamp semantics, the standard
     product-analytics approximation): users whose first view precedes their
@@ -2687,6 +2732,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM a JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    "q_dense_grid": """
+        WITH e AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+          FROM events
+        ),
+        g AS (
+          SELECT t.user_id, d.day
+          FROM (SELECT DISTINCT user_id FROM e) t
+          CROSS JOIN (SELECT DISTINCT day FROM e) d
+        ),
+        c AS (
+          SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.day, coalesce(c.n, 0) AS n
+        FROM g LEFT JOIN c USING (user_id, day)
+    """,
     "q_funnel": """
         WITH m AS (
           SELECT user_id,
@@ -2876,6 +2939,7 @@ QUERIES = {
     "q_latest_event": q_latest_event,
     "q_funnel": q_funnel,
     "q_time_to_convert": q_time_to_convert,
+    "q_dense_grid": q_dense_grid,
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,
