@@ -672,6 +672,61 @@ def q_top_terms_by_source(sf_dir: str):
     )
 
 
+def q_encode_tokens(sf_dir: str):
+    """Corpus tokenization → vocabulary build → integer encoding (the
+    training-data artifact an LLM pipeline actually emits): vocab = top-20
+    terms by (count desc, term), ids 1..20, OOV → 0; every document then
+    encodes to (doc_id, pos, tid) rows via ONE vectorized `index_in`
+    against the broadcast vocab array — the counts exchange is
+    O(vocab × blocks), the encode pass is a pure streaming map."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        # SAME tokenization as the encode pass and the SQL mirror: raw
+        # single-space split, no lowering, empties kept
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({"term": pc.list_flatten(toks)})
+
+    counts = partial_grouped_agg(
+        docs.map_batches(term_rows, batch_format="pyarrow"),
+        ["term"], count_alias="c",
+    ).take_all()
+    vocab = [r["term"] for r in
+             sorted(counts, key=lambda r: (-r["c"], r["term"]))[:20]]
+    vocab_arr = pa.array(vocab, pa.string())
+
+    def encode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        ends = np.cumsum(lens)
+        pos = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - lens, lens)
+        tid = pc.add(pc.index_in(flat, value_set=vocab_arr),
+                     pa.scalar(1, pa.int32()))
+        tid = pc.cast(pc.fill_null(tid, 0), pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "tid": tid,
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
 def q_dense_grid(sf_dir: str):
     """Dense reporting grid with zero-fill: every (user × day) cell,
     including days a user was inactive (~half the grid at sf0.1) — the
@@ -2732,6 +2787,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM a JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    "q_encode_tokens": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS term,
+                 CAST(generate_subscripts(
+                   string_split(coalesce(text, ''), ' '), 1) AS BIGINT) - 1
+                   AS pos
+          FROM documents
+        ),
+        cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        vocab AS (
+          SELECT term,
+                 CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+                   AS tid
+          FROM cnt QUALIFY tid <= 20
+        )
+        SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+        FROM tok LEFT JOIN vocab v USING (term)
+    """,
     "q_dense_grid": """
         WITH e AS (
           SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -2940,6 +3014,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_time_to_convert": q_time_to_convert,
     "q_dense_grid": q_dense_grid,
+    "q_encode_tokens": q_encode_tokens,
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,
