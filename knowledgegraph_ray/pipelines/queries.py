@@ -1962,6 +1962,16 @@ def q_kg_communities(sf_dir: str):
                       descending=[True, False]).limit(20)
 
 
+def q_kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the flagship KG (the
+    DeepWalk/node2vec training-data front-end): one length-4 walk per
+    node, splitmix64-hash "randomness" — a pure function of (edge set,
+    seed)."""
+    from ..stages.graph_query import random_walks
+
+    return random_walks(_kg_result(sf_dir).edges(), length=4, seed=0)
+
+
 def q_kg_linking(sf_dir: str):
     """Entity-linking candidate stage (north-star fuzzy capability): derive
     deterministic mention pairs from the documents table — an "org <hex>"
@@ -3046,6 +3056,7 @@ QUERIES = {
     "q_kg_linking": q_kg_linking,
     "q_kg_khop": q_kg_khop,
     "q_kg_communities": q_kg_communities,
+    "q_kg_walks": q_kg_walks,
 }
 
 # Machine-readable oracle map for the rows-only queries (no SQL-expressible
@@ -3114,5 +3125,8 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_communities": [
         "tests/test_embedder_query_multimodal.py::test_label_propagation_matches_reference",
+    ],
+    "q_kg_walks": [
+        "tests/test_embedder_query_multimodal.py::test_random_walks_deterministic_and_valid",
     ],
 }

@@ -532,3 +532,147 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
             batch_format="pyarrow",
         ).materialize()
     return labels
+
+
+def random_walks(edges, *, length: int = 5, walks_per_node: int = 1,
+                 seed: int = 0, src: str = "src", dst: str = "dst",
+                 num_partitions: int = 16):
+    """DETERMINISTIC uniform random walks over an undirected graph — the
+    DeepWalk/node2vec front-end that turns a graph into a training corpus.
+    "Random" is a splitmix64 hash of (walk_id, step, seed), so the walk set
+    is a pure function of (edge set, seed): reproducible at any
+    parallelism, any block layout, and mirrorable by a reference
+    implementation (the pytest oracle).
+
+    Scale shape: the adjacency index (node → SORTED neighbor list) builds
+    once through the hash map/reduce exchange (one ListArray per reduce
+    partition, no per-group Python) and broadcasts as a shared zero-copy
+    lookup (functions/joins.lookup_join); each of the ``length`` steps is
+    one streaming map over the O(nodes × walks_per_node) walk table — the
+    edge set itself never reshuffles after the index build.  Returns a
+    Dataset (walk_id, step, node); step 0 is the start node."""
+    import pyarrow as pa
+
+    from ..functions.hashing import mix64
+    from ..functions.joins import lookup_join
+    from .canonicalize import grouped_apply
+
+    ds = _ds(edges).select_columns([src, dst])
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s, d = b.column(src), b.column(dst)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        if isinstance(s, pa.ChunkedArray):
+            s, d = s.combine_chunks(), d.combine_chunks()
+        t = pa.Table.from_arrays(
+            [pa.chunked_array([s, d]), pa.chunked_array([d, s])],
+            names=["node", "nbr"],
+        )
+        return t.combine_chunks().group_by(["node", "nbr"]).aggregate([])
+
+    pairs = ds.map_batches(both_dirs, batch_format="pyarrow")
+    node_t = pairs.schema(fetch_if_missing=True).base_schema.field("node").type
+    adj_schema = pa.schema([
+        ("node", node_t), ("nbrs", pa.list_(node_t)), ("deg", pa.int64()),
+    ])
+
+    def adj_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        # dedupe (node, nbr) repeats across input blocks, keep nbrs sorted
+        block = block.sort_by([("_run", "ascending"), ("nbr", "ascending")])
+        nb = block.column("nbr")
+        nb = nb.combine_chunks() if isinstance(nb, pa.ChunkedArray) else nb
+        rr = block.column("_run").to_numpy(zero_copy_only=False)
+        arr = nb.to_numpy(zero_copy_only=False)
+        first = np.r_[True, (rr[1:] != rr[:-1]) | (arr[1:] != arr[:-1])]
+        keep = np.flatnonzero(first)
+        nb = nb.take(pa.array(keep, pa.int64()))
+        rk = rr[keep]
+        run_starts = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+        offs = np.r_[run_starts, len(rk)].astype(np.int32)
+        nodes = block.column("node").take(pa.array(keep[run_starts], pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), nb)
+        deg = np.diff(offs).astype(np.int64)
+        return pa.Table.from_arrays(
+            [nodes.combine_chunks() if isinstance(nodes, pa.ChunkedArray)
+             else nodes, lists, pa.array(deg, pa.int64())],
+            schema=adj_schema,
+        )
+
+    adj = grouped_apply(
+        pairs, ["node"], None, adj_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=adj_block, exchange="hash",
+    ).materialize()
+    adj_refs = adj.to_arrow_refs()
+
+    def start_walks(b: pa.Table) -> pa.Table:
+        nodes = b.column("node")
+        n = len(nodes)
+        reps = pa.chunked_array([nodes] * walks_per_node).combine_chunks() \
+            if walks_per_node > 1 else (
+                nodes.combine_chunks() if isinstance(nodes, pa.ChunkedArray)
+                else nodes)
+        # walk_id = hash(start node) mixed with the replica index: unique,
+        # deterministic, layout-independent
+        from ..functions.hashing import hash_key_columns
+
+        h = hash_key_columns(pa.table({"node": reps}), ["node"])
+        rep = np.repeat(np.arange(walks_per_node, dtype=np.uint64), n)
+        wid = mix64(h ^ (rep * np.uint64(0x9E3779B97F4A7C15)))
+        return pa.Table.from_pydict({
+            "walk_id": pa.array(wid.view(np.int64) >> 1, pa.int64()),
+            "cur": reps,
+        })
+
+    walks = adj.select_columns(["node"]).map_batches(
+        start_walks, batch_format="pyarrow"
+    ).materialize()
+
+    out_parts = []
+    cur = walks
+    for step in range(int(length) + 1):
+        out_parts.append(cur.map_batches(
+            lambda b, s=step: pa.Table.from_pydict({
+                "walk_id": b.column("walk_id"),
+                "step": pa.array(
+                    np.full(b.num_rows, s, np.int64), pa.int64()
+                ),
+                "node": b.column("cur"),
+            }),
+            batch_format="pyarrow",
+        ))
+        if step == int(length):
+            break
+        j = lookup_join(cur, adj_refs, left_keys=["cur"],
+                        right_keys=["node"], how="inner",
+                        right_schema=adj_schema)
+
+        def advance(b: pa.Table, s=step) -> pa.Table:
+            b = b.combine_chunks()
+            wid = b.column("walk_id").to_numpy(zero_copy_only=False)
+            deg = b.column("deg").to_numpy(zero_copy_only=False)
+            nbrs = b.column("nbrs")
+            if isinstance(nbrs, pa.ChunkedArray):
+                nbrs = nbrs.combine_chunks()
+            r = mix64(
+                wid.view(np.uint64)
+                ^ (np.uint64(s + 1) * np.uint64(0xD6E8FEB86659FD93))
+                ^ np.uint64(seed)
+            )
+            pick = (r % deg.astype(np.uint64)).astype(np.int64)
+            offs = nbrs.offsets.to_numpy(zero_copy_only=False)[:-1]
+            nxt = nbrs.values.take(pa.array(offs + pick, pa.int64()))
+            return pa.Table.from_pydict(
+                {"walk_id": b.column("walk_id"), "cur": nxt}
+            )
+
+        cur = j.map_batches(advance, batch_format="pyarrow").materialize()
+
+    out = out_parts[0].union(*out_parts[1:])
+    return out

@@ -605,3 +605,55 @@ def test_label_propagation_matches_reference(ray_session):
     assert len({want[x] for x in a[1:]}) == 1
     assert len({want[x] for x in b[1:]}) == 1
     assert want[a[1]] != want[b[1]]
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.functions.hashing import hash_key_columns, mix64
+    from knowledgegraph_ray.stages.graph_query import random_walks
+
+    rng = np.random.default_rng(17)
+    n = 50
+    E = {(f"v{int(a)}", f"v{int(b)}")
+         for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+
+    def reference(length, seed):
+        rows = set()
+        for node in adj:
+            h = hash_key_columns(pa.table({"node": [node]}), ["node"])
+            wid = int((mix64(h ^ np.uint64(0)).view(np.int64) >> 1)[0])
+            cur = node
+            rows.add((wid, 0, cur))
+            for step in range(length):
+                r = mix64(np.array([wid], np.int64).view(np.uint64)
+                          ^ (np.uint64(step + 1)
+                             * np.uint64(0xD6E8FEB86659FD93))
+                          ^ np.uint64(seed))[0]
+                cur = adj[cur][int(r % np.uint64(len(adj[cur])))]
+                rows.add((wid, step + 1, cur))
+        return rows
+
+    tbl = pa.table({"src": [u for u, v in sorted(E)],
+                    "dst": [v for u, v in sorted(E)]})
+    for parts, seed in ((1, 0), (4, 0), (4, 7)):
+        got = {(r["walk_id"], r["step"], r["node"])
+               for r in random_walks(
+                   rd.from_arrow(tbl).repartition(parts),
+                   length=4, seed=seed).take_all()}
+        assert got == reference(4, seed), (parts, seed)
+    # every consecutive hop is a real edge
+    byw = {}
+    for w, s, node in reference(4, 0):
+        byw.setdefault(w, {})[s] = node
+    und = {frozenset(p) for p in E}
+    for w, path in byw.items():
+        for s in range(4):
+            assert frozenset((path[s], path[s + 1])) in und
