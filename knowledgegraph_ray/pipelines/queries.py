@@ -727,6 +727,48 @@ def q_encode_tokens(sf_dir: str):
     return docs.map_batches(encode, batch_format="pyarrow")
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus top-20 word bigrams: adjacent token pairs form WITHIN each
+    doc by one offset shift over the flattened token buffer (a pair never
+    spans two docs), map-side-combined counts, exact top-20 by (count
+    desc, bigram) — no join, no per-row Python."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = int(lens.sum())
+        # left indices of in-doc adjacent pairs: every flat position except
+        # each doc's last token
+        ends = np.cumsum(lens)
+        left = np.ones(total, bool)
+        left[ends - 1] = False
+        li = np.flatnonzero(left)
+        a = flat.take(pa.array(li, pa.int64()))
+        c = flat.take(pa.array(li + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(a, c, " ")
+        return pa.table({"bigram": bg})
+
+    counts = partial_grouped_agg(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bigrams, batch_format="pyarrow"
+        ),
+        ["bigram"], count_alias="n",
+    )
+    top = sorted(counts.take_all(), key=lambda r: (-r["n"], r["bigram"]))[:20]
+    return pa.table({
+        "bigram": pa.array([r["bigram"] for r in top], pa.string()),
+        "n": pa.array([r["n"] for r in top], pa.int64()),
+    })
+
+
 def q_dense_grid(sf_dir: str):
     """Dense reporting grid with zero-fill: every (user × day) cell,
     including days a user was inactive (~half the grid at sf0.1) — the
@@ -2816,6 +2858,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
         FROM tok LEFT JOIN vocab v USING (term)
     """,
+    "q_top_bigrams": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS term,
+                 CAST(generate_subscripts(
+                   string_split(coalesce(text, ''), ' '), 1) AS BIGINT)
+                   AS pos
+          FROM documents
+        )
+        SELECT a.term || ' ' || b.term AS bigram,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
     "q_dense_grid": """
         WITH e AS (
           SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -3025,6 +3083,7 @@ QUERIES = {
     "q_time_to_convert": q_time_to_convert,
     "q_dense_grid": q_dense_grid,
     "q_encode_tokens": q_encode_tokens,
+    "q_top_bigrams": q_top_bigrams,
     "q_retention": q_retention,
     "q_user_entropy": q_user_entropy,
     "q_winsorized_mean": q_winsorized_mean,

@@ -86,7 +86,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
     "q_left_join", "q_rollup_revenue", "q_cube_events", "q_rrf_fusion",
     "q_top_terms_by_source", "q_full_outer", "q_latest_event", "q_funnel",
-    "q_time_to_convert", "q_dense_grid", "q_encode_tokens",
+    "q_time_to_convert", "q_dense_grid", "q_encode_tokens", "q_top_bigrams",
     "q_retention", "q_user_entropy", "q_winsorized_mean",
     "q_centroid_per_label", "q_ratio_to_report",
     "q_intra_doc_repetition",
