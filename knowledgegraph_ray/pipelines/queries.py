@@ -1754,6 +1754,50 @@ def q_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the derived doc graph (the first graph
+    statistic anyone computes): distinct undirected edges → endpoint rows
+    → per-node degree (map-side combined) → degree histogram (second tiny
+    combine).  Both aggregates are O(distinct keys × blocks) exchanges."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([
+            (ids + 1) % n_docs, (ids + 2) % n_docs, (ids * 7 + 3) % n_docs
+        ])
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        keep = lo != hi
+        t = pa.table({"a": pa.array(lo[keep], pa.int64()),
+                      "b": pa.array(hi[keep], pa.int64())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    e = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(build, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.chunked_array([t.column("a"), t.column("b")])],
+            names=["node"],
+        )
+
+    deg = partial_grouped_agg(
+        e.map_batches(ends, batch_format="pyarrow"), ["node"],
+        count_alias="deg",
+    )
+    return partial_grouped_agg(deg, ["deg"], count_alias="n_nodes")
+
+
 def q_connected_components(sf_dir: str):
     """Standalone connected components (the canonicalize CC machinery as a
     public graph operator): chain edges (u, u+1) within each 5-block of
@@ -2588,6 +2632,28 @@ ORACLE_SQL: dict[str, str] = {
                      levenshtein(p_name, 'red gizmo')) AS min_lev
         FROM part
     """,
+    "q_degree_hist": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        d AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        )
+        SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM d GROUP BY deg
+    """,
     "q_connected_components": """
         WITH RECURSIVE comp(doc_id, comp) AS (
           SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
@@ -3069,6 +3135,7 @@ QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_triangles": q_triangles,
     "q_connected_components": q_connected_components,
+    "q_degree_hist": q_degree_hist,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
