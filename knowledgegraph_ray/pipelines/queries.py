@@ -854,6 +854,55 @@ def q_funnel(sf_dir: str):
     return pa.table({"n_converted": pa.array([total], pa.int64())})
 
 
+def q_cluster_inertia(sf_dir: str):
+    """Within-cluster sum of squared distances to the (floored) centroid —
+    the k-means quality metric as a two-pass aggregate: centroids from the
+    first combined pass broadcast back (O(labels × dims) rows), squared
+    residuals accumulate in the second streaming pass; 1e-4 floor absorbs
+    cross-engine summation-order ulps over the ~32k terms per label."""
+    from ..functions.joins import lookup_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    rows = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(_explode_embeddings, batch_format="pyarrow").materialize()
+    sums = partial_grouped_agg(
+        rows, ["label", "dim"], sums={"v": "s"}, count_alias="n"
+    ).take_all()
+    cent = pa.table({
+        "label": pa.array([r["label"] for r in sums], pa.int64()),
+        "dim": pa.array([r["dim"] for r in sums], pa.int64()),
+        "c": pa.array(
+            [np.floor(r["s"] / r["n"] * 1e6) / 1e6 for r in sums],
+            pa.float64(),
+        ),
+    })
+    j = lookup_join(rows, cent, left_keys=["label", "dim"], how="inner")
+
+    def sq(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b.column("v"), b.column("c"))
+        return pa.Table.from_pydict({
+            "label": b.column("label"), "_sq": pc.multiply(d, d),
+        })
+
+    tot = partial_grouped_agg(
+        j.map_batches(sq, batch_format="pyarrow"), ["label"],
+        sums={"_sq": "ss"},
+    )
+    return tot.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "label": b.column("label"),
+            "inertia_r": pa.array(
+                np.floor(
+                    b.column("ss").to_numpy(zero_copy_only=False) * 1e4
+                ) / 1e4,
+                pa.float64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_ratio_to_report(sf_dir: str):
     """Per-row share of its group's total (the RATIO_TO_REPORT window):
     exact int64 group sums (map-side combined) broadcast back, one float
@@ -883,6 +932,29 @@ def q_ratio_to_report(sf_dir: str):
     return j.map_batches(ratio, batch_format="pyarrow")
 
 
+def _explode_embeddings(b: pa.Table) -> pa.Table:
+    """embeddings batch → (label, dim, v float64) rows, fully vectorized
+    (list_flatten + offset-math dim indices)."""
+    b = b.combine_chunks()
+    emb = b.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+    v = pc.cast(pc.list_flatten(emb), pa.float64())
+    lab = np.repeat(
+        pc.cast(b.column("label"), pa.int64()).to_numpy(zero_copy_only=False),
+        lens,
+    )
+    ends = np.cumsum(lens)
+    dim = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+        - np.repeat(ends - lens, lens)
+    return pa.Table.from_pydict({
+        "label": pa.array(lab, pa.int64()),
+        "dim": pa.array(dim, pa.int64()),
+        "v": v,
+    })
+
+
 def q_centroid_per_label(sf_dir: str):
     """Per-label embedding centroid (the k-means M-step as a standalone
     vector-column aggregate): explode list<float> → (label, dim, v) rows,
@@ -891,31 +963,9 @@ def q_centroid_per_label(sf_dir: str):
     engines by ~1e-12 — cells absorb it)."""
     from ..stages.aggregates import partial_grouped_agg
 
-    def explode(b: pa.Table) -> pa.Table:
-        b = b.combine_chunks()
-        emb = b.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
-        v = pc.cast(pc.list_flatten(emb), pa.float64())
-        lab = np.repeat(
-            pc.cast(b.column("label"), pa.int64()).to_numpy(
-                zero_copy_only=False
-            ),
-            lens,
-        )
-        ends = np.cumsum(lens)
-        dim = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
-            - np.repeat(ends - lens, lens)
-        return pa.Table.from_pydict({
-            "label": pa.array(lab, pa.int64()),
-            "dim": pa.array(dim, pa.int64()),
-            "v": v,
-        })
-
     rows = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
-    ).map_batches(explode, batch_format="pyarrow")
+    ).map_batches(_explode_embeddings, batch_format="pyarrow")
     sums = partial_grouped_agg(
         rows, ["label", "dim"], sums={"v": "s"}, count_alias="n"
     )
@@ -2850,6 +2900,23 @@ ORACLE_SQL: dict[str, str] = {
                  AS share
         FROM c JOIN s USING (event_type)
     """,
+    "q_cluster_inertia": """
+        WITH x AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label, dim,
+                 floor(sum(v) / count(*) * 1e6) / 1e6 AS c
+          FROM x GROUP BY label, dim
+        )
+        SELECT x.label,
+               floor(sum((v - c) * (v - c)) * 1e4) / 1e4 AS inertia_r
+        FROM x JOIN c USING (label, dim)
+        GROUP BY x.label
+    """,
     "q_centroid_per_label": """
         WITH x AS (
           SELECT CAST(label AS BIGINT) AS label,
@@ -3156,6 +3223,7 @@ QUERIES = {
     "q_winsorized_mean": q_winsorized_mean,
     "q_centroid_per_label": q_centroid_per_label,
     "q_ratio_to_report": q_ratio_to_report,
+    "q_cluster_inertia": q_cluster_inertia,
     "q_top_terms_sketch": q_top_terms_sketch,
     "q_tfidf": q_tfidf,
     "q_sample_uniform": q_sample_uniform,

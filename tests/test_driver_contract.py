@@ -88,7 +88,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_top_terms_by_source", "q_full_outer", "q_latest_event", "q_funnel",
     "q_time_to_convert", "q_dense_grid", "q_encode_tokens", "q_top_bigrams",
     "q_retention", "q_user_entropy", "q_winsorized_mean",
-    "q_centroid_per_label", "q_ratio_to_report",
+    "q_centroid_per_label", "q_ratio_to_report", "q_cluster_inertia",
     "q_intra_doc_repetition",
     "q_semi_join", "q_set_ops", "q_anti_join", "q_lineitem_agg",
     "q_events_hourly",
