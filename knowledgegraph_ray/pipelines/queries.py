@@ -1649,6 +1649,18 @@ def q_sample_uniform(sf_dir: str):
     )
 
 
+def q_sample_stratified_exact(sf_dir: str):
+    """EXACTLY ceil(n/5) docs per source, selected by md5 id-hash order —
+    the exact-count stratified sampler (hash exchange + in-block sort +
+    grouped-arange keep)."""
+    from ..stages.sampling import sample_stratified_exact
+
+    return sample_stratified_exact(
+        _docs(sf_dir, ["doc_id", "source"]), 1, 5,
+        group_col="source", id_col="doc_id",
+    )
+
+
 def q_sample_weighted(sf_dir: str):
     """Length-proportional document sample: inclusion probability
     min(1, n_tokens/500) against the deterministic md5 id-hash coin —
@@ -3111,6 +3123,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
                    AS UBIGINT) % 1000000 < 100000
     """,
+    "q_sample_stratified_exact": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   CAST(CONCAT('0x',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT),
+                   doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        ) WHERE rn <= (n + 4) // 5
+    """,
     "q_sample_weighted": """
         WITH t AS (
           SELECT doc_id,
@@ -3229,6 +3252,7 @@ QUERIES = {
     "q_sample_uniform": q_sample_uniform,
     "q_sample_stratified": q_sample_stratified,
     "q_sample_weighted": q_sample_weighted,
+    "q_sample_stratified_exact": q_sample_stratified_exact,
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
     # rows-only (no SQL oracle)

@@ -151,3 +151,57 @@ def sample_weighted(
         return batch.filter(pa.array(b < cut))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_stratified_exact(
+    ds: rd.Dataset,
+    frac_num: int,
+    frac_den: int,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACTLY ceil(n·frac) rows per group — the exact-count stratified
+    sampler ``sample_stratified``'s docstring says needs a groupby; this is
+    that groupby, done right: each row carries its full md5 id-hash as the
+    deterministic "random" key, the hash map/reduce exchange colocates each
+    group, and one in-block C sort (run, hash, id) + grouped-arange keeps
+    each run's first ceil(num·n/den) rows.  The fraction is RATIONAL so
+    the count is exact integer arithmetic; selection order (hash, id) is
+    the predicate an SQL row_number window reproduces bit-for-bit."""
+    from .canonicalize import grouped_apply
+
+    schema = ds.schema(fetch_if_missing=True)
+    out_schema = pa.schema([(f.name, f.type) for f in schema.base_schema])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        h = np.empty(len(ids), np.uint64)
+        for i, v in enumerate(ids):
+            h[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+        return b.append_column("_h", pa.array(h, pa.uint64()))
+
+    def keep_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        block = block.sort_by([("_run", "ascending"), ("_h", "ascending"),
+                               (id_col, "ascending")])
+        lens = np.diff(np.r_[starts, n])
+        k = (lens * frac_num + frac_den - 1) // frac_den
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        keep = np.flatnonzero(pos < np.repeat(k, lens))
+        return (
+            block.take(pa.array(keep, pa.int64()))
+            .select(out_schema.names)
+        )
+
+    withh = ds.map_batches(add_hash, batch_format="pyarrow")
+    return grouped_apply(
+        withh, [group_col], None, out_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=keep_block, exchange="hash",
+    )

@@ -107,3 +107,37 @@ def test_sample_weighted_properties(ray_session):
     p = np.minimum(w / 100.0, 1.0)
     exp, sd = p.sum(), float(np.sqrt((p * (1 - p)).sum()))
     assert abs(len(got) - exp) < 3 * sd + 1
+
+
+def test_sample_stratified_exact_counts(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.sampling import sample_stratified_exact
+
+    rng = np.random.default_rng(23)
+    groups = rng.choice(["a", "b", "hot", "tiny"], 3000,
+                        p=[0.2, 0.2, 0.599, 0.001]).tolist()
+    tbl = pa.table({"doc_id": np.arange(3000, dtype="int64"),
+                    "source": groups})
+    want_n = {g: math.ceil(groups.count(g) / 5)
+              for g in set(groups)}
+    first = None
+    for parts in (1, 7):
+        got = sample_stratified_exact(
+            rd.from_arrow(tbl).repartition(parts), 1, 5,
+            group_col="source", id_col="doc_id",
+        ).take_all()
+        by = {}
+        for r in got:
+            by.setdefault(r["source"], []).append(r["doc_id"])
+        assert {g: len(v) for g, v in by.items()} == want_n
+        ids = sorted((g, sorted(v)) for g, v in by.items())
+        if first is None:
+            first = ids          # layout invariance
+        else:
+            assert ids == first
