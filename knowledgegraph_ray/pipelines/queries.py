@@ -1457,6 +1457,41 @@ def q_skewness(sf_dir: str):
     return grouped_skewness(ds, key_col="event_type", value_col="v")
 
 
+def q_weighted_avg(sf_dir: str):
+    """Per-flag quantity-weighted average price: exact int64 Σ(w·v) and Σw
+    partials through the combined exchange, ONE float division, 1e-8
+    floor — the weighted-mean shape every mixing pipeline needs."""
+    from ..stages.aggregates import partial_grouped_agg
+
+    def prods(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "p")
+        q = pc.cast(b.column("l_quantity"), pa.int64())
+        return pa.Table.from_pydict({
+            "l_returnflag": b.column("l_returnflag"),
+            "_w": q,
+            "_wv": pc.multiply_checked(q, b.column("p")),
+        })
+
+    sums = partial_grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).map_batches(prods, batch_format="pyarrow"),
+        ["l_returnflag"], sums={"_w": "sw", "_wv": "swv"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        swv = b.column("swv").to_numpy(zero_copy_only=False).astype(np.float64)
+        sw = b.column("sw").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "l_returnflag": b.column("l_returnflag"),
+            "wavg_cents": pa.array(np.floor(swv / sw * 1e8) / 1e8,
+                                   pa.float64()),
+        })
+
+    return sums.map_batches(fin, batch_format="pyarrow")
+
+
 def q_zscore(sf_dir: str):
     """Per-event z-score of value_cents within its event_type — exact int64
     sum partials, one O(groups) factor table broadcast back, one float
@@ -2499,6 +2534,24 @@ ORACLE_SQL: dict[str, str] = {
                ELSE NULL END AS skew_r
         FROM s
     """,
+    "q_weighted_avg": """
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS w,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(sum(w) AS BIGINT) AS sw,
+                 CAST(sum(w * p) AS BIGINT) AS swv
+          FROM c GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) * 1e8) / 1e8
+                 AS wavg_cents
+        FROM s
+    """,
     "q_zscore": """
         WITH c AS (
           SELECT event_id, event_type,
@@ -3208,6 +3261,7 @@ QUERIES = {
     "q_dist_windows": q_dist_windows,
     "q_zscore": q_zscore,
     "q_skewness": q_skewness,
+    "q_weighted_avg": q_weighted_avg,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,
