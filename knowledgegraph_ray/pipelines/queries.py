@@ -1457,6 +1457,41 @@ def q_skewness(sf_dir: str):
     return grouped_skewness(ds, key_col="event_type", value_col="v")
 
 
+def q_minmax_norm(sf_dir: str):
+    """Per-row min-max normalization within its event_type — (x − min) /
+    (max − min) from exact int64 grouped min/max partials broadcast back;
+    numerator and denominator are exact int64 differences, ONE float
+    division per row, 1e-8 floor; constant groups → null."""
+    from ..functions.joins import lookup_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    mm = pa.Table.from_pylist(partial_grouped_agg(
+        ds, ["event_type"], mins={"v": "lo"}, maxs={"v": "hi"}
+    ).take_all())
+    j = lookup_join(ds, mm, left_keys=["event_type"], how="inner")
+
+    def norm(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        span = (hi - lo).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.floor((v - lo).astype(np.float64) / span * 1e8) / 1e8
+        z[span == 0] = np.nan
+        return pa.Table.from_pydict({
+            "event_id": b.column("event_id"),
+            "mmn": pa.array(z, pa.float64(), from_pandas=True),
+        })
+
+    return j.map_batches(norm, batch_format="pyarrow")
+
+
 def q_weighted_avg(sf_dir: str):
     """Per-flag quantity-weighted average price: exact int64 Σ(w·v) and Σw
     partials through the combined exchange, ONE float division, 1e-8
@@ -2534,6 +2569,23 @@ ORACLE_SQL: dict[str, str] = {
                ELSE NULL END AS skew_r
         FROM s
     """,
+    "q_minmax_norm": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        s AS (
+          SELECT event_type, min(v) AS lo, max(v) AS hi
+          FROM c GROUP BY event_type
+        )
+        SELECT event_id,
+               CASE WHEN hi > lo THEN
+                 floor(CAST(v - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+                       * 1e8) / 1e8
+               ELSE NULL END AS mmn
+        FROM c JOIN s USING (event_type)
+    """,
     "q_weighted_avg": """
         WITH c AS (
           SELECT l_returnflag,
@@ -3262,6 +3314,7 @@ QUERIES = {
     "q_zscore": q_zscore,
     "q_skewness": q_skewness,
     "q_weighted_avg": q_weighted_avg,
+    "q_minmax_norm": q_minmax_norm,
     "q_case_bucket": q_case_bucket,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,

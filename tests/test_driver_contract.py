@@ -112,7 +112,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_hopping_window",
     "q_event_lag_delta",
     "q_rank_windows", "q_dist_windows", "q_zscore", "q_skewness",
-    "q_weighted_avg",
+    "q_weighted_avg", "q_minmax_norm",
     "q_case_bucket", "q_revenue_by_nation", "q_distinct_users",
     "q_order_priority", "q_status_pivot", "q_above_avg",
 ])
