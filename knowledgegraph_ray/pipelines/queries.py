@@ -1886,6 +1886,76 @@ def q_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the derived doc graph: Pearson correlation
+    of endpoint degrees over the symmetrized edge list — degrees from one
+    combined count, broadcast back onto both endpoints, then the exact
+    integer-sum corr engine (grouped_corr, constant key)."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import grouped_corr, partial_grouped_agg
+
+    n_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([
+            (ids + 1) % n_docs, (ids + 2) % n_docs, (ids * 7 + 3) % n_docs
+        ])
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        keep = lo != hi
+        t = pa.table({"a": pa.array(lo[keep], pa.int64()),
+                      "b": pa.array(hi[keep], pa.int64())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    e = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(build, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.chunked_array([t.column("a"), t.column("b")])],
+            names=["node"],
+        )
+
+    deg = partial_grouped_agg(
+        e.map_batches(ends, batch_format="pyarrow"), ["node"],
+        count_alias="deg",
+    )
+    j = adaptive_join(e, deg, left_keys=["a"], right_keys=["node"])
+    j = j.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("a"), t.column("b"), t.column("deg")],
+            names=["a", "b", "da"],
+        ),
+        batch_format="pyarrow",
+    )
+    j = adaptive_join(j, deg, left_keys=["b"], right_keys=["node"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        da = t.column("da").combine_chunks() \
+            if isinstance(t.column("da"), pa.ChunkedArray) else t.column("da")
+        db = t.column("deg").combine_chunks() \
+            if isinstance(t.column("deg"), pa.ChunkedArray) else t.column("deg")
+        x = pa.chunked_array([da, db])
+        y = pa.chunked_array([db, da])
+        return pa.Table.from_pydict({
+            "k": pa.array(["all"] * len(x), pa.string()), "x": x, "y": y,
+        })
+
+    r = grouped_corr(
+        j.map_batches(sym, batch_format="pyarrow"),
+        key_col="k", x_col="x", y_col="y", out_col="assort_r",
+    )
+    return r.select(["assort_r"])
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the derived doc graph (the first graph
     statistic anyone computes): distinct undirected edges → endpoint rows
@@ -2799,6 +2869,46 @@ ORACLE_SQL: dict[str, str] = {
                      levenshtein(p_name, 'red gizmo')) AS min_lev
         FROM part
     """,
+    "q_assortativity": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        d AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        ),
+        p AS (
+          SELECT da.deg AS x, db.deg AS y
+          FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+          UNION ALL
+          SELECT db.deg, da.deg
+          FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x * y AS HUGEINT)) AS sxy,
+                 sum(CAST(x * x AS HUGEINT)) AS sxx,
+                 sum(CAST(y * y AS HUGEINT)) AS syy
+          FROM p
+        )
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS assort_r
+        FROM s
+    """,
     "q_degree_hist": """
         WITH n AS (SELECT count(*) AS c FROM documents),
         raw AS (
@@ -3333,6 +3443,7 @@ QUERIES = {
     "q_triangles": q_triangles,
     "q_connected_components": q_connected_components,
     "q_degree_hist": q_degree_hist,
+    "q_assortativity": q_assortativity,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
