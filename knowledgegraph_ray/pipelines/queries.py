@@ -2237,6 +2237,28 @@ def q_kg_khop(sf_dir: str):
     return khop(res.edges(), [seed], k=2)
 
 
+def q_kg_ego(sf_dir: str):
+    """2-hop ego SUBGRAPH around the deterministic seed (the GraphRAG
+    context-retrieval shape): the induced edge rows, via one khop BFS +
+    one streaming is_in filter — edges never shuffle."""
+    from ..stages.graph_query import ego_subgraph
+
+    res = _kg_result(sf_dir)
+    seed = (
+        res.nodes().select_columns(["name", "type"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("type"), "Person")),
+            batch_format="pyarrow",
+        )
+        .sort("name").limit(1).take_all()[0]["name"]
+    )
+    return (
+        ego_subgraph(res.edges(), [seed], k=2)
+        .select_columns(["src", "dst", "type"])
+        .sort(["src", "dst", "type"])
+    )
+
+
 def q_kg_communities(sf_dir: str):
     """Community detection over the flagship KG edge set: 4 rounds of
     deterministic synchronous label propagation (min-label tiebreak), then
@@ -3493,6 +3515,7 @@ QUERIES = {
     "q_kg_khop": q_kg_khop,
     "q_kg_communities": q_kg_communities,
     "q_kg_walks": q_kg_walks,
+    "q_kg_ego": q_kg_ego,
 }
 
 # Machine-readable oracle map for the rows-only queries (no SQL-expressible
@@ -3564,5 +3587,8 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_walks": [
         "tests/test_embedder_query_multimodal.py::test_random_walks_deterministic_and_valid",
+    ],
+    "q_kg_ego": [
+        "tests/test_embedder_query_multimodal.py::test_ego_subgraph_matches_reference",
     ],
 }

@@ -676,3 +676,29 @@ def random_walks(edges, *, length: int = 5, walks_per_node: int = 1,
 
     out = out_parts[0].union(*out_parts[1:])
     return out
+
+
+def ego_subgraph(edges, seeds: list[str], k: int,
+                 src: str = "src", dst: str = "dst"):
+    """k-hop EGO SUBGRAPH — the GraphRAG context-retrieval shape: the
+    edge rows whose BOTH endpoints lie within ``k`` hops of the seeds
+    (``khop`` gives the node set; this returns the induced edges, ready to
+    feed an LLM prompt or a sub-analysis).  One khop BFS, then one
+    streaming ``is_in`` filter over the edge table with the broadcast
+    member set — edge rows never shuffle.  Returns a Dataset of the
+    original edge rows."""
+    import pyarrow as pa
+
+    members = khop(edges, seeds, k=k)
+    mset = pa.array(
+        sorted(members.column("name").to_pylist()), pa.string()
+    )
+    ds = _ds(edges)
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.is_in(b.column(src), value_set=mset),
+            pc.is_in(b.column(dst), value_set=mset),
+        ))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

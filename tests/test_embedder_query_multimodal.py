@@ -657,3 +657,40 @@ def test_random_walks_deterministic_and_valid(ray_session):
     for w, path in byw.items():
         for s in range(4):
             assert frozenset((path[s], path[s + 1])) in und
+
+
+def test_ego_subgraph_matches_reference(ray_session):
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import ego_subgraph
+
+    rng = np.random.default_rng(29)
+    n = 40
+    E = {(f"v{int(a)}", f"v{int(b)}")
+         for a, b in rng.integers(0, n, (90, 2)) if a != b}
+    adj = collections.defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {"v0": 0}
+    q = collections.deque(["v0"])
+    while q:
+        u = q.popleft()
+        if dist[u] == 2:
+            continue
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    want = {(u, v) for u, v in E if u in dist and v in dist}
+    tbl = pa.table({"src": [u for u, v in sorted(E)],
+                    "dst": [v for u, v in sorted(E)]})
+    got = {(r["src"], r["dst"]) for r in ego_subgraph(
+        rd.from_arrow(tbl).repartition(4), ["v0"], k=2
+    ).take_all()}
+    assert got == want
+    assert 0 < len(got) < len(E)
