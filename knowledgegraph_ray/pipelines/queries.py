@@ -814,16 +814,17 @@ def q_dense_grid(sf_dir: str):
     )
 
 
-def q_funnel(sf_dir: str):
-    """Conversion-funnel analysis (min-timestamp semantics, the standard
-    product-analytics approximation): users whose first view precedes their
-    first click precedes their first purchase.  One map-side-combined
-    grouped MIN over type-masked timestamp columns (exchange O(users ×
-    blocks)), then a vectorized three-way comparison — event rows never
-    shuffle."""
-    from ..stages.aggregates import partial_grouped_agg
+_FUNNEL_STEPS = ["view", "click", "purchase"]
 
-    steps = ["view", "click", "purchase"]
+
+def _funnel_first_times(sf_dir: str, steps: list[str]) -> rd.Dataset:
+    """Per-user FIRST timestamp of each funnel step (min-timestamp
+    semantics, the standard product-analytics approximation): one
+    map-side-combined grouped MIN over type-masked timestamp columns
+    (exchange O(users × blocks)) — event rows never shuffle.  The one
+    oracle-critical definition of "first view/click/purchase" that
+    q_funnel and q_time_to_convert share."""
+    from ..stages.aggregates import partial_grouped_agg
 
     def mask(b: pa.Table) -> pa.Table:
         ts = pc.cast(b.column("ts"), pa.int64())
@@ -834,7 +835,7 @@ def q_funnel(sf_dir: str):
                                          pa.scalar(None, pa.int64()))
         return pa.Table.from_pydict(cols)
 
-    mins = partial_grouped_agg(
+    return partial_grouped_agg(
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "event_type", "ts"],
@@ -842,6 +843,14 @@ def q_funnel(sf_dir: str):
         ["user_id"],
         mins={f"_t_{s}": f"t_{s}" for s in steps},
     )
+
+
+def q_funnel(sf_dir: str):
+    """Conversion-funnel analysis: users whose first view precedes their
+    first click precedes their first purchase (see
+    ``_funnel_first_times``), then a vectorized three-way comparison."""
+    steps = _FUNNEL_STEPS
+    mins = _funnel_first_times(sf_dir, steps)
 
     def converted(b: pa.Table) -> pa.Table:
         t1, t2, t3 = (b.column(f"t_{s}") for s in steps)
@@ -990,9 +999,7 @@ def q_winsorized_mean(sf_dir: str):
     1e-8 floor.  Composes three existing engines; event rows never
     shuffle."""
     from ..functions.joins import lookup_join
-    from ..stages.aggregates import (
-        grouped_quantile_histogram, partial_grouped_agg,
-    )
+    from ..stages.aggregates import _grouped_order_stats, partial_grouped_agg
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
@@ -1000,15 +1007,21 @@ def q_winsorized_mean(sf_dir: str):
         lambda b: _cents(b, "value", "v").drop_columns(["value"]),
         batch_format="pyarrow",
     ).materialize()
-    lo = grouped_quantile_histogram(
-        ds, key_col="event_type", value_col="v", q_num=1, q_den=10,
-        out_col="lo",
+    # BOTH cut points resolve in ONE shared refinement walk (two rank slots
+    # over the same per-round histogram stream) — two independent
+    # grouped_quantile_histogram calls would double the wide passes
+    # (the q_time_to_convert 42s→7s lesson)
+    _, done = _grouped_order_stats(
+        ds, key_col="event_type", value_col="v",
+        rank_fns=[lambda n: -(-(1 * n) // 10) - 1,   # p10: ceil(n/10)−1
+                  lambda n: -(-(9 * n) // 10) - 1],  # p90
     )
-    hi = grouped_quantile_histogram(
-        ds, key_col="event_type", value_col="v", q_num=9, q_den=10,
-        out_col="hi",
-    )
-    bounds = lo.join(hi, keys=["event_type"])
+    keys = sorted(done)
+    bounds = pa.table({
+        "event_type": pa.array(keys),
+        "lo": pa.array([done[k][0] for k in keys], pa.int64()),
+        "hi": pa.array([done[k][1] for k in keys], pa.int64()),
+    })
     j = lookup_join(ds, bounds, left_keys=["event_type"], how="inner")
 
     def clip(b: pa.Table) -> pa.Table:
@@ -1123,28 +1136,10 @@ def q_time_to_convert(sf_dir: str):
     """Funnel latency quantiles: among converted users (first view < first
     click < first purchase), the p50/p90 of purchase−view in microseconds —
     exact discrete quantiles via the no-colocation histogram refinement
-    over the O(users) delta set."""
-    from ..stages.aggregates import partial_grouped_agg
-
-    steps = ["view", "click", "purchase"]
-
-    def mask(b: pa.Table) -> pa.Table:
-        ts = pc.cast(b.column("ts"), pa.int64())
-        et = b.column("event_type")
-        cols = {"user_id": b.column("user_id")}
-        for s in steps:
-            cols[f"_t_{s}"] = pc.if_else(pc.equal(et, s), ts,
-                                         pa.scalar(None, pa.int64()))
-        return pa.Table.from_pydict(cols)
-
-    mins = partial_grouped_agg(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "event_type", "ts"],
-        ).map_batches(mask, batch_format="pyarrow"),
-        ["user_id"],
-        mins={f"_t_{s}": f"t_{s}" for s in steps},
-    )
+    over the O(users) delta set.  First-step times come from the shared
+    ``_funnel_first_times`` (the same definition q_funnel uses)."""
+    steps = _FUNNEL_STEPS
+    mins = _funnel_first_times(sf_dir, steps)
 
     def deltas(b: pa.Table) -> pa.Table:
         t1, t2, t3 = (b.column(f"t_{s}") for s in steps)
@@ -1744,7 +1739,7 @@ def q_sample_weighted(sf_dir: str):
         batch_format="pyarrow",
     )
     return sample_weighted(
-        ds, weight_col="n_tokens", scale=1.0 / 500.0,
+        ds, weight_col="n_tokens", scale_den=500,
         id_col="doc_id", method="md5",
     )
 
@@ -1858,15 +1853,13 @@ def q_fuzzy_match(sf_dir: str):
     )
 
 
-def q_triangles(sf_dir: str):
-    """Distributed triangle count (degree-ordered wedge counting) over a
-    deterministic derived graph: each doc_id links to (id+1)%N, (id+2)%N and
-    (id*7+3)%N — a ring-with-chords topology with guaranteed triangles and
-    degree variety.  Both the edge synthesis and the count are exactly
-    mirrored by DuckDB's 3-way self-join (orientation choice cannot change
-    the count)."""
-    from ..stages.graph_query import triangle_count
-
+def _derived_doc_edges(sf_dir: str) -> rd.Dataset:
+    """Directed edge list of the DETERMINISTIC derived doc graph every
+    graph-statistic query shares: each doc_id links to (id+1)%N, (id+2)%N
+    and (id*7+3)%N — a ring-with-chords topology with guaranteed triangles
+    and degree variety, exactly reproducible as one SQL expression.  This
+    is the ONE definition of the topology; q_triangles / q_assortativity /
+    q_degree_hist and their oracles all hang off it."""
     n_docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()
@@ -1880,42 +1873,37 @@ def q_triangles(sf_dir: str):
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(dst, pa.int64())})
 
-    edges = rd.read_parquet(
+    return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(build, batch_format="pyarrow")
-    return triangle_count(edges)
 
 
-def q_assortativity(sf_dir: str):
-    """Degree assortativity of the derived doc graph: Pearson correlation
-    of endpoint degrees over the symmetrized edge list — degrees from one
-    combined count, broadcast back onto both endpoints, then the exact
-    integer-sum corr engine (grouped_corr, constant key)."""
-    from ..functions.joins import adaptive_join
-    from ..stages.aggregates import grouped_corr, partial_grouped_agg
+def _derived_doc_graph(sf_dir: str) -> rd.Dataset:
+    """DISTINCT undirected (a < b) edge set of the derived doc graph:
+    per-block canonicalize+distinct, then one C++ hash groupby — the
+    exchange is O(distinct edges)."""
 
-    n_docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).count()
-
-    def build(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate([
-            (ids + 1) % n_docs, (ids + 2) % n_docs, (ids * 7 + 3) % n_docs
-        ])
+    def undirect(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
         lo, hi = np.minimum(src, dst), np.maximum(src, dst)
         keep = lo != hi
         t = pa.table({"a": pa.array(lo[keep], pa.int64()),
                       "b": pa.array(hi[keep], pa.int64())})
         return t.group_by(["a", "b"]).aggregate([])
 
-    e = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        .map_batches(build, batch_format="pyarrow")
+    return (
+        _derived_doc_edges(sf_dir)
+        .map_batches(undirect, batch_format="pyarrow")
         .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
         .select_columns(["a", "b"])
     )
+
+
+def _node_degrees(e: rd.Dataset) -> rd.Dataset:
+    """(node, deg) from a distinct undirected edge Dataset (a, b) — one
+    endpoint explode + one map-side-combined count."""
+    from ..stages.aggregates import partial_grouped_agg
 
     def ends(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -1924,10 +1912,32 @@ def q_assortativity(sf_dir: str):
             names=["node"],
         )
 
-    deg = partial_grouped_agg(
+    return partial_grouped_agg(
         e.map_batches(ends, batch_format="pyarrow"), ["node"],
         count_alias="deg",
     )
+
+
+def q_triangles(sf_dir: str):
+    """Distributed triangle count (degree-ordered wedge counting) over the
+    shared derived doc graph (`_derived_doc_edges`).  Both the edge
+    synthesis and the count are exactly mirrored by DuckDB's 3-way
+    self-join (orientation choice cannot change the count)."""
+    from ..stages.graph_query import triangle_count
+
+    return triangle_count(_derived_doc_edges(sf_dir))
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the derived doc graph: Pearson correlation
+    of endpoint degrees over the symmetrized edge list — degrees from one
+    combined count, broadcast back onto both endpoints, then the exact
+    integer-sum corr engine (grouped_corr, constant key)."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import grouped_corr
+
+    e = _derived_doc_graph(sf_dir).materialize()
+    deg = _node_degrees(e)
     j = adaptive_join(e, deg, left_keys=["a"], right_keys=["node"])
     j = j.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -1963,40 +1973,7 @@ def q_degree_hist(sf_dir: str):
     combine).  Both aggregates are O(distinct keys × blocks) exchanges."""
     from ..stages.aggregates import partial_grouped_agg
 
-    n_docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).count()
-
-    def build(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate([
-            (ids + 1) % n_docs, (ids + 2) % n_docs, (ids * 7 + 3) % n_docs
-        ])
-        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
-        keep = lo != hi
-        t = pa.table({"a": pa.array(lo[keep], pa.int64()),
-                      "b": pa.array(hi[keep], pa.int64())})
-        return t.group_by(["a", "b"]).aggregate([])
-
-    e = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        .map_batches(build, batch_format="pyarrow")
-        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
-    )
-
-    def ends(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        return pa.Table.from_arrays(
-            [pa.chunked_array([t.column("a"), t.column("b")])],
-            names=["node"],
-        )
-
-    deg = partial_grouped_agg(
-        e.map_batches(ends, batch_format="pyarrow"), ["node"],
-        count_alias="deg",
-    )
+    deg = _node_degrees(_derived_doc_graph(sf_dir))
     return partial_grouped_agg(deg, ["deg"], count_alias="n_nodes")
 
 

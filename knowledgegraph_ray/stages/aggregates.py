@@ -27,6 +27,31 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+# ---------------------------------------------------------------------------
+# Exact wide-value sums: int64 power/product columns (x², x³, x·y) sit near
+# the int64 ceiling per ROW, so their grouped SUMS wrap silently long before
+# the documented per-row bound is violated (Σx² overflows at ~2.3M rows/group
+# for |x| ≤ 2e6; Σx³ at TWO rows of |x| = 2e6).  pyarrow group_by("sum") has
+# no checked variant, so instead each wide column travels as an EXACT hi/lo
+# 32-bit split: x = (x >> 32)·2³² + (x & 0xFFFFFFFF) holds in two's
+# complement with the ARITHMETIC right shift, lo ∈ [0, 2³²) so Σlo is safe
+# to ~2.1e9 rows/group and Σhi (|hi| ≤ 2³¹) to ~4.3e9 — reconstruction in
+# arbitrary-precision Python ints is exact, so HUGEINT SQL mirrors still
+# hash bit-identically.
+# ---------------------------------------------------------------------------
+
+_LO32 = (1 << 32) - 1
+
+
+def _split64(arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Exact (hi, lo) 32-bit split of an int64 array (see note above)."""
+    return pc.shift_right(arr, 32), pc.bit_wise_and(arr, _LO32)
+
+
+def _joined64(row, name: str) -> int:
+    """Reconstruct the exact Python-int sum from hi/lo partial sums."""
+    return (int(row[name + "_hi"]) << 32) + int(row[name + "_lo"])
+
 
 def grouped_quantile(
     ds: rd.Dataset,
@@ -915,36 +940,39 @@ def grouped_corr(
     precision Python ints, and only the final division happens in float64 —
     an SQL engine computing the same formula over HUGEINT sums produces the
     bit-identical double.  Inputs must be integer-canonicalized (cents) and
-    small enough that per-row x·y fits int64; the n·Σ products that would
-    overflow int64 are driver-side Python ints.  Returns O(groups) rows;
-    null r for degenerate (zero-variance or n<2) groups."""
+    small enough that per-row x·y fits int64 (checked multiplies); the
+    x·y/x²/y² partials travel as exact hi/lo 32-bit splits so the grouped
+    SUMS cannot wrap either (see ``_split64``), and the n·Σ products that
+    would overflow int64 are driver-side Python ints.  Returns O(groups)
+    rows; null r for degenerate (zero-variance or n<2) groups."""
     import math
 
     def add_products(b: pa.Table) -> pa.Table:
         x = pc.cast(b.column(x_col), pa.int64())
         y = pc.cast(b.column(y_col), pa.int64())
-        return pa.Table.from_pydict({
-            key_col: b.column(key_col),
-            "_x": x, "_y": y,
-            "_xy": pc.multiply_checked(x, y),
-            "_xx": pc.multiply_checked(x, x),
-            "_yy": pc.multiply_checked(y, y),
-        })
+        cols = {key_col: b.column(key_col), "_x": x, "_y": y}
+        for name, prod in (("_xy", pc.multiply_checked(x, y)),
+                           ("_xx", pc.multiply_checked(x, x)),
+                           ("_yy", pc.multiply_checked(y, y))):
+            cols[name + "_hi"], cols[name + "_lo"] = _split64(prod)
+        return pa.Table.from_pydict(cols)
 
+    wide = {f"_{p}_{h}": f"s{p}_{h}"
+            for p in ("xy", "xx", "yy") for h in ("hi", "lo")}
     sums = partial_grouped_agg(
         ds.select_columns([key_col, x_col, y_col]).map_batches(
             add_products, batch_format="pyarrow"
         ),
         [key_col],
-        sums={"_x": "sx", "_y": "sy", "_xy": "sxy", "_xx": "sxx", "_yy": "syy"},
+        sums={"_x": "sx", "_y": "sy", **wide},
         count_alias="n",
     ).take_all()
     keys, vals = [], []
     for r in sorted(sums, key=lambda r: r[key_col]):
         n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-        num = n * int(r["sxy"]) - sx * sy
-        dx = n * int(r["sxx"]) - sx * sx
-        dy = n * int(r["syy"]) - sy * sy
+        num = n * _joined64(r, "sxy") - sx * sy
+        dx = n * _joined64(r, "sxx") - sx * sx
+        dy = n * _joined64(r, "syy") - sy * sy
         keys.append(r[key_col])
         if n < 2 or dx == 0 or dy == 0:
             vals.append(None)
@@ -988,9 +1016,10 @@ def grouped_zscore(
 
     def add_square(b: pa.Table) -> pa.Table:
         x = pc.cast(b.column(value_col), pa.int64())
+        hi, lo = _split64(pc.multiply_checked(x, x))
         return pa.Table.from_pydict(
             {key_col: b.column(key_col), "_x": x,
-             "_xx": pc.multiply_checked(x, x)}
+             "_xx_hi": hi, "_xx_lo": lo}
         )
 
     sums = partial_grouped_agg(
@@ -998,13 +1027,13 @@ def grouped_zscore(
             add_square, batch_format="pyarrow"
         ),
         [key_col],
-        sums={"_x": "s1", "_xx": "s2"},
+        sums={"_x": "s1", "_xx_hi": "s2_hi", "_xx_lo": "s2_lo"},
         count_alias="n",
     ).take_all()
 
     keys, ns, s1s, fs = [], [], [], []
     for r in sums:
-        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        n, s1, s2 = int(r["n"]), int(r["s1"]), _joined64(r, "s2")
         d = n * s2 - s1 * s1
         keys.append(r[key_col])
         ns.append(n)
@@ -1064,31 +1093,36 @@ def grouped_skewness(
     HUGEINT expression produces the bit-identical double (pow() is
     deliberately avoided: libm pow is NOT cross-engine deterministic).
     Floored to 1e-8 cells.  Inputs must be integer-canonicalized (cents)
-    and small enough that per-row x³ fits int64 (|x| ≤ ~2 × 10⁶); null
-    for degenerate groups (n < 2 or zero variance)."""
+    and small enough that per-row x³ fits int64 (|x| ≤ ~2 × 10⁶, enforced
+    by checked multiplies); the x²/x³ partials travel as exact hi/lo
+    32-bit splits so the grouped SUMS cannot wrap either (safe to ~2×10⁹
+    rows per group — see ``_split64``).  Null for degenerate groups
+    (n < 2 or zero variance)."""
     import math
 
     def add_powers(b: pa.Table) -> pa.Table:
         x = pc.cast(b.column(value_col), pa.int64())
         xx = pc.multiply_checked(x, x)
-        return pa.Table.from_pydict({
-            key_col: b.column(key_col),
-            "_x": x, "_xx": xx,
-            "_xxx": pc.multiply_checked(xx, x),
-        })
+        cols = {key_col: b.column(key_col), "_x": x}
+        cols["_xx_hi"], cols["_xx_lo"] = _split64(xx)
+        cols["_xxx_hi"], cols["_xxx_lo"] = _split64(
+            pc.multiply_checked(xx, x)
+        )
+        return pa.Table.from_pydict(cols)
 
     sums = partial_grouped_agg(
         ds.select_columns([key_col, value_col]).map_batches(
             add_powers, batch_format="pyarrow"
         ),
         [key_col],
-        sums={"_x": "s1", "_xx": "s2", "_xxx": "s3"},
+        sums={"_xx_hi": "s2_hi", "_xx_lo": "s2_lo",
+              "_xxx_hi": "s3_hi", "_xxx_lo": "s3_lo", "_x": "s1"},
         count_alias="n",
     ).take_all()
     keys, vals = [], []
     for r in sorted(sums, key=lambda r: r[key_col]):
-        n, s1, s2, s3 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
-                         int(r["s3"]))
+        n, s1 = int(r["n"]), int(r["s1"])
+        s2, s3 = _joined64(r, "s2"), _joined64(r, "s3")
         a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
         b = n * s2 - s1 * s1
         keys.append(r[key_col])

@@ -255,11 +255,13 @@ def pagerank(
     return rd.from_arrow(tbl)
 
 
-def khop(edges, seeds: list[str], k: int, direction: str = "both"):
+def khop(edges, seeds: list, k: int, direction: str = "both",
+         src: str = "src", dst: str = "dst"):
     """k-hop neighborhood expansion (the GraphRAG retrieval shape, the
     multi-hop generalization of ``relations``): → Arrow table
     (name, hop) for every node within k hops of the seed names, hop =
-    BFS distance (seeds are hop 0).
+    BFS distance (seeds are hop 0).  Endpoint columns and node dtype are
+    taken from ``src``/``dst`` — string names and integer ids both work.
 
     Distributed BFS with a BROADCAST frontier: each round streams the edge
     table once through an ``is_in`` semi-join filter (the frontier ships
@@ -271,20 +273,24 @@ def khop(edges, seeds: list[str], k: int, direction: str = "both"):
     connected-components machinery (stages/canonicalize.py) instead."""
     import pyarrow as pa
 
-    ds = _ds(edges).select_columns(["src", "dst"])
-    visited: dict[str, int] = {s: 0 for s in seeds}
+    ds = _ds(edges).select_columns([src, dst])
+    ntype = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    ).field(src).type
+    visited: dict = {s: 0 for s in seeds}
     frontier = set(seeds)
     for hop in range(1, int(k) + 1):
-        fr = pa.array(sorted(frontier), pa.string())
+        fr = pa.array(sorted(frontier), ntype)
 
         def neighbors(b: pa.Table, fr=fr) -> pa.Table:
             outs = []
             if direction in ("out", "both"):
-                outs.append(b.filter(pc.is_in(b.column("src"), value_set=fr))
-                            .column("dst"))
+                outs.append(b.filter(pc.is_in(b.column(src), value_set=fr))
+                            .column(dst))
             if direction in ("in", "both"):
-                outs.append(b.filter(pc.is_in(b.column("dst"), value_set=fr))
-                            .column("src"))
+                outs.append(b.filter(pc.is_in(b.column(dst), value_set=fr))
+                            .column(src))
             cat = pa.concat_arrays(
                 [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
                  for c in outs]
@@ -301,7 +307,7 @@ def khop(edges, seeds: list[str], k: int, direction: str = "both"):
             visited[n] = hop
     names = sorted(visited)
     return pa.Table.from_pydict({
-        "name": pa.array(names, pa.string()),
+        "name": pa.array(names, ntype),
         "hop": pa.array([visited[n] for n in names], pa.int64()),
     })
 
@@ -685,14 +691,13 @@ def ego_subgraph(edges, seeds: list[str], k: int,
     (``khop`` gives the node set; this returns the induced edges, ready to
     feed an LLM prompt or a sub-analysis).  One khop BFS, then one
     streaming ``is_in`` filter over the edge table with the broadcast
-    member set — edge rows never shuffle.  Returns a Dataset of the
-    original edge rows."""
+    member set — edge rows never shuffle.  Endpoint columns and node dtype
+    follow ``src``/``dst`` (threaded through the BFS too).  Returns a
+    Dataset of the original edge rows."""
     import pyarrow as pa
 
-    members = khop(edges, seeds, k=k)
-    mset = pa.array(
-        sorted(members.column("name").to_pylist()), pa.string()
-    )
+    members = khop(edges, seeds, k=k, src=src, dst=dst)
+    mset = members.column("name").combine_chunks()
     ds = _ds(edges)
 
     def flt(b: pa.Table) -> pa.Table:

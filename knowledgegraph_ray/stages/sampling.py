@@ -128,26 +128,31 @@ def sample_weighted(
     ds: rd.Dataset,
     *,
     weight_col: str,
-    scale: float,
+    scale_num: int = 1,
+    scale_den: int = 1,
     id_col: str = "doc_id",
     method: str = "md5",
     salt: str | int = "",
 ) -> rd.Dataset:
     """Weighted Bernoulli sample: keep a row with probability
-    ``min(1, weight·scale)`` — the training-data mixing primitive
-    (sample ∝ length, ∝ quality, ∝ source weight) in the same
+    ``min(1, weight·scale_num/scale_den)`` — the training-data mixing
+    primitive (sample ∝ length, ∝ quality, ∝ source weight) in the same
     deterministic-hash form as the uniform/stratified samplers: the
     id-hash bucket is the "coin", the per-row weight sets the cutoff, so
     the selected row set is reproducible at any parallelism / block layout
-    and expressible as one SQL predicate (the oracle).  Pure streaming
-    filter — no shuffle, no state."""
+    and expressible as one SQL predicate (the oracle).  The scale is
+    RATIONAL and the cutoff's float expression tree is exactly
+    ``min((w·num)/den, 1.0)·1e6`` — a pre-folded float scale (``w·(1/den)``)
+    rounds differently than the SQL mirror's ``w/den`` on boundary rows and
+    flips their selection.  Pure streaming filter — no shuffle, no state."""
+    num, den = float(scale_num), float(scale_den)
 
     def flt(batch: pa.Table) -> pa.Table:
         b = _bucket_column(batch, id_col, method, salt).astype(np.float64)
         w = pc.cast(batch.column(weight_col), pa.float64()).to_numpy(
             zero_copy_only=False
         )
-        cut = np.minimum(w * scale, 1.0) * _BUCKETS
+        cut = np.minimum((w * num) / den, 1.0) * _BUCKETS
         return batch.filter(pa.array(b < cut))
 
     return ds.map_batches(flt, batch_format="pyarrow")

@@ -694,3 +694,19 @@ def test_ego_subgraph_matches_reference(ray_session):
     ).take_all()}
     assert got == want
     assert 0 < len(got) < len(E)
+
+    # custom endpoint column names must drive BOTH the BFS and the induced
+    # filter — including when decoy src/dst columns exist — and integer
+    # node ids must work (khop used to hardcode select_columns(["src",
+    # "dst"]) and pa.string() frontiers)
+    ids = {u: int(u[1:]) for u, v in E} | {v: int(v[1:]) for u, v in E}
+    tbl2 = pa.table({
+        "u": [ids[u] for u, v in sorted(E)],
+        "v": [ids[v] for u, v in sorted(E)],
+        # decoys: BFS over these would produce a different subgraph
+        "src": ["zz"] * len(E), "dst": ["zz"] * len(E),
+    })
+    got2 = {(r["u"], r["v"]) for r in ego_subgraph(
+        rd.from_arrow(tbl2).repartition(4), [0], k=2, src="u", dst="v"
+    ).take_all()}
+    assert got2 == {(ids[u], ids[v]) for u, v in want}

@@ -229,3 +229,45 @@ def test_grouped_skewness_exact_and_degenerate(ray_session):
             ref = m3 / m2 ** 1.5
             assert abs(got[g] - ref) < 1e-6, g
         assert got["right"] > 0.3 and abs(got["sym"]) < 0.3
+
+
+def test_moment_sums_no_int64_wrap_at_documented_bound(ray_session):
+    """Values at the documented per-row bound (|x| ~ 2e6, x^3 ~ 8e18) used
+    to wrap the int64 GROUPED SUM (two rows of x=2e6 give sum(x^3) =
+    1.6e19 > int64 max) even though each per-row product passed the
+    checked multiply; the hi/lo-split partials keep the sums exact."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import (
+        grouped_corr, grouped_skewness, grouped_zscore,
+    )
+
+    # 6 rows near +2e6 and one low outlier: every pairwise power sum
+    # exceeds int64 without the split.
+    x = np.array([2_000_000, 1_999_999, 1_999_998, 2_000_000,
+                  1_999_997, 2_000_000, -1_500_000], dtype=np.int64)
+    tbl = pa.table({"k": ["g"] * len(x), "id": list(range(len(x))),
+                    "v": x, "w": x})
+    ds = rd.from_arrow(tbl).repartition(3)
+
+    got = grouped_skewness(ds, key_col="k", value_col="v").to_pylist()
+    xf = x.astype(np.float64)
+    m2 = ((xf - xf.mean()) ** 2).mean()
+    m3 = ((xf - xf.mean()) ** 3).mean()
+    ref = m3 / m2 ** 1.5
+    assert abs(got[0]["skew_r"] - ref) < 1e-6
+    assert got[0]["skew_r"] < 0  # low outlier: left-skewed, sign must hold
+
+    corr = grouped_corr(ds, key_col="k", x_col="v", y_col="w").to_pylist()
+    assert abs(corr[0]["corr_xy"] - 1.0) < 1e-12  # x vs itself
+
+    z = {r["id"]: r["z"] for r in grouped_zscore(
+        ds, key_col="k", value_col="v", id_col="id").take_all()}
+    zref = (xf - xf.mean()) / xf.std(ddof=1)
+    for i in range(len(x)):
+        assert abs(z[i] - math.floor(zref[i] * 1e6) / 1e6) < 2e-6, i

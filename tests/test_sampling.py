@@ -92,7 +92,7 @@ def test_sample_weighted_properties(ray_session):
     for parts, method in ((1, "fast"), (8, "fast"), (4, "md5")):
         ds = sample_weighted(
             rd.from_arrow(tbl).repartition(parts),
-            weight_col="w", scale=1.0 / 100.0, id_col="doc_id", method=method,
+            weight_col="w", scale_den=100, id_col="doc_id", method=method,
         )
         ids = sorted(r["doc_id"] for r in ds.take_all())
         if method == "fast":
@@ -107,6 +107,40 @@ def test_sample_weighted_properties(ray_session):
     p = np.minimum(w / 100.0, 1.0)
     exp, sd = p.sum(), float(np.sqrt((p * (1 - p)).sum()))
     assert abs(len(got) - exp) < 3 * sd + 1
+
+
+def test_sample_weighted_cutoff_tree_matches_sql_division(ray_session):
+    """The engine must evaluate min((w·num)/den, 1.0)·1e6 with a real
+    division, not a pre-folded w·(1/den): for w=9, den=500 the folded form
+    gives 18000.000000000004 while SQL's w/500.0 gives exactly 18000.0 —
+    a doc whose md5 bucket is exactly 18000 is then kept by one and
+    dropped by the other.  Assert the engine keep/drop decision equals the
+    division-form predicate for every bucket-boundary weight in range."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.sampling import (
+        _BUCKETS, _bucket_column, sample_weighted,
+    )
+
+    n, den = 20000, 500
+    w = (np.arange(n, dtype="int64") % 700)  # crosses the w=den cap too
+    tbl = pa.table({"doc_id": np.arange(n, dtype="int64"), "w": w})
+    got = set(
+        r["doc_id"] for r in sample_weighted(
+            rd.from_arrow(tbl).repartition(4),
+            weight_col="w", scale_den=den, id_col="doc_id", method="md5",
+        ).take_all()
+    )
+    buckets = _bucket_column(tbl, "doc_id", "md5", "").astype(np.float64)
+    want = {
+        int(i) for i in np.nonzero(
+            buckets < np.minimum(w.astype(np.float64) / den, 1.0) * _BUCKETS
+        )[0]
+    }
+    assert got == want
 
 
 def test_sample_stratified_exact_counts(ray_session):
