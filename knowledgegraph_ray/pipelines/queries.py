@@ -1706,6 +1706,45 @@ def q_token_commonness(sf_dir: str):
     return token_commonness(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_decontaminate_tokens(sf_dir: str):
+    """TOKEN-level benchmark decontamination (the canonical GPT-3 form:
+    13 consecutive TOKENS, occurrence counts — `q_decontaminate` is the
+    char-13-gram distinct-count variant): docs sharing a verbatim 13-token
+    window with the "benchmark" slice (doc_id % 100 < 2 — deterministic,
+    spread across the corpus) and how many windows hit.  Bench index
+    broadcast once; corpus is one streaming hash-prune + exact-verify map
+    pass (stages/textops.ngram_decontaminate)."""
+    import ray
+
+    from ..stages.textops import ngram_decontaminate
+
+    def mod100(b: pa.Table) -> pa.Table:
+        m = pc.subtract(
+            b.column("doc_id"),
+            pc.multiply(pc.divide(b.column("doc_id"), 100), 100),
+        )
+        return b.append_column("_m", m)
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mod100, batch_format="pyarrow"
+    )
+    # bench side: distributed filter, driver only ever holds the small
+    # benchmark slice (never the corpus)
+    bench_refs = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("_m"), 2)).drop_columns(["_m"]),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    bench_tbls = [t for t in ray.get(bench_refs) if t.num_rows]
+    bench = pa.concat_tables(bench_tbls)
+    scan = docs.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("_m"), 2)
+        ).drop_columns(["_m"]),
+        batch_format="pyarrow",
+    )
+    return ngram_decontaminate(scan, bench, n=13)
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -3015,6 +3054,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, count(*) AS n_hits
         FROM corp JOIN probe USING (g) GROUP BY 1
     """,
+    # token-level decontamination (canonical GPT-3 form): exact 13-TOKEN
+    # windows (single-space split, occurrences counted — the char variant
+    # above counts distinct grams); bench slice spread by doc_id % 100
+    "q_decontaminate_tokens": """
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(a[i:i+12], ' ') AS g
+          FROM tok, unnest(range(1, len(a) - 11)) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 2)
+        SELECT doc_id, count(*) AS n_hits
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id % 100 >= 2
+        GROUP BY doc_id
+    """,
     # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
     # full O(n²) shingle self-join (char shingles == byte shingles on this
     # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
@@ -3445,6 +3501,7 @@ QUERIES = {
     "q_assortativity": q_assortativity,
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
+    "q_decontaminate_tokens": q_decontaminate_tokens,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

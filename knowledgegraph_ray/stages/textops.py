@@ -681,3 +681,118 @@ def add_min_levenshtein(
     return batch.append_column(
         out_col, pc.if_else(mask, pa.array(best, pa.int64()), pa.scalar(None, pa.int64()))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (exact n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _window_token_hashes(col, n: int):
+    """Per-document n-token window hashes over single-space tokens
+    (string_split(text, ' ') semantics — empty tokens kept, so the window
+    STRING joined with ' ' is exactly what SQL's array_to_string emits).
+
+    Fully vectorized: one rolling-polynomial pass hashes every token from
+    the flat byte buffer (functions/hashing), then each window hash is n
+    shifted multiply-adds over the token-hash array (uint64 wraparound) —
+    no per-token Python.  Returns (flat_tokens, win_start, win_doc, win_hash)
+    where win_start indexes flat_tokens and win_doc indexes the batch rows;
+    windows never span documents."""
+    from ..functions.hashing import prefix_arrays, segment_hashes, string_flat_bytes
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    cnt = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    data, offsets = string_flat_bytes(flat)
+    bpow, S = prefix_arrays(data)
+    th = segment_hashes(bpow, S, offsets[:-1], offsets[1:])  # uint64/token
+    T = th.size
+    if T < n:
+        return flat, np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64)
+    # window polynomial over token hashes: wh_i = Σ_j th[i+j]·C^(n−1−j)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    wh = th[: T - n + 1].copy()
+    for j in range(1, n):
+        wh *= C
+        wh += th[j : T - n + 1 + j]
+    tok_doc = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
+    valid = tok_doc[: T - n + 1] == tok_doc[n - 1 :]
+    win_start = np.nonzero(valid)[0].astype(np.int64)
+    return flat, win_start, tok_doc[win_start], wh[win_start]
+
+
+def build_bench_ngrams(bench: pa.Table, *, n: int = 13,
+                       text_col: str = "text") -> dict:
+    """Distinct n-gram index of a BENCHMARK table (small by definition —
+    an eval/test set): window hash → tuple of exact n-gram strings with
+    that hash.  Built once, `ray.put` by the caller, probed zero-copy-ish
+    by every scan task; the strings make the final match EXACT (a hash
+    collision is rejected by string comparison), so the SQL mirror is a
+    plain string join."""
+    flat, win_start, _, wh = _window_token_hashes(bench.column(text_col), n)
+    index: dict = {}
+    toks = flat.to_pylist()
+    seen: set = set()
+    for s, h in zip(win_start.tolist(), wh.tolist()):
+        g = " ".join(toks[s : s + n])
+        if g in seen:
+            continue
+        seen.add(g)
+        index.setdefault(h, []).append(g)
+    return {h: tuple(v) for h, v in index.items()}
+
+
+def ngram_decontaminate(
+    ds: "rd.Dataset",  # noqa: F821
+    bench: pa.Table,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination — the GPT-3-style exact n-gram overlap
+    check every training-data pipeline runs before training: for each
+    corpus document, count its token windows that appear verbatim (exact
+    n-token-gram, single-space join) in the benchmark set; emit
+    (id, n_hits) for contaminated docs (n_hits ≥ 1) so the caller can
+    drop or flag them.
+
+    Scale shape: the benchmark index is built ONCE (it is the small side
+    by definition) and broadcast via ``ray.put``; the corpus is one
+    streaming map pass — per batch, vectorized window hashes, an
+    ``np.searchsorted`` prune against the sorted bench hash array, then an
+    exact string verify of the (rare) candidates.  No shuffle, no state,
+    no driver materialization of the corpus."""
+    import ray
+
+    index = build_bench_ngrams(bench, n=n, text_col=text_col)
+    bench_hashes = np.sort(np.fromiter(index.keys(), np.uint64, len(index)))
+    shared = ray.put((bench_hashes, index))
+
+    def scan(b: pa.Table) -> pa.Table:
+        hashes, idx = ray.get(shared)
+        flat, win_start, win_doc, wh = _window_token_hashes(
+            b.column(text_col), n
+        )
+        hits = np.zeros(b.num_rows, np.int64)
+        if wh.size:
+            pos = np.searchsorted(hashes, wh)
+            pos[pos == hashes.size] = 0
+            cand = np.nonzero(hashes[pos] == wh)[0]
+            if cand.size:
+                toks = flat.to_pylist()
+                for c in cand.tolist():
+                    s = int(win_start[c])
+                    if " ".join(toks[s : s + n]) in idx[int(wh[c])]:
+                        hits[win_doc[c]] += 1
+        keep = hits > 0
+        return pa.table({
+            id_col: b.column(id_col).filter(pa.array(keep)),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -263,3 +263,54 @@ def test_levenshtein_matches_reference_dp():
             assert g is None
         else:
             assert g == min(_lev_ref(s, p) for p in probes)
+
+
+def test_ngram_decontaminate_matches_bruteforce(ray_session):
+    """Token-level decontamination vs a literal n-gram set reference:
+    planted verbatim overlaps, empty-token (double space) windows, docs
+    shorter than n, and partition invariance."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import ngram_decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, n))
+
+    bench_texts = [doc(30), doc(25), "a  b " + doc(15)]  # double space kept
+    texts = [doc(40) for _ in range(20)]
+    # plant: doc 3 copies bench 13-gram once, doc 7 embeds two overlapping
+    # copies, doc 11 copies the double-space window, doc 15 is too short
+    b0 = bench_texts[0].split(" ")
+    texts[3] = doc(5) + " " + " ".join(b0[2:15]) + " " + doc(5)
+    texts[7] = " ".join(b0[0:14]) + " " + doc(3)  # 14 tokens = 2 windows
+    b2 = bench_texts[2].split(" ")
+    texts[11] = " ".join(b2[0:13]) + " " + doc(4)
+    texts[15] = "short doc"
+
+    def grams(t, n=13):
+        a = t.split(" ")
+        return [" ".join(a[i:i + n]) for i in range(len(a) - n + 1)]
+
+    bench_set = {g for t in bench_texts for g in grams(t)}
+    want = {}
+    for i, t in enumerate(texts):
+        h = sum(g in bench_set for g in grams(t))
+        if h:
+            want[i] = h
+    assert {3, 7, 11} <= set(want)
+
+    bench = pa.table({"doc_id": pa.array(range(100, 103), pa.int64()),
+                      "text": bench_texts})
+    tbl = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                    "text": texts})
+    for parts in (1, 6):
+        got = {r["doc_id"]: r["n_hits"] for r in ngram_decontaminate(
+            rd.from_arrow(tbl).repartition(parts), bench, n=13
+        ).take_all()}
+        assert got == want, parts
