@@ -1745,6 +1745,22 @@ def q_decontaminate_tokens(sf_dir: str):
     return ngram_decontaminate(scan, bench, n=13)
 
 
+_BM25_TERMS = ["join", "vector", "customer"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-10 docs by BM25 for a fixed 3-term query — the standard lexical
+    retrieval scorer (stages/textops.bm25_topk): one tokenizing map pass
+    (per-doc dl + per-term tf, complete per block), tiny corpus-scalar
+    combine, score+per-block-topk second pass.  Pinned float expression
+    tree + floor4 so the SQL mirror hashes identically."""
+    from ..stages.textops import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS, k=10,
+    )
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -3054,6 +3070,54 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, count(*) AS n_hits
         FROM corp JOIN probe USING (g) GROUP BY 1
     """,
+    # BM25 (Lucene/ATIRE idf) with the engine's EXACT float expression
+    # tree: scalar idf/avgdl from exact ints, per-term contributions added
+    # in fixed query order, floor4 at the end; (1.2 + 1.0) stays written as
+    # a SUM (the literal 2.2 rounds differently than 1.2 + 1.0)
+    "q_bm25_topk": """
+        WITH tok AS (
+          SELECT doc_id,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS dl,
+                 CAST(count(*) FILTER (WHERE term = 'join') AS BIGINT) AS tf0,
+                 CAST(count(*) FILTER (WHERE term = 'vector') AS BIGINT) AS tf1,
+                 CAST(count(*) FILTER (WHERE term = 'customer') AS BIGINT) AS tf2
+          FROM tok GROUP BY doc_id
+        ),
+        c AS (
+          SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM stats) AS sdl,
+                 (SELECT count(*) FROM stats WHERE tf0 > 0) AS df0,
+                 (SELECT count(*) FROM stats WHERE tf1 > 0) AS df1,
+                 (SELECT count(*) FROM stats WHERE tf2 > 0) AS df2
+        ),
+        scored AS (
+          SELECT s.doc_id,
+                 floor((
+                   ln(1 + (c.n - c.df0 + 0.5) / (c.df0 + 0.5))
+                     * (s.tf0 * (1.2 + 1.0))
+                     / (s.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE))))
+                 + ln(1 + (c.n - c.df1 + 0.5) / (c.df1 + 0.5))
+                     * (s.tf1 * (1.2 + 1.0))
+                     / (s.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE))))
+                 + ln(1 + (c.n - c.df2 + 0.5) / (c.df2 + 0.5))
+                     * (s.tf2 * (1.2 + 1.0))
+                     / (s.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                          / (CAST(c.sdl AS DOUBLE) / CAST(c.n AS DOUBLE))))
+                 ) * 10000.0) / 10000.0 AS score
+          FROM stats s, c
+          WHERE s.tf0 + s.tf1 + s.tf2 > 0
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
     # token-level decontamination (canonical GPT-3 form): exact 13-TOKEN
     # windows (single-space split, occurrences counted — the char variant
     # above counts distinct grams); bench slice spread by doc_id % 100
@@ -3502,6 +3566,7 @@ QUERIES = {
     "q_intra_doc_repetition": q_intra_doc_repetition,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_tokens": q_decontaminate_tokens,
+    "q_bm25_topk": q_bm25_topk,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

@@ -796,3 +796,131 @@ def ngram_decontaminate(
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    ds: "rd.Dataset",  # noqa: F821
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-k documents by BM25 (the standard lexical retrieval scorer; the
+    ranking companion to ``tfidf_scores``) for a fixed query-term set.
+
+    score(d) = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl)),
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))  (the Lucene/ATIRE
+    positive variant).  Floored to 1e-4 cells with a PINNED float
+    expression tree — idf scalars form once from exact ints, per-term
+    contributions add in fixed query order — so an SQL engine evaluating
+    the mirrored formula produces the identical double (ln agrees to ~1
+    ulp between libms; the floor4 convention q_quality/q_user_entropy
+    established).  Tokenization matches the corpus ops: ASCII [A-Za-z0-9]+
+    runs, lowered.
+
+    Scale shape: ONE tokenizing map pass emits per-doc (dl, tf per term) —
+    a doc never spans blocks, so per-block stats are final; corpus scalars
+    (N, Σdl, df_t) are one tiny aggregate; scoring + per-block top-k prune
+    is a second map (exchange O(k × blocks)); the final sort is k rows.
+    No shuffle of the corpus."""
+    import ray
+    import ray.data as rd  # noqa: F401
+    import math
+
+    terms = [t.lower() for t in query_terms]
+    m = len(terms)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(col, ""), "[^A-Za-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.ascii_lower(pc.list_flatten(toks))
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        cols = {
+            id_col: batch.column(id_col),
+            "_dl": pa.array(
+                np.bincount(parent[keep], minlength=n).astype(np.int64)
+            ),
+        }
+        for i, t in enumerate(terms):
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False) & keep
+            cols[f"_tf{i}"] = pa.array(
+                np.bincount(parent[mask], minlength=n).astype(np.int64)
+            )
+        return pa.Table.from_pydict(cols)
+
+    stats = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    # corpus scalars: N (all docs), Σdl, df_t — one tiny combine over
+    # per-block partial sums (O(blocks) rows to the driver)
+    def partial(bt: pa.Table) -> pa.Table:
+        row = {"_n": [bt.num_rows],
+               "_sdl": [int(pc.sum(bt.column("_dl")).as_py() or 0)]}
+        for i in range(m):
+            row[f"_df{i}"] = [int(pc.sum(
+                pc.cast(pc.greater(bt.column(f"_tf{i}"), 0), pa.int64())
+            ).as_py() or 0)]
+        return pa.Table.from_pydict(row)
+
+    agg = pa.concat_tables(
+        [t for t in ray.get(
+            stats.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows]
+    )
+    N = int(pc.sum(agg.column("_n")).as_py() or 0)
+    sdl = int(pc.sum(agg.column("_sdl")).as_py() or 0)
+    if N == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = float(sdl) / float(N)
+    idf = []
+    for i in range(m):
+        df = int(pc.sum(agg.column(f"_df{i}")).as_py() or 0)
+        idf.append(math.log(1.0 + (N - df + 0.5) / (df + 0.5)))
+
+    def score_topk(bt: pa.Table) -> pa.Table:
+        dl = bt.column("_dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        # k1·(1 − b + b·dl/avgdl), written exactly as the SQL mirror
+        denom_add = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(bt.num_rows, np.float64)
+        matched = np.zeros(bt.num_rows, np.int64)
+        for i in range(m):  # fixed query order: float adds associate L→R
+            tf = bt.column(f"_tf{i}").to_numpy(zero_copy_only=False)
+            matched += tf
+            tff = tf.astype(np.float64)
+            s = s + idf[i] * (tff * (k1 + 1.0)) / (tff + denom_add)
+        s = np.floor(s * 1e4) / 1e4
+        sel = np.nonzero(matched > 0)[0]
+        if sel.size > k:  # per-block prune: top-k by (−score, id)
+            ids = bt.column(id_col).to_numpy(zero_copy_only=False)[sel]
+            order = np.lexsort((ids, -s[sel]))[:k]
+            sel = sel[order]
+        return pa.table({
+            id_col: bt.column(id_col).take(pa.array(sel, pa.int64())),
+            "score": pa.array(s[sel], pa.float64()),
+        })
+
+    cand = pa.concat_tables(
+        [t for t in ray.get(
+            stats.map_batches(score_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if t.num_rows]
+    )
+    if cand.num_rows == 0:
+        return cand
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    sc = cand.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return cand.take(pa.array(order, pa.int64()))

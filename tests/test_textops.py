@@ -314,3 +314,60 @@ def test_ngram_decontaminate_matches_bruteforce(ray_session):
             rd.from_arrow(tbl).repartition(parts), bench, n=13
         ).take_all()}
         assert got == want, parts
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """BM25 vs a literal single-process reference (same formula, python
+    floats): planted term frequencies, docs with zero matches excluded,
+    per-block prune cannot drop a global top-k member, tie broken by id."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import bm25_topk
+
+    rng = np.random.default_rng(5)
+    filler = [f"x{i}" for i in range(20)]
+    terms = ["apple", "banana"]
+    texts, n_docs = [], 40
+    for i in range(n_docs):
+        words = list(rng.choice(filler, rng.integers(5, 30)))
+        words += ["apple"] * int(rng.integers(0, 4))
+        words += ["banana"] * int(rng.integers(0, 3))
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    texts[0] = "no match here at all"
+    tbl = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                    "text": texts})
+
+    # reference
+    toks = [[w.lower() for w in t.split(" ") if w] for t in texts]
+    N = n_docs
+    avgdl = float(sum(len(t) for t in toks)) / float(N)
+    k1, b = 1.2, 0.75
+    df = {q: sum(1 for t in toks if q in t) for q in terms}
+    idf = {q: math.log(1.0 + (N - df[q] + 0.5) / (df[q] + 0.5))
+           for q in terms}
+    want = []
+    for i, t in enumerate(toks):
+        tf = {q: t.count(q) for q in terms}
+        if sum(tf.values()) == 0:
+            continue
+        dl = float(len(t))
+        s = 0.0
+        for q in terms:
+            tff = float(tf[q])
+            s = s + idf[q] * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dl / avgdl))
+        want.append((math.floor(s * 1e4) / 1e4, i))
+    want = sorted(want, key=lambda p: (-p[0], p[1]))[:10]
+    want = [(i, s) for s, i in want]
+
+    for parts in (1, 7):
+        got = bm25_topk(
+            rd.from_arrow(tbl).repartition(parts), terms, k=10
+        ).to_pylist()
+        assert [(r["doc_id"], r["score"]) for r in got] == want, parts
