@@ -1727,7 +1727,7 @@ def q_decontaminate_tokens(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         mod100, batch_format="pyarrow"
-    )
+    ).materialize()  # one read feeds both the bench extraction and the scan
     # bench side: distributed filter, driver only ever holds the small
     # benchmark slice (never the corpus)
     bench_refs = docs.map_batches(
@@ -2109,6 +2109,40 @@ def q_knn_top10(sf_dir: str):
 def q_neardup_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_mod.allpairs_cosine_threshold(ds, threshold=NEARDUP_THRESHOLD)
+
+
+def q_decontaminate_semantic(sf_dir: str):
+    """Semantic decontamination: corpus embeddings with cosine ≥ 0.45 to
+    the broadcast "benchmark" slice (vec_id % 10 = 0) — LINEAR in the
+    corpus (one matmul per block against the broadcast bench matrix; see
+    stages/knn.cross_neardup), unlike the O(n²) within-corpus pairs."""
+    import ray
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def mod10(b: pa.Table) -> pa.Table:
+        m = pc.subtract(
+            b.column("vec_id"),
+            pc.multiply(pc.divide(b.column("vec_id"), 10), 10),
+        )
+        return b.append_column("_m", m)
+
+    # one read + tag pass feeds BOTH the bench extraction and the scan
+    tagged = ds.map_batches(mod10, batch_format="pyarrow").materialize()
+    bench_tbls = [t for t in ray.get(tagged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("_m"), 0)).drop_columns(["_m"]),
+        batch_format="pyarrow",
+    ).to_arrow_refs()) if t.num_rows]
+    bench = pa.concat_tables(bench_tbls)
+    scan = tagged.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("_m"), 0)
+        ).drop_columns(["_m"]),
+        batch_format="pyarrow",
+    )
+    return knn_mod.cross_neardup(scan, bench, threshold=NEARDUP_THRESHOLD)
 
 
 # --- rows-only (no SQL-expressible oracle; driver records row counts) ------
@@ -3502,6 +3536,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
     """,
+    # semantic decontamination: corpus × benchmark-slice cosine pairs
+    # (linear in the corpus on the engine side — one matmul per block
+    # against the broadcast bench matrix)
+    "q_decontaminate_semantic": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) * 10000.0) / 10000.0 AS cos_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+    """,
 }
 
 QUERIES = {
@@ -3594,6 +3639,7 @@ QUERIES = {
     "q_sample_stratified_exact": q_sample_stratified_exact,
     "q_knn_top10": q_knn_top10,
     "q_neardup_pairs": q_neardup_pairs,
+    "q_decontaminate_semantic": q_decontaminate_semantic,
     # rows-only (no SQL oracle)
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_distinct_users_hll": q_distinct_users_hll,

@@ -564,3 +564,48 @@ def kmeans_assign_counts(
     return partial_grouped_agg(
         ds.map_batches(assign, batch_format="pyarrow"), ["cid"], count_alias="n_vecs"
     )
+
+
+def cross_neardup(
+    ds: rd.Dataset,
+    bench: pa.Table,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """SEMANTIC decontamination — the embedding-space companion to the
+    exact token-overlap check (stages/textops.ngram_decontaminate): every
+    (corpus id, bench id, cos_r) pair with cosine ≥ threshold between the
+    streaming corpus and a SMALL benchmark table.
+
+    Unlike the O(n²) within-corpus `allpairs_cosine_threshold`, this is
+    LINEAR in the corpus: the benchmark matrix is normalized once and
+    broadcast via ``ray.put``; each corpus block is one matmul against it
+    (no shuffle, no pair tasks, no driver materialization of the corpus).
+    Same floor4 cosine convention as the pairs oracle."""
+    import ray
+
+    B = _normalize(_batch_matrix(bench, vec_col))
+    bench_ids = np.asarray(bench.column(id_col), dtype=np.int64)
+    shared = ray.put((B, bench_ids))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        Bm, bids = ray.get(shared)
+        A = _normalize(_batch_matrix(batch, vec_col))
+        ids_a = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if not len(ids_a) or not len(bids):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_r": pa.array([], pa.float64())})
+        sims = A @ Bm.T
+        ii, jj = np.nonzero(sims >= threshold)
+        return pa.table({
+            "id_a": pa.array(ids_a[ii], pa.int64()),
+            "id_b": pa.array(bids[jj], pa.int64()),
+            "cos_r": pa.array(floor4(sims[ii, jj]), pa.float64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -578,3 +578,47 @@ def test_dedup_keep_best_representatives(ray_session):
     # exactly one representative per cluster, reps are real doc ids
     assert len(reps) == len(by_cluster)
     assert {r["doc_id"] for r in reps} <= {d for d, _ in docs}
+
+
+def test_cross_neardup_matches_bruteforce(ray_session):
+    """cross_neardup (broadcast bench matmul) vs numpy brute force:
+    planted near-dups across the split, threshold boundary, floor4
+    parity, partition invariance."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.knn import cross_neardup, floor4
+
+    rng = np.random.default_rng(13)
+    dim, nc, nb = 16, 60, 8
+    C = rng.normal(size=(nc, dim))
+    B = rng.normal(size=(nb, dim))
+    B[2] = C[10] + 0.01 * rng.normal(size=dim)  # planted cross near-dup
+    B[5] = C[41]                                # exact cross duplicate
+
+    def tbl(M, ids):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.reshape(-1), pa.float64()), dim
+            ),
+        })
+
+    corpus = tbl(C, range(nc))
+    bench = tbl(B, range(1000, 1000 + nb))
+
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    sims = Cn @ Bn.T
+    thr = 0.9
+    want = {(i, 1000 + j, floor4(np.array([sims[i, j]]))[0])
+            for i, j in zip(*np.nonzero(sims >= thr))}
+    assert len(want) >= 2  # both plants found
+
+    for parts in (1, 5):
+        got = {(r["id_a"], r["id_b"], r["cos_r"]) for r in cross_neardup(
+            rd.from_arrow(corpus).repartition(parts), bench, threshold=thr
+        ).take_all()}
+        assert got == want, parts

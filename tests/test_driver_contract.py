@@ -98,6 +98,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_url_normalize", "q_fuzzy_match", "q_triangles",
     "q_connected_components", "q_degree_hist", "q_assortativity",
     "q_decontaminate", "q_decontaminate_tokens", "q_bm25_topk",
+    "q_decontaminate_semantic",
     "q_ngram_jaccard_1k", "q_pii_mask", "q_gopher_quality",
     "q_norm_text", "q_sample_uniform",
     "q_sample_stratified", "q_sample_weighted", "q_sample_stratified_exact",
