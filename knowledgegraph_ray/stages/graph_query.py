@@ -117,10 +117,12 @@ def _pr_scatter_fn(tbl, w):
     """One edge block (pre-sorted by di) → SPARSE (dst index, mass) partial:
     segment sums via one reduceat — output size is the block's DISTINCT dst
     count, never the node count."""
+    # num_rows check BEFORE column access: a zero-row block that skipped
+    # map_batches can carry a degenerate empty schema (no si/di columns)
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     di = tbl.column("di").to_numpy(zero_copy_only=False)
     si = tbl.column("si").to_numpy(zero_copy_only=False)
-    if len(di) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
     starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
     return di[starts], np.add.reduceat(w[si], starts)
 
@@ -149,6 +151,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     iters: int = 20,
+    small_graph_edges: int = 5_000_000,
 ) -> rd.Dataset:
     """Distributed PageRank over the built KG → (name, type, rank_r).
 
@@ -238,12 +241,29 @@ def pagerank(
 
     r = np.full(n, 1.0 / n)
     safe_deg = np.maximum(deg, 1)
-    for _ in range(iters):
-        w_ref = ray.put(r / safe_deg)
-        parts = [_pr_scatter.remote(bref, w_ref) for bref in block_refs]
-        contrib = ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n)
-        dangling = r[deg == 0].sum()
-        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    m = eidx.count()
+    if m <= small_graph_edges:
+        # SMALL-GRAPH REGIME (the CC three-regime precedent): below the
+        # threshold the per-iteration Ray task round-trips dominate (the
+        # numpy math is microseconds), so run the same loop driver-side —
+        # the SAME scatter/combine functions over the SAME blocks in the
+        # SAME order, so every float op associates identically and the
+        # output is bit-identical to the distributed path (regime-equality
+        # tested).  16 B/edge ⇒ ≤ 80 MB driver-held at the default bound.
+        blocks = ray.get(block_refs)
+        for _ in range(iters):
+            w = r / safe_deg
+            parts = [_pr_scatter_fn(t, w) for t in blocks]
+            contrib = _pr_combine_fn(n, *parts) if parts else np.zeros(n)
+            dangling = r[deg == 0].sum()
+            r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    else:
+        for _ in range(iters):
+            w_ref = ray.put(r / safe_deg)
+            parts = [_pr_scatter.remote(bref, w_ref) for bref in block_refs]
+            contrib = ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n)
+            dangling = r[deg == 0].sum()
+            r = (1.0 - damping) / n + damping * (contrib + dangling / n)
 
     # ranks back onto names via the same key order
     ranks_for_rows = r[np.searchsorted(kh, hash_key_columns(keys_tbl, ["name", "type"]))]
@@ -448,8 +468,56 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     return pa.table({"triangles": pa.array([closed.count()], pa.int64())})
 
 
+def _label_propagation_local(e, rounds: int):
+    """SMALL-GRAPH LPA REGIME (the CC three-regime precedent): below the
+    edge threshold the 5 Dataset ops per round are pure scheduling overhead
+    (~5 s/round on a 100k-edge graph measured at sf0.1), so run the SAME
+    deterministic rule driver-side in vectorized numpy.  The rule is
+    all-integer (counts + min-label tiebreak; label-code order == string
+    order because np.unique sorts), so the result is EXACTLY equal to the
+    distributed path — regime-equality tested."""
+    import pyarrow as pa
+    import ray
+
+    tbls = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.string()),
+             "community": pa.array([], pa.string())}
+        ))
+    et = pa.concat_tables(tbls).combine_chunks()
+    ntype = et.column("u").type
+    u = et.column("u").to_numpy(zero_copy_only=False)
+    v = et.column("v").to_numpy(zero_copy_only=False)
+    nodes_sorted, inv = np.unique(np.concatenate([u, v]),
+                                  return_inverse=True)
+    m = len(u)
+    ui, vi = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
+    lab = np.arange(len(nodes_sorted), dtype=np.int64)
+    mn = np.concatenate([ui, vi])  # message targets (fixed across rounds)
+    for _ in range(int(rounds)):
+        ml = np.concatenate([lab[vi], lab[ui]])  # neighbor labels
+        order = np.lexsort((ml, mn))
+        ns, ls = mn[order], ml[order]
+        new_pair = np.r_[True, (ns[1:] != ns[:-1]) | (ls[1:] != ls[:-1])]
+        starts = np.flatnonzero(new_pair)
+        cnt = np.diff(np.r_[starts, len(ns)])
+        pn, pl = ns[starts], ls[starts]
+        # per node: max count, tie → min label (pairs are label-ascending
+        # within each node, so first-of-max wins the tie)
+        pick = np.lexsort((pl, -cnt, pn))
+        first = pick[np.r_[True, pn[pick][1:] != pn[pick][:-1]]]
+        lab = lab.copy()
+        lab[pn[first]] = pl[first]
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes_sorted.tolist(), ntype),
+        "community": pa.array(nodes_sorted[lab].tolist(), ntype),
+    }))
+
+
 def label_propagation(edges, src: str = "src", dst: str = "dst",
-                      rounds: int = 5, num_partitions: int = 16):
+                      rounds: int = 5, num_partitions: int = 16,
+                      small_graph_edges: int = 1_000_000):
     """Community detection by SYNCHRONOUS label propagation (LPA, the
     GraphFrames/Raghavan rule made deterministic): every node starts as its
     own community; each round every node adopts the label most frequent
@@ -488,6 +556,9 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
         .select_columns(["u", "v"])
         .materialize()
     )
+
+    if e.count() <= small_graph_edges:
+        return _label_propagation_local(e, rounds)
 
     def ends(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()

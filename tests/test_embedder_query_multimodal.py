@@ -419,6 +419,15 @@ def test_pagerank_matches_dense_reference(ray_session):
     # hub d must rank highest
     assert got.idxmax() == "d"
 
+    # distributed regime (forced past the small-graph threshold) must be
+    # BIT-identical: same scatter/combine functions, same block order
+    got_dist = pagerank(
+        rd.from_arrow(nodes).repartition(2), rd.from_arrow(edges).repartition(2),
+        damping=0.85, iters=30, small_graph_edges=0,
+    ).to_pandas().set_index("name")["rank_r"]
+    for name in names:
+        assert got[name] == got_dist[name], name
+
 
 def test_pagerank_drops_unmatched_endpoints(ray_session):
     """Public-operator safety (round-3 ADVICE): edges whose endpoint is
@@ -597,10 +606,17 @@ def test_label_propagation_matches_reference(ray_session):
                     "dst": [v for u, v in sorted(E)]})
     want = reference(E, rounds=4)
     for parts in (1, 5):
+        # small-graph (driver) regime — the default at this size
         got = {r["node"]: r["community"] for r in label_propagation(
             rd.from_arrow(tbl).repartition(parts), rounds=4
         ).take_all()}
         assert got == want, parts
+        # distributed regime (forced) must be EXACTLY equal
+        got_dist = {r["node"]: r["community"] for r in label_propagation(
+            rd.from_arrow(tbl).repartition(parts), rounds=4,
+            small_graph_edges=0,
+        ).take_all()}
+        assert got_dist == want, parts
     # structure: each clique coalesces to one community, and they differ
     assert len({want[x] for x in a[1:]}) == 1
     assert len({want[x] for x in b[1:]}) == 1
