@@ -1761,6 +1761,32 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_chunk_windows(sf_dir: str):
+    """Overlapping 64-token / stride-32 window chunking over the corpus —
+    the RAG/embedding-prep splitter (stages/textops.chunk_token_windows):
+    one tokenize + one list-slice/join kernel pair per window ordinal,
+    pure streaming map."""
+    from ..stages.textops import chunk_token_windows
+
+    return chunk_token_windows(
+        _docs(sf_dir, ["doc_id", "text"]), size=64, stride=32
+    )
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment over the corpus —
+    the reproducible-partitioning primitive every training pipeline needs
+    (stages/sampling.assign_split): pure streaming map over the md5
+    id-hash, one SQL CASE as the oracle."""
+    from ..stages.sampling import assign_split
+
+    return assign_split(
+        _docs(sf_dir, ["doc_id", "source"]),
+        [("train", 90), ("val", 5), ("test", 5)],
+        id_col="doc_id", method="md5",
+    )
+
+
 def q_sample_uniform(sf_dir: str):
     from ..stages.sampling import sample_uniform
 
@@ -3519,6 +3545,27 @@ ORACLE_SQL: dict[str, str] = {
                    substr(md5(CONCAT(source, '|', CAST(doc_id AS VARCHAR))), 1, 16))
                    AS UBIGINT) % 1000000 < 200000
     """,
+    # 64-token windows at stride 32: 1-based inclusive list slice
+    # a[k·32+1 : k·32+64]; k ranges over ⌈len/32⌉ window starts
+    "q_chunk_windows": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               array_to_string(a[k*32+1 : k*32+64], ' ') AS chunk
+        FROM tok, unnest(range(0, (len(a) + 31) // 32)) AS t(k)
+    """,
+    # 90/5/5 split assignment: same md5 bucket as the samplers, cumulative
+    # integer cutoffs (90·1e6/100, 95·1e6/100)
+    "q_split_assign": """
+        SELECT doc_id, source,
+               CASE
+                 WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      AS UBIGINT) % 1000000 < 900000 THEN 'train'
+                 WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      AS UBIGINT) % 1000000 < 950000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    """,
     "q_knn_top10": f"""
         SELECT vec_id,
                floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -3612,6 +3659,8 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_tokens": q_decontaminate_tokens,
     "q_bm25_topk": q_bm25_topk,
+    "q_split_assign": q_split_assign,
+    "q_chunk_windows": q_chunk_windows,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

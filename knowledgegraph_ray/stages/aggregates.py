@@ -658,7 +658,7 @@ def _grouped_order_stats(
     key_col: str,
     value_col: str,
     rank_fns,
-    num_bins: int = 4096,
+    num_bins: int = 65536,
     max_rounds: int | None = None,
 ):
     """Engine behind the histogram quantiles: resolve, for every group, the
@@ -671,8 +671,11 @@ def _grouped_order_stats(
     (exchange O(groups × slots × bins × blocks) partials); a driver-side
     cumulative scan walks each rank into one bin and narrows its bracket
     ×num_bins.  Integer brackets converge in ceil(log_bins(range)) rounds
-    (cents-range values: 2; full int64: 6).  NO group colocation, no sort
-    shuffle — a hot group never lands in one task.
+    (default 65536 bins: cents-range values 1–2 rounds, full int64 4 —
+    each round is a full stream, so wider histograms buy wall-clock; the
+    per-block partial emission only contains NONEMPTY bins, so it stays
+    bounded by block rows regardless of num_bins).  NO group colocation,
+    no sort shuffle — a hot group never lands in one task.
 
     Returns (n_map, vals): group key → row count, and group key →
     [resolved value per rank_fn].  Driver state is O(groups × slots);
@@ -821,7 +824,7 @@ def grouped_quantile_histogram(
     q_num: int,
     q_den: int,
     out_col: str = "quantile",
-    num_bins: int = 4096,
+    num_bins: int = 65536,
     max_rounds: int | None = None,
 ) -> pa.Table:
     """Per-key EXACT discrete quantile via iterative histogram refinement —
@@ -850,7 +853,7 @@ def grouped_quantile_cont(
     q_num: int,
     q_den: int,
     out_col: str = "quantile",
-    num_bins: int = 4096,
+    num_bins: int = 65536,
 ) -> pa.Table:
     """Per-key INTERPOLATED quantile (SQL ``percentile_cont`` / DuckDB
     ``quantile_cont``) through the histogram scale path: the continuous

@@ -210,3 +210,43 @@ def sample_stratified_exact(
         num_partitions=num_partitions, hash_sort=True,
         block_fn=keep_block, exchange="hash",
     )
+
+
+def assign_split(
+    ds: rd.Dataset,
+    splits: list[tuple[str, int]],
+    *,
+    id_col: str = "doc_id",
+    method: str = "md5",
+    salt: str | int = "",
+) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — the partitioning
+    every training pipeline runs once and must NEVER change across reruns:
+    each row's id-hash bucket lands in one of the named weight ranges
+    (weights are integer PERCENT-style shares of ``_BUCKETS``), appended
+    as a ``split`` column.  Same id-hash machinery as the samplers, so the
+    assignment is a pure streaming map (no shuffle, no state), identical
+    at any parallelism / block layout, and expressible as one SQL CASE
+    over md5 (the oracle).  A row's split depends only on its id and the
+    CUMULATIVE weights before it — appending a new split at the END never
+    reassigns existing rows of earlier splits."""
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError("split weights must be non-negative with a positive sum")
+    # cumulative bucket cutoffs in exact integer arithmetic
+    cuts, acc = [], 0
+    for _, w in splits:
+        acc += w
+        cuts.append(acc * _BUCKETS // total)
+    names = [n for n, _ in splits]
+
+    def flt(batch: pa.Table) -> pa.Table:
+        b = _bucket_column(batch, id_col, method, salt)
+        lab = np.empty(len(b), dtype=object)
+        lo = 0
+        for name, hi in zip(names, cuts):
+            lab[(b >= lo) & (b < hi)] = name
+            lo = hi
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

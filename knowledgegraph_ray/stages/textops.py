@@ -924,3 +924,58 @@ def bm25_topk(
     sc = cand.column("score").to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -sc))[:k]
     return cand.take(pa.array(order, pa.int64()))
+
+
+def chunk_token_windows(
+    ds: "rd.Dataset",  # noqa: F821
+    *,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping token-window chunking — the RAG/embedding-prep splitter
+    (the fixed-window companion to the paragraph-boundary
+    ``explode_passages``): one chunk per window start 0, stride, 2·stride…
+    while the start is inside the doc; chunk text = the next ``size``
+    tokens joined by ' ' (string_split(' ') semantics, so the SQL mirror
+    is a list-slice).  → (id, chunk_id, chunk).
+
+    Vectorized: per batch, ONE tokenize, then one ``pc.list_slice`` +
+    ``pc.binary_join`` per window ORDINAL (⌈max_tokens/stride⌉ kernel
+    calls, never a per-doc loop).  Pure streaming map — no shuffle; at
+    100 TB the output is written partitioned by input shard like every
+    exploded table here."""
+
+    def chunks(b: pa.Table) -> pa.Table:
+        col = b.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col)
+        out_id, out_k, out_chunk = [], [], []
+        max_k = int(-(-int(n.max()) // stride)) if len(n) else 0
+        for k in range(max_k):
+            sel = np.nonzero(n > k * stride)[0]
+            if not sel.size:
+                break
+            sel_pa = pa.array(sel, pa.int64())
+            sl = pc.list_slice(toks.take(sel_pa), k * stride,
+                               k * stride + size)
+            out_id.append(ids.take(sel_pa))
+            out_k.append(pa.array(np.full(sel.size, k, np.int64)))
+            out_chunk.append(pc.binary_join(sl, " "))
+        if not out_id:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]),
+            "chunk_id": pa.concat_arrays(out_k),
+            "chunk": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_chunk]),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

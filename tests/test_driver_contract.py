@@ -102,6 +102,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_ngram_jaccard_1k", "q_pii_mask", "q_gopher_quality",
     "q_norm_text", "q_sample_uniform",
     "q_sample_stratified", "q_sample_weighted", "q_sample_stratified_exact",
+    "q_split_assign", "q_chunk_windows",
     "q_knn_top10",
     "q_neardup_pairs", "q_asof_join", "q_range_join", "q_rolling_sum",
     "q_top3_orders", "q_value_median", "q_value_p90", "q_value_p90_hist",

@@ -175,3 +175,51 @@ def test_sample_stratified_exact_counts(ray_session):
             first = ids          # layout invariance
         else:
             assert ids == first
+
+
+def test_assign_split_properties(ray_session):
+    """Every row gets exactly one split; proportions track the weights;
+    assignment is layout-invariant; appending a split at the END never
+    reassigns rows already in earlier splits (the growth contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.sampling import assign_split
+
+    n = 9000
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+
+    got = None
+    for parts in (1, 8):
+        rows = assign_split(
+            rd.from_arrow(tbl).repartition(parts),
+            [("train", 90), ("val", 5), ("test", 5)],
+            id_col="doc_id", method="fast",
+        ).take_all()
+        m = {r["doc_id"]: r["split"] for r in rows}
+        assert len(m) == n  # every row, exactly once
+        if got is None:
+            got = m
+        else:
+            assert m == got  # layout invariance
+    from collections import Counter
+    c = Counter(got.values())
+    assert abs(c["train"] - 0.90 * n) < 4 * np.sqrt(0.09 * n) + 1
+    assert abs(c["val"] - 0.05 * n) < 4 * np.sqrt(0.0475 * n) + 1
+    assert set(c) == {"train", "val", "test"}
+
+    # growth contract: extending the tail with a new split must keep every
+    # existing train/val row in place (only 'test' rows may move)
+    rows2 = assign_split(
+        rd.from_arrow(tbl), [("train", 90), ("val", 5), ("test", 4),
+                             ("extra", 1)],
+        id_col="doc_id", method="fast",
+    ).take_all()
+    m2 = {r["doc_id"]: r["split"] for r in rows2}
+    # NOTE: integer cutoffs over a different total CAN shift boundaries;
+    # with an unchanged total (90+5+5 == 90+5+4+1) they cannot
+    for i, s in got.items():
+        if s in ("train", "val"):
+            assert m2[i] == s, i

@@ -371,3 +371,41 @@ def test_bm25_topk_matches_reference(ray_session):
             rd.from_arrow(tbl).repartition(parts), terms, k=10
         ).to_pylist()
         assert [(r["doc_id"], r["score"]) for r in got] == want, parts
+
+
+def test_chunk_token_windows_matches_reference(ray_session):
+    """Window chunker vs a literal reference: exact window starts/sizes,
+    tail truncation, double-space empty tokens, empty text (one empty
+    chunk — string_split semantics), partition invariance."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.textops import chunk_token_windows
+
+    texts = [
+        " ".join(f"w{i}" for i in range(150)),  # 150 tokens → 5 windows
+        "a b",                                   # shorter than one window
+        "x  y z",                                # double space: empty token
+        "",                                      # 1 empty token, 1 chunk
+        " ".join(f"t{i}" for i in range(64)),    # exactly one full window
+    ]
+    size, stride = 64, 32
+    want = set()
+    for i, t in enumerate(texts):
+        a = t.split(" ")
+        k = 0
+        while k * stride < len(a):
+            want.add((i, k, " ".join(a[k * stride: k * stride + size])))
+            k += 1
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    for parts in (1, 4):
+        got = {(r["doc_id"], r["chunk_id"], r["chunk"])
+               for r in chunk_token_windows(
+                   rd.from_arrow(tbl).repartition(parts),
+                   size=size, stride=stride).take_all()}
+        assert got == want, parts
+    # 150 tokens: starts 0,32,64,96,128 → 5 windows, last has 22 tokens
+    assert sum(1 for d, k, c in want if d == 0) == 5
+    assert len([c for d, k, c in want if d == 0 and k == 4][0].split(" ")) == 22
