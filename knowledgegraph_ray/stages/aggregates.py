@@ -478,6 +478,7 @@ def grouping_sets_agg(
     sums: dict[str, str] | None = None,
     count_alias: str | None = None,
     sentinels: dict[str, object] | None = None,
+    small_result_rows: int = 2_000_000,
 ) -> rd.Dataset:
     """GROUPING SETS aggregate: one row per group for every key subset in
     ``sets`` (each a sublist of ``keys``), with ``sentinels[key]`` filling
@@ -523,6 +524,49 @@ def grouping_sets_agg(
             return pa.Table.from_pydict(cols)
 
         return fill
+
+    # SMALL-RESULT REGIME: the cascade's input is the O(groups) finest
+    # table — when it fits the driver comfortably, the per-level Dataset
+    # pipelines are pure scheduling overhead (~0.7 s each at sf0.1), so run
+    # the SAME integer cascade in pyarrow group_by locally.  Both paths sum
+    # exact int64 partials, so they are exactly equal (regime-tested).
+    import ray
+
+    if finest.count() <= small_result_rows:
+        ft = [t for t in ray.get(finest.to_arrow_refs()) if t.num_rows]
+        base = (pa.concat_tables(ft).combine_chunks() if ft else None)
+        out_tbls = []
+        for lvl_keys in sets:
+            if base is None:
+                continue
+            lk = list(lvl_keys)
+            if lk == list(keys):
+                lvl_t = base
+            elif lk:
+                # select by the GENERATED aggregate names, never by column
+                # position (same contract note as partial_grouped_agg)
+                gen = [f"{v}_sum" for v in out_vals]
+                lvl_t = base.group_by(lk).aggregate(
+                    [(v, "sum") for v in out_vals]
+                ).select(lk + gen).rename_columns(lk + out_vals)
+            else:
+                lvl_t = pa.table({
+                    v: pa.array([pc.sum(base.column(v)).as_py() or 0],
+                                pa.int64())
+                    for v in out_vals
+                })
+            out_tbls.append(_with_sentinels(lk)(lvl_t).select(out_cols))
+        if not out_tbls:
+            # empty input → empty output (matches the distributed path,
+            # where every level's groupby over zero rows yields zero rows)
+            empty = pa.table({
+                c: pa.array([], _sentinel_type(sentinels[c])
+                            if c in sentinels else
+                            (pa.string() if c in keys else pa.int64()))
+                for c in out_cols
+            })
+            return rd.from_arrow(empty)
+        return rd.from_arrow(pa.concat_tables(out_tbls))
 
     levels = []
     for lvl_keys in sets:

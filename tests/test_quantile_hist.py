@@ -271,3 +271,35 @@ def test_moment_sums_no_int64_wrap_at_documented_bound(ray_session):
     zref = (xf - xf.mean()) / xf.std(ddof=1)
     for i in range(len(x)):
         assert abs(z[i] - math.floor(zref[i] * 1e6) / 1e6) < 2e-6, i
+
+
+def test_grouping_sets_regimes_exactly_equal(ray_session):
+    """The small-result driver cascade must return EXACTLY the distributed
+    cascade's rows (same integer sums, same sentinel fill), including the
+    grand-total level."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouping_sets_agg
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    tbl = pa.table({
+        "k1": pa.array(rng.choice(["a", "b", "c"], n)),
+        "k2": pa.array(rng.choice(["x", "y"], n)),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    sets = [["k1", "k2"], ["k1"], ["k2"], []]
+    kwargs = dict(
+        sums={"v": "sv"}, count_alias="n",
+        sentinels={"k1": "ALL", "k2": "ALL"},
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    local = {tuple(sorted(r.items())) for r in grouping_sets_agg(
+        ds, ["k1", "k2"], sets, **kwargs).take_all()}
+    dist = {tuple(sorted(r.items())) for r in grouping_sets_agg(
+        ds, ["k1", "k2"], sets, small_result_rows=0, **kwargs).take_all()}
+    assert local == dist
+    assert len(local) == 6 + 3 + 2 + 1
