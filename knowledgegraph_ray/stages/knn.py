@@ -477,6 +477,20 @@ def ivf_recall_sweep(
     return pa.table(rows)
 
 
+def _km_block_partials(E: np.ndarray, Cm: np.ndarray):
+    """One block's fused assign+accumulate: (nonzero cids, their sum
+    vectors, their counts).  Shared verbatim by the distributed and the
+    small-data driver paths so both produce bit-identical float partials.
+    argmin ||e − c||² = argmax (e·c − ||c||²/2); ties → lowest cid."""
+    score = E @ Cm.T - 0.5 * (Cm * Cm).sum(axis=1)
+    best = score.argmax(axis=1)
+    sums = np.zeros((len(Cm), E.shape[1]), dtype=np.float64)
+    np.add.at(sums, best, E)
+    counts = np.bincount(best, minlength=len(Cm)).astype(np.int64)
+    nz = np.flatnonzero(counts)
+    return nz, sums[nz], counts[nz]
+
+
 def kmeans_fit(
     ds: rd.Dataset,
     k: int = 8,
@@ -484,6 +498,7 @@ def kmeans_fit(
     *,
     vec_col: str = "embedding",
     seed: int = 7,
+    small_data_rows: int = 2_000_000,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over an embedding column → (k, dim)
     centroid matrix.  The iterative-algorithm pattern at scale:
@@ -506,29 +521,48 @@ def kmeans_fit(
         return np.zeros((0, 0))
     dim = len(first[0][vec_col])
     C = seeded_centroids(dim, k, seed=seed)  # unit rows as the seed
+    # materialize ONCE: every iteration streams the same rows, and a lazy
+    # input would re-execute its whole read lineage per iteration
+    mat = ds.materialize()
+
+    if mat.count() <= small_data_rows:
+        # SMALL-DATA REGIME (the pagerank/LPA precedent): below the row
+        # threshold the per-iteration Dataset pass is pure scheduling
+        # overhead.  Same per-block partials (_km_block_partials), combine
+        # in block order — equal to the distributed path within float
+        # summation order (kmeans' cross-layout contract has always been
+        # allclose, not bit-exact; regime-equality tested at that bar).
+        mats = [_batch_matrix(t, vec_col)
+                for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        for _ in range(iters):
+            sums = np.zeros_like(C)
+            counts = np.zeros(k, dtype=np.int64)
+            for E in mats:
+                nz, vs, cs = _km_block_partials(E, C)
+                np.add.at(sums, nz, vs)
+                np.add.at(counts, nz, cs)
+            live = counts > 0
+            C = C.copy()
+            C[live] = sums[live] / counts[live, None]
+        return C
+
     for _ in range(iters):
         c_ref = ray.put(C)
 
         def partials(batch: pa.Table) -> pa.Table:
             Cm = ray.get(c_ref)
             E = _batch_matrix(batch, vec_col)
-            # argmin ||e - c||² = argmax (e·c - ||c||²/2); ties → lowest cid
-            score = E @ Cm.T - 0.5 * (Cm * Cm).sum(axis=1)
-            best = score.argmax(axis=1)
-            sums = np.zeros((len(Cm), E.shape[1]), dtype=np.float64)
-            np.add.at(sums, best, E)
-            counts = np.bincount(best, minlength=len(Cm)).astype(np.int64)
-            nz = np.flatnonzero(counts)
-            flat = pa.array(sums[nz].reshape(-1), pa.float64())
+            nz, vs, cs = _km_block_partials(E, Cm)
+            flat = pa.array(vs.reshape(-1), pa.float64())
             return pa.Table.from_pydict(
                 {
                     "cid": pa.array(nz, pa.int64()),
                     "vsum": pa.FixedSizeListArray.from_arrays(flat, E.shape[1]),
-                    "n": pa.array(counts[nz], pa.int64()),
+                    "n": pa.array(cs, pa.int64()),
                 }
             )
 
-        part = ds.map_batches(partials, batch_format="pyarrow").materialize()
+        part = mat.map_batches(partials, batch_format="pyarrow").materialize()
         tbls = [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
         sums = np.zeros_like(C)
         counts = np.zeros(k, dtype=np.int64)

@@ -300,6 +300,10 @@ def test_kmeans_recovers_separated_blobs(ray_session):
     # deterministic across partitionings
     C2 = kmeans_fit(rd.from_arrow(tbl).repartition(2), k=3, iters=8, seed=3)
     assert np.allclose(np.sort(C.ravel()), np.sort(C2.ravel()))
+    # distributed regime (forced) equals the small-data driver regime at
+    # the same allclose bar
+    C3 = kmeans_fit(ds, k=3, iters=8, seed=3, small_data_rows=0)
+    assert np.allclose(np.sort(C.ravel()), np.sort(C3.ravel()))
 
 
 def test_ngram_jaccard_exact_boundary_pair(ray_session):
