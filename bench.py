@@ -196,8 +196,16 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
             [sys.executable, os.path.abspath(__file__), "--child", str(num_cpus)],
             capture_output=True, text=True, env=env, timeout=3600,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        kgs.append(json.loads(line))
+        json_lines = [l for l in out.stdout.strip().splitlines()
+                      if l.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            # surface the child's actual failure — a bare [-1] IndexError
+            # here used to swallow the traceback in captured stderr
+            raise RuntimeError(
+                f"bench child failed (rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-25:])
+            )
+        kgs.append(json.loads(json_lines[-1]))
         time.sleep(3)
     kgs.sort(key=lambda r: r["kg_wall_s"])
     kg = kgs[len(kgs) // 2]  # median by wall

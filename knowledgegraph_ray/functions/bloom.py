@@ -198,11 +198,14 @@ def bloom_semi_join(
     from .joins import adaptive_join
 
     right_keys = right_keys or left_keys
-    # key columns must hash identically on both sides: rename right→left
+    # key columns must hash identically on both sides: rename right→left.
+    # Materialize ONCE: build_bloom consumes rk twice (count + partials
+    # pass) and distinct_keys a third time — unmaterialized, each re-runs
+    # the full right-side read lineage.
     rk = right.map_batches(
         lambda b: b.select(right_keys).rename_columns(left_keys),
         batch_format="pyarrow",
-    )
+    ).materialize()
     bloom = build_bloom(rk, left_keys, bits_per_row=bits_per_row, k=k)
     survivors = bloom_filter_dataset(left, left_keys, bloom)
     keys_ds = distinct_keys(rk, left_keys)

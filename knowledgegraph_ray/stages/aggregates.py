@@ -69,9 +69,18 @@ def grouped_quantile(
     so the index is computed in exact integer arithmetic — float q·n sits
     above/below the integer boundary unpredictably (0.9 × 10 ≠ 9 in binary).
     Same shape as every exact order statistic here: ONE key-only range sort
-    colocates groups, in-block C sort + run-boundary index math."""
+    colocates groups, in-block C sort + run-boundary index math.  Null
+    values are ignored (SQL quantile semantics); a group whose values are
+    ALL null is omitted from the output."""
     out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
-    s = ds.select_columns([key_col, value_col]).sort([key_col])
+    s = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(value_col))),
+            batch_format="pyarrow",
+        )
+        .sort([key_col])
+    )
 
     def per_block(block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -493,6 +502,16 @@ def grouping_sets_agg(
     level cascade is exact."""
     sums = dict(sums or {})
     sentinels = dict(sentinels or {})
+    # validate up front: every key rolled up in ANY level needs a sentinel
+    # fill value (otherwise the failure is a bare KeyError deep inside a
+    # map_batches UDF with no hint at the API contract)
+    rolled = {k for lvl in sets for k in keys if k not in lvl}
+    missing = rolled - sentinels.keys()
+    if missing:
+        raise ValueError(
+            f"grouping_sets_agg: rolled-up key(s) {sorted(missing)} need a "
+            "sentinel fill value — pass sentinels={key: fill_value}"
+        )
     out_vals = list(sums.values()) + ([count_alias] if count_alias else [])
     out_cols = list(keys) + out_vals
 
@@ -727,12 +746,22 @@ def _grouped_order_stats(
     B = int(num_bins)
     S = len(rank_fns)
 
+    # rank basis = NON-NULL count (SQL quantile semantics ignore nulls;
+    # counting them in n while the histogram bins exclude them either
+    # walks a rank past the histogram or shifts every resolved element)
+    def add_nn(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_nnc", pc.cast(pc.is_valid(b.column(value_col)), pa.int64())
+        )
+
     base = partial_grouped_agg(
-        ds.select_columns([key_col, value_col]),
+        ds.select_columns([key_col, value_col]).map_batches(
+            add_nn, batch_format="pyarrow"
+        ),
         [key_col],
+        sums={"_nnc": "_n"},
         mins={value_col: "_lo"},
         maxs={value_col: "_hi"},
-        count_alias="_n",
     ).take_all()
     # state per (group, slot): bracket [lo, hi] and the 0-based rank of the
     # target within the bracket, exact ints throughout
@@ -743,8 +772,10 @@ def _grouped_order_stats(
         kv = r[key_col]
         n = int(r["_n"])
         n_map[kv] = n
-        lo, hi = int(r["_lo"]), int(r["_hi"])
         done[kv] = [None] * S
+        if n == 0:  # all-null group → null order statistics (SQL)
+            continue
+        lo, hi = int(r["_lo"]), int(r["_hi"])
         for s, f in enumerate(rank_fns):
             if lo == hi:
                 done[kv][s] = lo
@@ -817,7 +848,11 @@ def _grouped_order_stats(
             g = part.group_by([key_col, "_slot", "_bin"]).aggregate(
                 [([], "count_all")]
             )
-            return g.rename_columns([key_col, "_slot", "_bin", "_c"])
+            # select by the GENERATED aggregate name, never by position
+            # (the keys-first layout is an undocumented pyarrow contract —
+            # same fix as partial_grouped_agg)
+            return g.select([key_col, "_slot", "_bin", "count_all"]
+                            ).rename_columns([key_col, "_slot", "_bin", "_c"])
 
         counts = (
             ds.map_batches(bin_counts, batch_format="pyarrow")
@@ -918,6 +953,9 @@ def grouped_quantile_cont(
     vals = []
     for k in keys:
         lo, hi = done[k]
+        if lo is None or hi is None:  # all-null group
+            vals.append(None)
+            continue
         rem = ((n_map[k] - 1) * q_num) % q_den
         vals.append(float(lo) + (float(hi) - float(lo)) * (rem / q_den))
     return pa.Table.from_pydict(

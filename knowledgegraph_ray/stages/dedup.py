@@ -567,7 +567,11 @@ def ngram_jaccard_join(
             z_s = ns[s:e][order]
             id_s = ids[s:e][order]
             rem_s = rem[s:e][order]
-            hi_b = np.searchsorted(z_s, z_s / threshold, side="right")
+            # same epsilon rationale as the overlap bound below: never let
+            # float division round the size ceiling DOWN past the exact
+            # rational bound — jaccard == threshold exactly (e.g. 67/125 at
+            # t=0.536: fl(67/0.536) = 124.999…) must stay a candidate
+            hi_b = np.searchsorted(z_s, z_s / threshold + 1e-9, side="right")
             c = np.maximum(hi_b - np.arange(L) - 1, 0)
             csum = np.zeros(L + 1, np.int64)
             np.cumsum(c, out=csum[1:])

@@ -582,10 +582,13 @@ def normalize_urls(
     kernels per batch.  Every step is RE2 + lower(), so an SQL engine with
     RE2 regexps (DuckDB) reproduces the output bit-for-bit — that mirror is
     the oracle."""
-    col = batch.column(url_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = pc.fill_null(col, "")
+    raw = batch.column(url_col)
+    if isinstance(raw, pa.ChunkedArray):
+        raw = raw.combine_chunks()
+    # keep the ORIGINAL (nullable) column for the pass-through branch: a
+    # fill_null('') there would silently rewrite NULL urls to '' and bucket
+    # every null row into one dedup key (SQL regexp chains propagate NULL)
+    col = pc.fill_null(raw, "")
     m = pc.extract_regex(
         col,
         r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
@@ -607,7 +610,7 @@ def normalize_urls(
     )
     path = pc.replace_substring_regex(path, r"/+$", "", max_replacements=1)
     norm = pc.binary_join_element_wise(scheme, "://", host, path, "")
-    return batch.append_column(out_col, pc.if_else(ok, norm, col))
+    return batch.append_column(out_col, pc.if_else(ok, norm, raw))
 
 
 def _levenshtein_to_probe(col: pa.Array, probe: str) -> np.ndarray:

@@ -226,16 +226,25 @@ def grouped_lag(
         )
         block = block.take(order)
         keys = block.column(key_col).to_numpy(zero_copy_only=False)
-        vals = pc.cast(block.column(value_col), pa.int64()).to_numpy(
+        vcol = block.column(value_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        # SQL null semantics: x − lag(x) is NULL when either side is null
+        # (a bare numpy cast turns nulls into NaN and then INT64_MIN
+        # garbage for the null row AND its successor)
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(pc.cast(vcol, pa.int64()), 0).to_numpy(
             zero_copy_only=False
         )
         new_key = np.r_[True, keys[1:] != keys[:-1]]
         delta = np.empty(n, np.int64)
         delta[1:] = vals[1:] - vals[:-1]
         delta[0] = 0
+        null_mask = new_key | ~valid
+        null_mask[1:] |= ~valid[:-1]
         out = {c: block.column(c) for c in id_cols}
         d = pa.array(delta, pa.int64())
-        out[out_col] = pc.if_else(pa.array(new_key), pa.scalar(None, pa.int64()), d)
+        out[out_col] = pc.if_else(pa.array(null_mask), pa.scalar(None, pa.int64()), d)
         return pa.Table.from_pydict(out, schema=out_schema)
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
@@ -275,7 +284,16 @@ def hopping_counts(
                 "window_us": pa.array([], pa.int64()),
                 key_col: pa.array([], block.schema.field(key_col).type),
             })
-        t = pc.cast(block.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ts = block.column(ts_col)
+        if pc.any(pc.is_null(ts)).as_py():
+            # explicit contract (grouped_rank precedent): a null ts would
+            # otherwise become NaN and die as an opaque ArrowInvalid deep
+            # in the window arithmetic
+            raise ValueError(
+                f"hopping_counts: {ts_col!r} contains nulls — canonicalize "
+                "or filter them upstream"
+            )
+        t = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
         # event at t is in windows with start (t//hop - j)*hop, j in [0, w)
         k_hi = t // hop_us
         starts = (np.repeat(k_hi, w) - np.tile(np.arange(w, dtype=np.int64), n)) * hop_us
@@ -432,10 +450,11 @@ def grouped_string_agg(
     """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key →
     (key, out_col) — the user-journey / path-string aggregate.
 
-    Null values are SKIPPED (SQL string_agg semantics — a null element
-    would otherwise null the whole join); a key whose values are all null
-    aggregates to the empty string only if it still has rows after the
-    filter, else the key is absent (also SQL).
+    Null values are SKIPPED within a key (SQL string_agg semantics — a
+    null element would otherwise null the whole join), and a key whose
+    values are ALL null yields the key with a NULL aggregate — exactly the
+    SQL GROUP BY row (dropping such keys would be a row-count mismatch
+    against any string_agg oracle on null-bearing data).
 
     Key-only range sort colocates each key's rows; per block an in-block C
     sort restores the order, then ONE ListArray re-window over the sorted
@@ -445,14 +464,7 @@ def grouped_string_agg(
     import pyarrow.compute as pc
 
     need = list(dict.fromkeys([key_col, value_col, *order_cols]))
-    s = (
-        ds.select_columns(need)
-        .map_batches(
-            lambda b: b.filter(pc.is_valid(b.column(value_col))),
-            batch_format="pyarrow",
-        )
-        .sort([key_col])
-    )
+    s = ds.select_columns(need).sort([key_col])
 
     def per_block(block: pa.Table) -> pa.Table:
         key_type = block.schema.field(key_col).type
@@ -468,13 +480,28 @@ def grouped_string_agg(
         )
         block = block.take(order)
         k = block.column(key_col).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        offsets = pa.array(np.r_[starts, n], pa.int32())
+        new_run = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_run)
         vals = block.column(value_col)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        lists = pa.ListArray.from_arrays(offsets, vals)
-        joined = pc.binary_join(lists, sep)
+        # skip nulls WITHIN each run (order preserved); runs with zero
+        # valid values join to NULL, not ""
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(new_run) - 1
+        n_runs = len(starts)
+        vcounts = np.bincount(run_id[valid], minlength=n_runs)
+        offsets = pa.array(
+            np.r_[0, np.cumsum(vcounts)].astype(np.int32), pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(
+            offsets, vals.filter(pa.array(valid))
+        )
+        joined = pc.if_else(
+            pa.array(vcounts == 0),
+            pa.scalar(None, pa.string()),
+            pc.binary_join(lists, sep),
+        )
         return pa.Table.from_pydict(
             {key_col: block.column(key_col).take(pa.array(starts, pa.int64())),
              out_col: joined},

@@ -322,6 +322,25 @@ def test_ngram_jaccard_exact_boundary_pair(ray_session):
     ).take_all()
     assert [(r["id_a"], r["id_b"], r["jaccard_r"]) for r in rows] == [(0, 1, 0.8)]
 
+    # the SIZE-filter boundary too: |A|=67 ⊂ |B|=125, J = 67/125 = 0.536
+    # exactly, where fl(67/0.536) = 124.999… — without the epsilon the
+    # size window excludes B and the pair silently vanishes
+    import numpy as np
+    rng = np.random.default_rng(99)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    while True:
+        big = "".join(rng.choice(alpha, 129))
+        shingles = {big[i:i + 5] for i in range(125)}
+        if len(shingles) == 125:
+            break
+    small = big[:71]  # 67 shingles, all ⊂ big's
+    tbl2 = pa.table({"doc_id": [0, 1], "text": [small, big]})
+    rows2 = ngram_jaccard_join(
+        rd.from_arrow(tbl2), threshold=0.536, k=5, num_partitions=2
+    ).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in rows2] == [(0, 1)]
+    assert abs(rows2[0]["jaccard_r"] - 67 / 125) < 1e-9
+
 
 def test_ngram_jaccard_property_random_corpora(ray_session):
     """Property check: the prefix+positional-filtered join equals the O(n²)

@@ -119,8 +119,10 @@ def test_string_agg_skips_nulls_and_rank_rejects_them(ray_session):
     exp = dict(con.execute(
         "SELECT k, string_agg(v, ',' ORDER BY o) FROM t GROUP BY k"
     ).fetchall())
-    # SQL: all-null group -> NULL row; ours: key absent. Compare non-nulls.
-    assert got == {k: v for k, v in exp.items() if v is not None}
+    # EXACT SQL parity including the all-null group: the key stays with a
+    # NULL aggregate (it used to be dropped — a row-count mismatch)
+    assert got == exp
+    assert got[2] is None
 
     bad = pa.Table.from_pydict({
         "k": pa.array([1, 1], pa.int64()),
@@ -172,3 +174,74 @@ def test_extended_windows_edge_cases(ray_session):
         assert (got["lv"] == want["lv"]).all()
         solo = got[got["id"] == 0].iloc[0]
         assert solo["pct_rnk"] == 0.0 and solo["cume"] == 1.0
+
+
+def test_null_semantics_lag_hopping_quantiles_urls(ray_session):
+    """Review fixes: grouped_lag emits NULL (not INT64_MIN garbage) around
+    null values; hopping_counts rejects null timestamps explicitly;
+    quantiles ignore nulls in the rank basis (both engines paths);
+    normalize_urls passes NULL through; grouping sets demand sentinels."""
+    import duckdb
+    import numpy as np
+
+    from knowledgegraph_ray.stages.aggregates import (
+        grouped_quantile, grouped_quantile_histogram, grouping_sets_agg,
+    )
+    from knowledgegraph_ray.stages.textops import normalize_urls
+    from knowledgegraph_ray.stages.windows import grouped_lag, hopping_counts
+
+    # --- grouped_lag: x - lag(x) is NULL when either side is null
+    tbl = pa.Table.from_pydict({
+        "k": pa.array(["a"] * 5, pa.string()),
+        "v": pa.array([10, None, 30, 45, None], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    got = {r["o"]: r["d"] for r in grouped_lag(
+        rd.from_arrow(tbl).repartition(2), key_col="k", order_cols=["o"],
+        value_col="v", out_col="d", id_cols=["o"],
+    ).take_all()}
+    con = duckdb.connect(); con.register("t", tbl)
+    exp = dict(con.execute(
+        "SELECT o, v - lag(v) OVER (PARTITION BY k ORDER BY o) FROM t"
+    ).fetchall())
+    assert got == exp  # {1:None, 2:None, 3:None, 4:15, 5:None}
+
+    # --- hopping_counts: explicit contract on null ts
+    bad = pa.Table.from_pydict({
+        "ts": pa.array([1_000_000, None], pa.timestamp("us")),
+        "event_type": pa.array(["x", "y"], pa.string()),
+    })
+    with pytest.raises(Exception, match="contains nulls"):
+        hopping_counts(rd.from_arrow(bad), width_minutes=60,
+                       hop_minutes=15).take_all()
+
+    # --- quantiles ignore nulls; all-null group → null (hist) / absent (sort)
+    qt = pa.Table.from_pydict({
+        "k": pa.array(["m"] * 15 + ["z"] * 3, pa.string()),
+        "v": pa.array(list(range(10)) + [None] * 5 + [None] * 3, pa.int64()),
+    })
+    con.register("qt", qt)
+    want = dict(con.execute(
+        "SELECT k, quantile_disc(v, 0.9) FROM qt GROUP BY k").fetchall())
+    hist = {r["k"]: r["q"] for r in grouped_quantile_histogram(
+        rd.from_arrow(qt).repartition(3), key_col="k", value_col="v",
+        q_num=9, q_den=10, out_col="q",
+    ).to_pylist()}
+    assert hist == want  # {'m': 8, 'z': None}
+    srt = {r["k"]: r["q"] for r in grouped_quantile(
+        rd.from_arrow(qt).repartition(3), key_col="k", value_col="v",
+        q_num=9, q_den=10, out_col="q",
+    ).take_all()}
+    assert srt == {"m": want["m"]}  # all-null group omitted (documented)
+
+    # --- normalize_urls: NULL passes through as NULL, not ''
+    ub = pa.table({"url": pa.array(
+        ["HTTP://WWW.Ex.com:80/a/", None, "not a url"], pa.string())})
+    out = normalize_urls(ub).column("url_norm").to_pylist()
+    assert out == ["http://ex.com/a", None, "not a url"]
+
+    # --- grouping sets: missing sentinel raises up front with guidance
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x"], pa.string()), "n": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="sentinel"):
+        grouping_sets_agg(ds, ["a"], [["a"], []], sums={"n": "s"})

@@ -206,7 +206,7 @@ def test_normalize_urls_edge_cases():
         "http://host.com:8080/a",         # non-default port kept
         "FTP://WWW.Host.com:443/x",       # ftp: :443 is NOT default -> kept
         "not a url",                      # unparseable -> passthrough
-        None,                             # null -> "" -> passthrough
+        None,                             # null stays null (SQL regexp chains propagate NULL)
         "https://deep.example.org/a/b///",  # multi-slash trim
         "https://example.org",            # empty path stays empty
     ]
@@ -218,7 +218,7 @@ def test_normalize_urls_edge_cases():
         "http://host.com:8080/a",
         "ftp://host.com:443/x",
         "not a url",
-        "",
+        None,
         "https://deep.example.org/a/b",
         "https://example.org",
     ]
