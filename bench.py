@@ -124,6 +124,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     from knowledgegraph_ray.pipelines.queries import QUERIES
 
+    # warm the Ray Data executor once so the FIRST timed query doesn't
+    # absorb session startup (~2-4 s measured) — that cost is Ray's, not
+    # the query's
+    rd.range(1).materialize()
+
     out: dict[str, float] = {}
     for name in (BENCH_QUERY_NAMES or list(QUERIES)):
         t0 = time.monotonic()

@@ -136,8 +136,11 @@ def q_join_agg(sf_dir: str):
     joined = adaptive_join(
         orders, customer, left_keys=["o_custkey"], right_keys=["c_custkey"], how="inner"
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents")
+    from ..stages.aggregates import partial_grouped_agg
+
+    return partial_grouped_agg(
+        joined, ["c_mktsegment"],
+        sums={"price_cents": "sum_cents"}, count_alias="n_orders",
     )
 
 
@@ -1110,14 +1113,9 @@ def q_retention(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     ).map_batches(ym_map, batch_format="pyarrow")
     cohort = partial_grouped_agg(e, ["user_id"], mins={"ym": "cym"})
-    activity = (
-        e.map_batches(
-            lambda b: b.group_by(["user_id", "ym"]).aggregate([]),
-            batch_format="pyarrow",
-        )
-        .groupby(["user_id", "ym"]).aggregate(Count(alias_name="_c"))
-        .select_columns(["user_id", "ym"])
-    )
+    from ..stages.aggregates import distinct_keys
+
+    activity = distinct_keys(e, ["user_id", "ym"])
     j = adaptive_join(activity, cohort, left_keys=["user_id"], how="inner")
 
     def since(b: pa.Table) -> pa.Table:
@@ -1973,11 +1971,11 @@ def _derived_doc_graph(sf_dir: str) -> rd.Dataset:
                       "b": pa.array(hi[keep], pa.int64())})
         return t.group_by(["a", "b"]).aggregate([])
 
-    return (
-        _derived_doc_edges(sf_dir)
-        .map_batches(undirect, batch_format="pyarrow")
-        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
+    from ..stages.aggregates import distinct_keys
+
+    return distinct_keys(
+        _derived_doc_edges(sf_dir).map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"],
     )
 
 
@@ -2266,14 +2264,19 @@ def _kg_result(sf_dir: str):
 
 def q_kg_nodes_by_type(sf_dir: str):
     """Flagship KG build → canonical node histogram (D9)."""
+    from ..stages.aggregates import partial_grouped_agg
+
     res = _kg_result(sf_dir)
-    return res.nodes().groupby("type").aggregate(Count(alias_name="n_nodes"))
+    return partial_grouped_agg(res.nodes(), ["type"], count_alias="n_nodes")
 
 
 def q_kg_edges_by_type(sf_dir: str):
+    from ..stages.aggregates import partial_grouped_agg
+
     res = _kg_result(sf_dir)
-    return res.edges().groupby("type").aggregate(
-        Count(alias_name="n_edges"), Max("strength", alias_name="max_strength")
+    return partial_grouped_agg(
+        res.edges(), ["type"],
+        maxs={"strength": "max_strength"}, count_alias="n_edges",
     )
 
 

@@ -154,13 +154,48 @@ def grouped_count_distinct(
         return block.take(take)
 
     pairs = ds.map_batches(block_distinct_pairs, batch_format="pyarrow")
-    # distinct pairs globally (C hash aggregate), then rows-per-key
-    uniq = pairs.groupby([key_col, value_col]).aggregate(Count(alias_name="_c"))
-    return (
-        uniq.groupby(key_col)
-        .aggregate(Count(alias_name=out_col))
-        .select_columns([key_col, out_col])
-    )
+    # distinct pairs globally (adaptive: zero-CPU task combine while the
+    # per-block-unique pair set is small, Ray groupby past the bound), then
+    # rows-per-key through the same adaptive combine
+    uniq = distinct_keys(pairs, [key_col, value_col])
+    return partial_grouped_agg(
+        uniq, [key_col], count_alias=out_col
+    ).select_columns([key_col, out_col])
+
+
+# One zero-CPU task comfortably combines this many already-map-side-combined
+# partial rows; past it (≈ a few hundred MB of small columns) the Ray
+# groupby's real all-to-all earns its fixed cost.  At 100 TB a high-cardinality
+# key blows past this bound and takes the shuffle path automatically.
+_SMALL_COMBINE_ROWS = 4_000_000
+
+
+def _combine_partials_small(
+    mat: rd.Dataset,
+    keys: list[str],
+    combine_fns: list[tuple[str, str]],
+) -> rd.Dataset:
+    """Final combine of already map-side-combined partial rows in ONE
+    zero-CPU task (concat + C++ hash group_by) — replaces Ray's sort-based
+    groupby exchange, whose ~1–2 s fixed cost (sampling pass + two stage
+    barriers) dominates when the partial set is O(groups × blocks) small
+    (measured sf0.1: 4.2 s → 0.7 s for a 320-partial-row combine).
+    ``combine_fns``: (partial_col, fn) with fn ∈ {sum, min, max} — the
+    caller guarantees sum columns are INTEGER so the combine is exact and
+    order-independent (float sums keep the shuffle path)."""
+    import ray as _ray
+
+    out_names = [c for c, _ in combine_fns]
+    gen = [f"{c}_{fn}" for c, fn in combine_fns]
+
+    @_ray.remote(num_cpus=0)
+    def combine(*tables: pa.Table) -> pa.Table:
+        ts = [t for t in tables if t.num_rows]  # degenerate-schema guard
+        t = pa.concat_tables(ts).combine_chunks()
+        g = t.group_by(keys).aggregate(combine_fns)
+        return g.select(keys + gen).rename_columns(keys + out_names)
+
+    return rd.from_arrow_refs([combine.remote(*mat.to_arrow_refs())])
 
 
 def partial_grouped_agg(
@@ -175,11 +210,18 @@ def partial_grouped_agg(
     """Distributive grouped aggregate with MAP-SIDE combine.
 
     Each block first collapses to one partial row per in-block group
-    (pyarrow C++ hash group_by), so the Ray groupby exchange moves
+    (pyarrow C++ hash group_by), so the final exchange moves
     O(groups × blocks) rows instead of the input row count — the combiner
     pattern every wide aggregate needs at 100 TB.  Only distributive
     aggregates are offered (sum/min/max/count); their partial combine is
-    exact.  ``sums``/``mins``/``maxs`` map source column → output name."""
+    exact.  ``sums``/``mins``/``maxs`` map source column → output name.
+
+    The final combine is ADAPTIVE on the measured partial row count: a
+    small, integer-exact partial set combines in one zero-CPU task
+    (`_combine_partials_small` — no sort shuffle); a large or float-summed
+    one takes the Ray groupby (float sums keep their current summation
+    order; integer sums/mins/maxs/counts are order-independent, so the two
+    paths are bit-identical wherever both apply)."""
     import numpy as np
 
     from ray.data.aggregate import Max, Min, Sum
@@ -211,16 +253,30 @@ def partial_grouped_agg(
         g = block.group_by(keys).aggregate(aggs)
         return g.select(keys + gen_names).rename_columns(keys + out_names)
 
+    mat = ds.map_batches(per_block, batch_format="pyarrow").materialize()
+    n_partial = mat.count()
+    if 0 < n_partial <= _SMALL_COMBINE_ROWS:
+        try:
+            sch = mat.schema(fetch_if_missing=True)
+            types = dict(zip(sch.names, sch.types))
+            sum_cols = list(sums.values()) + ([count_alias] if count_alias else [])
+            ints_only = all(pa.types.is_integer(types[c]) for c in sum_cols)
+        except Exception:
+            ints_only = False
+        if ints_only:
+            combine_fns = [(o, "sum") for o in sums.values()]
+            combine_fns += [(o, "min") for o in mins.values()]
+            combine_fns += [(o, "max") for o in maxs.values()]
+            if count_alias:
+                combine_fns.append((count_alias, "sum"))
+            return _combine_partials_small(mat, keys, combine_fns)
+
     final = [Sum(o, alias_name=o) for o in sums.values()]
     final += [Min(o, alias_name=o) for o in mins.values()]
     final += [Max(o, alias_name=o) for o in maxs.values()]
     if count_alias:
         final.append(Sum(count_alias, alias_name=count_alias))
-    return (
-        ds.map_batches(per_block, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(*final)
-    )
+    return mat.groupby(keys).aggregate(*final)
 
 
 def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
@@ -229,14 +285,21 @@ def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
     then ONE bounded zero-CPU task combines the partials — the same shape
     as the shared broadcast-index build in functions/joins.py.  Correct
     whenever the global distinct-key set fits one task's heap (semi/anti
-    join key sets, dimension keys); at higher cardinality use a groupby —
-    this operator trades generality for removing the sort shuffle."""
+    join key sets, dimension keys); past `_SMALL_COMBINE_ROWS` per-block
+    partials it falls back to the Ray groupby automatically, so the
+    operator is safe at any cardinality."""
     import ray
 
     def per_block(b: pa.Table) -> pa.Table:
         return b.select(keys).group_by(keys).aggregate([])
 
     per = ds.map_batches(per_block, batch_format="pyarrow").materialize()
+    if per.count() > _SMALL_COMBINE_ROWS:
+        return (
+            per.groupby(keys)
+            .aggregate(Count(alias_name="_dk_c"))
+            .select_columns(keys)
+        )
     per_schema = per.schema(fetch_if_missing=True)
     if per_schema is None:
         # fully-empty input (zero blocks survive materialize): derive the
@@ -746,6 +809,17 @@ def _grouped_order_stats(
     B = int(num_bins)
     S = len(rank_fns)
 
+    # ONE materialization of the 2-column slice feeds the base pass AND
+    # every refinement round — the repeated full streams re-read the
+    # object store (spill-backed at scale) instead of re-running the
+    # caller's read+transform lineage each round (skipped when the caller
+    # already hands exactly that materialized slice)
+    if not (
+        isinstance(ds, rd.dataset.MaterializedDataset)
+        and set(ds.columns()) == {key_col, value_col}
+    ):
+        ds = ds.select_columns([key_col, value_col]).materialize()
+
     # rank basis = NON-NULL count (SQL quantile semantics ignore nulls;
     # counting them in n while the histogram bins exclude them either
     # walks a rank past the histogram or shifts every resolved element)
@@ -755,9 +829,7 @@ def _grouped_order_stats(
         )
 
     base = partial_grouped_agg(
-        ds.select_columns([key_col, value_col]).map_batches(
-            add_nn, batch_format="pyarrow"
-        ),
+        ds.map_batches(add_nn, batch_format="pyarrow"),
         [key_col],
         sums={"_nnc": "_n"},
         mins={value_col: "_lo"},
@@ -854,12 +926,20 @@ def _grouped_order_stats(
             return g.select([key_col, "_slot", "_bin", "count_all"]
                             ).rename_columns([key_col, "_slot", "_bin", "_c"])
 
-        counts = (
-            ds.map_batches(bin_counts, batch_format="pyarrow")
-            .groupby([key_col, "_slot", "_bin"])
-            .aggregate(Sum("_c", alias_name="_c"))
-            .take_all()
-        )
+        mapped = ds.map_batches(bin_counts, batch_format="pyarrow").materialize()
+        ck = [key_col, "_slot", "_bin"]
+        if 0 < mapped.count() <= _SMALL_COMBINE_ROWS:
+            # int counts: the zero-CPU task combine is exact and skips the
+            # per-round sort shuffle entirely
+            counts = _combine_partials_small(
+                mapped, ck, [("_c", "sum")]
+            ).take_all()
+        else:
+            counts = (
+                mapped.groupby(ck)
+                .aggregate(Sum("_c", alias_name="_c"))
+                .take_all()
+            )
         # per-slot cumulative walk (O(groups x slots x bins) driver work)
         per_slot: dict = {}
         for r in counts:

@@ -267,14 +267,15 @@ def exact_dedup_groups(
     """→ (fingerprint, keep_id, n_dups): md5 content groups, keeping the
     minimum id per group (hash-partitioned groupby; first-wins semantics like
     the reference's entity merge base item)."""
+    from ..stages.aggregates import partial_grouped_agg
+
     fp = ds.map_batches(
         lambda b: add_md5_fingerprint(b, text_col).select(["fingerprint", id_col]),
         batch_format="pyarrow",
     )
-    agg = fp.groupby("fingerprint").aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    return partial_grouped_agg(
+        fp, ["fingerprint"], mins={id_col: "keep_id"}, count_alias="n_dups"
     )
-    return agg
 
 
 def exact_dedup(
@@ -630,12 +631,10 @@ def ngram_jaccard_join(
     def _dedup_survivors(verified: rd.Dataset) -> rd.Dataset:
         # duplicate survivors (same pair via several prefix runs) carry the
         # IDENTICAL floor-canonicalized jaccard_r (deterministic kernel), so
-        # grouping by all three columns is an exact dedup
-        return (
-            verified.groupby(["id_a", "id_b", "jaccard_r"])
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"])
-        )
+        # distinct over all three columns is an exact dedup
+        from ..stages.aggregates import distinct_keys
+
+        return distinct_keys(verified, ["id_a", "id_b", "jaccard_r"])
 
     # Verify mode selection.  Candidate counts are quadratic in hot-shingle
     # run lengths (low-vocabulary/template corpora approach all-pairs), so

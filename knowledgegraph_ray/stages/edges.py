@@ -133,8 +133,12 @@ def _loser_mids_distributed(proj: rd.Dataset):
         )
 
     proj = proj.map_batches(as_i64, batch_format="pyarrow")
-    agg = proj.groupby([PREHASH_COL, "h2"]).aggregate(
-        Max("mid", alias_name="max_mid"), Count(alias_name="n")
+    from .aggregates import partial_grouped_agg
+
+    # adaptive combine: max/count are order-independent, so the zero-CPU
+    # task path is exact; high-cardinality key sets fall back to the groupby
+    agg = partial_grouped_agg(
+        proj, [PREHASH_COL, "h2"], maxs={"mid": "max_mid"}, count_alias="n"
     )
     dup_tbl = _dataset_to_table(agg.filter(expr="n > 1").materialize())
     if dup_tbl.num_rows == 0:

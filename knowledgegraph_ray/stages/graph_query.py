@@ -100,9 +100,10 @@ def relations(edges, name: str, direction: str = "both", limit: int = 20):
 def stats(nodes, edges) -> dict:
     """DB statistics (D9): node count per type (count desc), total edges."""
     nd, ed = _ds(nodes), _ds(edges)
+    from .aggregates import partial_grouped_agg
+
     by_type = (
-        nd.groupby("type")
-        .aggregate(Count(alias_name="n"))
+        partial_grouped_agg(nd, ["type"], count_alias="n")
         .sort("n", descending=True)
         .take_all()
     )
@@ -370,11 +371,12 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         t = pa.Table.from_arrays([lo, hi], names=["a", "b"])
         return t.group_by(["a", "b"]).aggregate([])
 
-    e = (
-        ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
+    # global distinct via the adaptive combine (zero-CPU task when the
+    # distinct edge set is small, Ray groupby past _SMALL_COMBINE_ROWS)
+    from .aggregates import distinct_keys
+
+    e = distinct_keys(
+        ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
     )
     def _ends(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -550,12 +552,11 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
         )
         return t.group_by(["u", "v"]).aggregate([])
 
-    e = (
-        ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    from .aggregates import distinct_keys
+
+    e = distinct_keys(
+        ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
 
     if e.count() <= small_graph_edges:
         return _label_propagation_local(e, rounds)

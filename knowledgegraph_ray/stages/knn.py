@@ -287,9 +287,10 @@ def neardup_pairs_lsh(
         .sort("bkey")
         .map_batches(verify_runs, batch_format="pyarrow", batch_size=None)
     )
-    from ray.data.aggregate import Min
+    from .aggregates import partial_grouped_agg
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("cos_r", alias_name="cos_r"))
+    # min is order-independent, so the adaptive combine is exact here
+    return partial_grouped_agg(cand, ["id_a", "id_b"], mins={"cos_r": "cos_r"})
 
 
 # ---------------------------------------------------------------------------

@@ -333,14 +333,11 @@ def scored_candidate_pairs(
         .map_batches(verify_block, batch_format="pyarrow", batch_size=None)
     )
     # cross-block dedup (a pair found by bands landing in different sort
-    # blocks); survivors are tiny relative to the mention count
-    from ray.data.aggregate import Count
+    # blocks); survivors are tiny relative to the mention count —
+    # adaptive distinct (zero-CPU task combine, groupby past the bound)
+    from .aggregates import distinct_keys
 
-    return (
-        verified.groupby(["mid_a", "mid_b", "cos_r"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    return distinct_keys(verified, ["mid_a", "mid_b", "cos_r"])
 
 
 def alias_dict_pairs(batch: pa.Table) -> pa.Table:

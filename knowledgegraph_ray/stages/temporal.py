@@ -110,9 +110,6 @@ def asof_join(
     tagged = lt.map_batches(tag_left, batch_format="pyarrow").union(
         rt.map_batches(tag_right, batch_format="pyarrow")
     )
-    # Key-only sort: range partitioning colocates every row of a key in one
-    # block; (ts, side, ord) order is restored in-block below.
-    s = tagged.sort(["_k"])
 
     def per_block(block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -152,7 +149,23 @@ def asof_join(
             cols[c] = sorted_tbl.column("r_" + c).take(take_idx)
         return pa.Table.from_pydict(cols).cast(out_schema)
 
-    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+    # Exchange: key-hash map/reduce (grouped_apply exchange="hash") instead
+    # of Ray's range sort — per_block only needs every row of a key in ONE
+    # block (its own lexsort restores (k, ts, side, ord) order and the
+    # key-membership check guards cross-key fills), so the sort's sampling
+    # pass and sorted-run merge-concats buy nothing.  Measured sf0.1:
+    # 3.4–6.6 s → ~1.5 s on identical output.
+    from .canonicalize import grouped_apply
+
+    return grouped_apply(
+        tagged,
+        ["_k"],
+        None,
+        out_schema,
+        hash_sort=True,
+        block_fn=lambda b, _starts: per_block(b),
+        exchange="hash",
+    )
 
 
 def range_join(
