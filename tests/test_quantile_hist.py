@@ -303,3 +303,60 @@ def test_grouping_sets_regimes_exactly_equal(ray_session):
         ds, ["k1", "k2"], sets, small_result_rows=0, **kwargs).take_all()}
     assert local == dist
     assert len(local) == 6 + 3 + 2 + 1
+
+
+def test_adaptive_combine_paths_equal(ray_session, monkeypatch):
+    """The two final-combine implementations in partial_grouped_agg /
+    distinct_keys (zero-CPU task vs Ray groupby) must agree exactly —
+    integer sums / min / max / count are order-independent, so the paths
+    are interchangeable; the threshold only picks which one runs.  Also
+    pins the guards: float sums refuse the task path, and the >threshold
+    fallback (the 100-TB cardinality path) produces the same rows."""
+    import knowledgegraph_ray.stages.aggregates as agg
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    # NOTE: keys are non-null by test design — Ray's sort-based groupby
+    # (the fallback path) cannot sort null string keys (numpy None < str
+    # TypeError, a pre-existing Ray limitation); the task path happens to
+    # handle them via pyarrow group_by, but the engine contract is
+    # "canonicalize null keys upstream", same as every sort-colocating op
+    tbl = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "v": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+        "f": pa.array(rng.normal(size=n), pa.float64()),
+        "s": pa.array(rng.choice(["x", "yy", "zzz"], n)),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    kwargs = dict(
+        sums={"v": "sv"}, mins={"s": "smin"}, maxs={"v": "vmax"},
+        count_alias="n",
+    )
+
+    def rows(d):
+        return {tuple(sorted(r.items())) for r in d.take_all()}
+
+    task_path = rows(agg.partial_grouped_agg(ds, ["k"], **kwargs))
+    monkeypatch.setattr(agg, "_SMALL_COMBINE_ROWS", 0)
+    shuffle_path = rows(agg.partial_grouped_agg(ds, ["k"], **kwargs))
+    monkeypatch.undo()
+    assert task_path == shuffle_path and len(task_path) == 4
+
+    # float sums must take the shuffle path even when tiny (summation-order
+    # parity): result must still be correct to float tolerance
+    fl = agg.partial_grouped_agg(ds, ["k"], sums={"f": "sf"}).take_all()
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = dict(con.execute("SELECT k, sum(f) FROM t GROUP BY k").fetchall())
+    got = {r["k"]: r["sf"] for r in fl}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+    # distinct_keys: fallback (threshold 0) equals the task path
+    dk_task = rows(agg.distinct_keys(ds, ["k", "s"]))
+    monkeypatch.setattr(agg, "_SMALL_COMBINE_ROWS", 0)
+    dk_shuffle = rows(agg.distinct_keys(ds, ["k", "s"]))
+    monkeypatch.undo()
+    assert dk_task == dk_shuffle and len(dk_task) == 12
