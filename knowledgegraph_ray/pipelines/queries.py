@@ -1771,6 +1771,37 @@ def q_chunk_windows(sf_dir: str):
     )
 
 
+def q_token_shards(sf_dir: str):
+    """Token-budget sharding (the sequence-packing / token-balanced-export
+    front-end): docs in doc_id order, shard = exclusive-prefix-sum of
+    n_tokens // 4096 — contiguous shards of ~equal TOKEN (not doc) count,
+    built on the distributed block-offset prefix sum
+    (stages/windows.ordered_prefix_sum: per-block sums to the driver —
+    O(blocks) ints, the only cross-block exchange — then one in-block
+    vectorized cumsum + offset).  Integer arithmetic throughout, so the
+    SQL window mirror is bit-exact."""
+    from ..stages.textops import add_token_count
+    from ..stages.windows import ordered_prefix_sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    run = ordered_prefix_sum(
+        docs, order_col="doc_id", value_col="n_tokens", out_col="cum_tokens"
+    )
+
+    def shard(b: pa.Table) -> pa.Table:
+        cum = b.column("cum_tokens")
+        n = b.column("n_tokens")
+        # exclusive prefix // budget: a doc starts its shard, never splits
+        return b.append_column(
+            "shard", pc.divide(pc.subtract(cum, n), pa.scalar(4096, pa.int64()))
+        )
+
+    return run.map_batches(shard, batch_format="pyarrow")
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment over the corpus —
     the reproducible-partitioning primitive every training pipeline needs
@@ -3556,6 +3587,20 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(a[k*32+1 : k*32+64], ' ') AS chunk
         FROM tok, unnest(range(0, (len(a) + 31) // 32)) AS t(k)
     """,
+    # token-budget shards: exclusive running token total // 4096 — the
+    # SUM window is HUGEINT in DuckDB, cast back to BIGINT for schema parity
+    "q_token_shards": """
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                 AS cum_tokens,
+               CAST((CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                     - n_tokens) // 4096 AS BIGINT) AS shard
+        FROM t
+    """,
     # 90/5/5 split assignment: same md5 bucket as the samplers, cumulative
     # integer cutoffs (90·1e6/100, 95·1e6/100)
     "q_split_assign": """
@@ -3664,6 +3709,7 @@ QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_split_assign": q_split_assign,
     "q_chunk_windows": q_chunk_windows,
+    "q_token_shards": q_token_shards,
     "q_ngram_jaccard_1k": q_ngram_jaccard_1k,
     "q_pii_mask": q_pii_mask,
     "q_gopher_quality": q_gopher_quality,

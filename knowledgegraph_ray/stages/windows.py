@@ -509,3 +509,117 @@ def grouped_string_agg(
         )
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+# below this row count the whole prefix sum runs in ONE zero-CPU task
+# (sort_by + cumsum): the range sort's fixed cost dwarfs an in-task C sort
+_PREFIX_SUM_DRIVER_ROWS = 1 << 20
+
+
+def ordered_prefix_sum(
+    ds: rd.Dataset,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    presorted: bool = False,
+) -> rd.Dataset:
+    """GLOBAL running total: SQL ``SUM(value) OVER (ORDER BY order_col)``
+    with no partition — the distributed prefix-sum primitive (token-budget
+    sharding, cumulative quota cutoffs, offset assignment).
+
+    Classic two-phase block-offset construction: after a range sort on
+    ``order_col`` (skipped when ``presorted``), phase 1 computes each
+    block's value sum in a zero-CPU task (O(blocks) driver state — the ONLY
+    cross-block exchange), phase 2 adds each block's exclusive offset to an
+    in-block vectorized cumsum.  Work O(rows), exchange O(blocks); at 100 TB
+    the offsets are one int per block.
+
+    ``order_col`` must be UNIQUE (a doc/row id): equal order values that
+    straddle a block boundary would make the running total depend on block
+    layout.  The cumulative sum is inclusive (SQL default frame
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW over unique keys ≡ ROWS).
+    Values must be non-null int64; sums are exact.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    if not presorted:
+        pre = ds.materialize()
+        if pre.count() <= _PREFIX_SUM_DRIVER_ROWS:
+            # small-data regime: ONE zero-CPU task sorts and scans — the
+            # range sort's fixed cost (sampling + barriers) dwarfs a
+            # million-row in-task C sort (same rule as the small-graph
+            # PageRank/LPA regimes); identical output, bit-exact int sums
+            @ray.remote(num_cpus=0)
+            def small(*tables: pa.Table) -> pa.Table:
+                ts = [t for t in tables if t.num_rows]
+                if not ts:
+                    sch = pa.schema(
+                        list(tables[0].schema)
+                        + [pa.field(out_col, pa.int64())]
+                    )
+                    return sch.empty_table()
+                t = pa.concat_tables(ts).combine_chunks().sort_by(order_col)
+                col = t.column(value_col)
+                if pc.any(pc.is_null(col)).as_py():
+                    raise ValueError(
+                        f"ordered_prefix_sum: {value_col!r} contains nulls"
+                        " — canonicalize or filter them upstream"
+                    )
+                v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    out_col, pa.array(np.cumsum(v, dtype=np.int64), pa.int64())
+                )
+
+            prefs = pre.to_arrow_refs()
+            if not prefs:
+                base = ds.schema(fetch_if_missing=True).base_schema
+                return rd.from_arrow(
+                    pa.schema(
+                        list(base) + [pa.field(out_col, pa.int64())]
+                    ).empty_table()
+                )
+            return rd.from_arrow_refs([small.remote(*prefs)])
+        ds = pre
+
+    s = ds if presorted else ds.sort([order_col])
+    mat = s.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        base = ds.schema(fetch_if_missing=True).base_schema
+        return rd.from_arrow(
+            pa.schema(
+                list(base) + [pa.field(out_col, pa.int64())]
+            ).empty_table()
+        )
+
+    @ray.remote(num_cpus=0)
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        col = t.column(value_col)
+        if pc.any(pc.is_null(col)).as_py():
+            raise ValueError(
+                f"ordered_prefix_sum: {value_col!r} contains nulls — "
+                "canonicalize or filter them upstream"
+            )
+        return int(pc.sum(col).as_py())
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.r_[np.int64(0), np.cumsum(sums, dtype=np.int64)[:-1]]
+
+    @ray.remote(num_cpus=0)
+    def block_cumsum(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        v = pc.cast(t.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        run = np.cumsum(v, dtype=np.int64) + np.int64(off)
+        return t.append_column(out_col, pa.array(run, pa.int64()))
+
+    return rd.from_arrow_refs(
+        [block_cumsum.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

@@ -245,3 +245,59 @@ def test_null_semantics_lag_hopping_quantiles_urls(ray_session):
         "a": pa.array(["x"], pa.string()), "n": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError, match="sentinel"):
         grouping_sets_agg(ds, ["a"], [["a"], []], sums={"n": "s"})
+
+
+def test_ordered_prefix_sum(ray_session):
+    """Global running total: matches the SQL window exactly at every
+    partition layout; presorted path agrees; null values rejected with the
+    explicit contract; empty input yields a typed empty table."""
+    import duckdb
+
+    from knowledgegraph_ray.stages.windows import ordered_prefix_sum
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 500, n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "v": pa.array(vals)})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = dict(con.execute(
+        "SELECT doc_id, CAST(SUM(v) OVER (ORDER BY doc_id) AS BIGINT) FROM t"
+    ).fetchall())
+
+    import knowledgegraph_ray.stages.windows as win
+
+    for parts in (1, 3, 16):
+        for thr in (1 << 20, 0):  # small-data driver regime AND scale path
+            monkey = pytest.MonkeyPatch()
+            monkey.setattr(win, "_PREFIX_SUM_DRIVER_ROWS", thr)
+            try:
+                got = {r["doc_id"]: r["run"] for r in ordered_prefix_sum(
+                    rd.from_arrow(tbl).repartition(parts),
+                    order_col="doc_id", value_col="v", out_col="run",
+                ).take_all()}
+            finally:
+                monkey.undo()
+            assert got == exp, (parts, thr)
+
+    # presorted path (input already globally ordered across blocks)
+    srt = tbl.sort_by("doc_id")
+    got = {r["doc_id"]: r["run"] for r in ordered_prefix_sum(
+        rd.from_arrow(srt), order_col="doc_id", value_col="v",
+        out_col="run", presorted=True,
+    ).take_all()}
+    assert got == exp
+
+    # null values: explicit error, not NaN arithmetic
+    bad = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "v": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="contains nulls"):
+        ordered_prefix_sum(rd.from_arrow(bad), order_col="doc_id",
+                           value_col="v").take_all()
+
+    # empty input: typed empty result with the appended column
+    empty = tbl.schema.empty_table()
+    out = ordered_prefix_sum(rd.from_arrow(empty), order_col="doc_id",
+                             value_col="v", out_col="run")
+    assert out.count() == 0
