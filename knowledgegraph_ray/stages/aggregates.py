@@ -71,16 +71,14 @@ def grouped_quantile(
     Same shape as every exact order statistic here: ONE key-only range sort
     colocates groups, in-block C sort + run-boundary index math.  Null
     values are ignored (SQL quantile semantics); a group whose values are
-    ALL null is omitted from the output."""
+    ALL null yields the key with a NULL quantile — exactly the SQL
+    GROUP BY row (and the histogram path's behavior).  Nulls ride the
+    sort with an INT64_MAX fill so they land at each run's tail; the
+    rank is taken over the run's NON-NULL count, so the fill can never
+    be selected (a genuine INT64_MAX value ties with the fill — both are
+    the same value, so the pick is still correct)."""
     out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
-    s = (
-        ds.select_columns([key_col, value_col])
-        .map_batches(
-            lambda b: b.filter(pc.is_valid(b.column(value_col))),
-            batch_format="pyarrow",
-        )
-        .sort([key_col])
-    )
+    s = ds.select_columns([key_col, value_col]).sort([key_col])
 
     def per_block(block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -91,20 +89,24 @@ def grouped_quantile(
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = pc.cast(block.column(value_col), pa.int64()).to_numpy(
+        vcol = pc.cast(block.column(value_col), pa.int64())
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(vcol, np.iinfo(np.int64).max).to_numpy(
             zero_copy_only=False
         )
         order = np.lexsort((vals, codes))
         cs, vs = codes[order], vals[order]
         starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
-        ends = np.r_[starts[1:], n]
-        sizes = ends - starts
-        # ceil(q*n) - 1 in exact ints: -(-q_num*n // q_den) - 1
-        q_idx = -(-(q_num * sizes) // q_den) - 1
+        nn = np.add.reduceat(valid[order].astype(np.int64), starts)
+        # ceil(q*nn) - 1 in exact ints over the NON-NULL run prefix
+        q_idx = np.maximum(-(-(q_num * nn) // q_den) - 1, 0)
         keys = enc.dictionary.take(pa.array(cs[starts], pa.int64()))
+        picked = pa.array(vs[starts + q_idx], pa.int64())
         return pa.Table.from_pydict(
             {key_col: pc.cast(keys, pa.string()),
-             out_col: pa.array(vs[starts + q_idx], pa.int64())},
+             out_col: pc.if_else(
+                 pa.array(nn == 0), pa.scalar(None, pa.int64()), picked
+             )},
             schema=out_schema,
         )
 
@@ -182,20 +184,23 @@ def _combine_partials_small(
     (measured sf0.1: 4.2 s → 0.7 s for a 320-partial-row combine).
     ``combine_fns``: (partial_col, fn) with fn ∈ {sum, min, max} — the
     caller guarantees sum columns are INTEGER so the combine is exact and
-    order-independent (float sums keep the shuffle path)."""
+    order-independent (float sums keep the shuffle path).  An EMPTY
+    ``combine_fns`` makes this a pure distinct over ``keys``.  Refs ship
+    as ONE list argument (resolved in-task): at 10^5+ blocks an unpacked
+    arg list is its own overhead."""
     import ray as _ray
 
     out_names = [c for c, _ in combine_fns]
     gen = [f"{c}_{fn}" for c, fn in combine_fns]
 
     @_ray.remote(num_cpus=0)
-    def combine(*tables: pa.Table) -> pa.Table:
-        ts = [t for t in tables if t.num_rows]  # degenerate-schema guard
+    def combine(refs: list) -> pa.Table:
+        ts = [t for t in _ray.get(refs) if t.num_rows]  # degenerate-schema guard
         t = pa.concat_tables(ts).combine_chunks()
         g = t.group_by(keys).aggregate(combine_fns)
         return g.select(keys + gen).rename_columns(keys + out_names)
 
-    return rd.from_arrow_refs([combine.remote(*mat.to_arrow_refs())])
+    return rd.from_arrow_refs([combine.remote(list(mat.to_arrow_refs()))])
 
 
 def partial_grouped_agg(
@@ -313,20 +318,14 @@ def distinct_keys(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
         )
         schema = pa.schema([base.field(k) for k in keys])
         return rd.from_arrow(schema.empty_table())
-    schema = per_schema.base_schema
-    refs = per.to_arrow_refs()
-
-    @ray.remote(num_cpus=0)
-    def combine(refs: list) -> pa.Table:
-        # refs arrive as a list of ObjectRefs (nested refs are not
-        # auto-resolved); fetch zero-copy from the local object store
-        tbls = [t for t in ray.get(refs) if t.num_rows]
-        if not tbls:
-            return schema.empty_table()
-        t = pa.concat_tables(tbls).combine_chunks()
-        return t.group_by(keys).aggregate([])
-
-    return rd.from_arrow_refs([combine.remote(refs)])
+    if per.count() == 0:
+        schema = per_schema.base_schema
+        return rd.from_arrow(
+            pa.schema([schema.field(k) for k in keys]).empty_table()
+        )
+    # same zero-CPU combine as every small final combine (empty fn list =
+    # pure distinct)
+    return _combine_partials_small(per, keys, [])
 
 
 # ---------------------------------------------------------------------------
@@ -896,15 +895,19 @@ def _grouped_order_stats(
             if not any_act:
                 return empty
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            v = pc.cast(t.column(value_col), pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
+            # null-safe int64 extraction: a bare to_numpy on a null-bearing
+            # column degrades the WHOLE array to float64 (NaN slots), and
+            # float64 silently rounds values past 2^53 — mask + fill keeps
+            # every non-null value exact int64 (same fix as grouped_lag)
+            vcol = pc.cast(t.column(value_col), pa.int64())
+            v_ok = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
             parts = []
             for s in range(S):
                 if not act[s].any():
                     continue
                 lo_r, hi_r = los[s][codes], his[s][codes]
-                m = act[s][codes] & (v >= lo_r) & (v <= hi_r)
+                m = act[s][codes] & v_ok & (v >= lo_r) & (v <= hi_r)
                 if not m.any():
                     continue
                 width = hi_r[m] - lo_r[m] + 1

@@ -568,11 +568,17 @@ def ngram_jaccard_join(
             z_s = ns[s:e][order]
             id_s = ids[s:e][order]
             rem_s = rem[s:e][order]
-            # same epsilon rationale as the overlap bound below: never let
-            # float division round the size ceiling DOWN past the exact
-            # rational bound — jaccard == threshold exactly (e.g. 67/125 at
-            # t=0.536: fl(67/0.536) = 124.999…) must stay a candidate
-            hi_b = np.searchsorted(z_s, z_s / threshold + 1e-9, side="right")
+            # never let float division round the size ceiling DOWN past the
+            # exact rational bound — jaccard == threshold exactly (e.g.
+            # 67/125 at t=0.536: fl(67/0.536) = 124.999…) must stay a
+            # candidate.  The bump is RELATIVE (4e-16 ≈ 2 ulps) plus a tiny
+            # absolute term: a constant 1e-9 alone is smaller than one ulp
+            # once z/t exceeds ~2^23, silently re-dropping boundary pairs on
+            # large shingle sets; over-admission is harmless (exact verify)
+            bound = z_s / threshold
+            hi_b = np.searchsorted(
+                z_s, bound * (1.0 + 4e-16) + 1e-9, side="right"
+            )
             c = np.maximum(hi_b - np.arange(L) - 1, 0)
             csum = np.zeros(L + 1, np.int64)
             np.cumsum(c, out=csum[1:])

@@ -547,6 +547,16 @@ def ordered_prefix_sum(
 
     if not presorted:
         pre = ds.materialize()
+        if pre.count() == 0:
+            # typed empty result derived from the INPUT schema — a block of
+            # pre can be a degenerate column-less pass-through, so the
+            # in-task tables are not a safe schema source
+            base = ds.schema(fetch_if_missing=True).base_schema
+            return rd.from_arrow(
+                pa.schema(
+                    list(base) + [pa.field(out_col, pa.int64())]
+                ).empty_table()
+            )
         if pre.count() <= _PREFIX_SUM_DRIVER_ROWS:
             # small-data regime: ONE zero-CPU task sorts and scans — the
             # range sort's fixed cost (sampling + barriers) dwarfs a
@@ -554,13 +564,8 @@ def ordered_prefix_sum(
             # PageRank/LPA regimes); identical output, bit-exact int sums
             @ray.remote(num_cpus=0)
             def small(*tables: pa.Table) -> pa.Table:
+                # count() > 0 upstream guarantees a non-empty survivor
                 ts = [t for t in tables if t.num_rows]
-                if not ts:
-                    sch = pa.schema(
-                        list(tables[0].schema)
-                        + [pa.field(out_col, pa.int64())]
-                    )
-                    return sch.empty_table()
                 t = pa.concat_tables(ts).combine_chunks().sort_by(order_col)
                 col = t.column(value_col)
                 if pc.any(pc.is_null(col)).as_py():

@@ -215,7 +215,7 @@ def test_null_semantics_lag_hopping_quantiles_urls(ray_session):
         hopping_counts(rd.from_arrow(bad), width_minutes=60,
                        hop_minutes=15).take_all()
 
-    # --- quantiles ignore nulls; all-null group → null (hist) / absent (sort)
+    # --- quantiles ignore nulls; all-null group → (key, NULL) on BOTH paths
     qt = pa.Table.from_pydict({
         "k": pa.array(["m"] * 15 + ["z"] * 3, pa.string()),
         "v": pa.array(list(range(10)) + [None] * 5 + [None] * 3, pa.int64()),
@@ -232,7 +232,23 @@ def test_null_semantics_lag_hopping_quantiles_urls(ray_session):
         rd.from_arrow(qt).repartition(3), key_col="k", value_col="v",
         q_num=9, q_den=10, out_col="q",
     ).take_all()}
-    assert srt == {"m": want["m"]}  # all-null group omitted (documented)
+    assert srt == want  # {'m': 8, 'z': None} — both engines, both paths
+
+    # --- huge int64 values + nulls in ONE block: bin math must stay exact
+    # (a bare to_numpy on a null-bearing column degrades to float64, which
+    # rounds past 2^53 — 2^60+2 would come back as a multiple of 512)
+    big = pa.Table.from_pydict({
+        "k": pa.array(["g"] * 6, pa.string()),
+        "v": pa.array([2**60 + 3, 2**60 + 1, None, 2**60 + 2, None,
+                       2**60 + 5], pa.int64()),
+    })
+    con.register("bt", big)
+    wantb = con.execute("SELECT quantile_disc(v, 0.5) FROM bt").fetchone()[0]
+    gotb = grouped_quantile_histogram(
+        rd.from_arrow(big), key_col="k", value_col="v",
+        q_num=1, q_den=2, out_col="q",
+    ).to_pylist()[0]["q"]
+    assert gotb == wantb == 2**60 + 2
 
     # --- normalize_urls: NULL passes through as NULL, not ''
     ub = pa.table({"url": pa.array(
