@@ -2114,6 +2114,19 @@ def q_connected_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction over the shared derived doc graph:
+    top-50 NON-adjacent pairs by shared-neighbor count, total-ordered by
+    (cn desc, u, w) so the boundary tie class resolves identically in both
+    engines.  Wedges are charged to their center through the hash
+    exchange; pair counts use the map-side-combined grouped count; the
+    adjacency anti-join is the marker-column left join (q_anti_join's
+    shape).  The DuckDB oracle is the direct adjacency self-join."""
+    from ..stages.graph_query import link_predict_common_neighbors
+
+    return link_predict_common_neighbors(_derived_doc_edges(sf_dir), k=50)
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -3079,6 +3092,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
         FROM d GROUP BY deg
     """,
+    "q_link_predict": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        adj AS (
+          SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e
+        ),
+        cn AS (
+          SELECT x.nb AS u, y.nb AS w, CAST(count(*) AS BIGINT) AS cn
+          FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
+          GROUP BY 1, 2
+        )
+        SELECT cn.u, cn.w, cn.cn FROM cn
+        LEFT JOIN e ON cn.u = e.a AND cn.w = e.b
+        WHERE e.a IS NULL
+        ORDER BY cn.cn DESC, cn.u, cn.w LIMIT 50
+    """,
     "q_connected_components": """
         WITH RECURSIVE comp(doc_id, comp) AS (
           SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
@@ -3701,6 +3741,7 @@ QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_triangles": q_triangles,
     "q_connected_components": q_connected_components,
+    "q_link_predict": q_link_predict,
     "q_degree_hist": q_degree_hist,
     "q_assortativity": q_assortativity,
     "q_intra_doc_repetition": q_intra_doc_repetition,

@@ -726,3 +726,62 @@ def test_ego_subgraph_matches_reference(ray_session):
         rd.from_arrow(tbl2).repartition(4), [0], k=2, src="u", dst="v"
     ).take_all()}
     assert got2 == {(ids[u], ids[v]) for u, v in want}
+
+
+def test_link_predict_matches_brute_force(ray_session):
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import (
+        link_predict_common_neighbors,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 60
+    E = {(int(min(a, b)), int(max(a, b)))
+         for a, b in rng.integers(0, n, (220, 2)) if a != b}
+    adj = {i: set() for i in range(n)}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = {}
+    for u, w in itertools.combinations(range(n), 2):
+        if (u, w) in E:
+            continue
+        c = len(adj[u] & adj[w])
+        if c:
+            scores[(u, w)] = c
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want = [(u, w, c) for (u, w), c in want]
+    assert want and want[0][2] >= 2
+
+    tbl = pa.table({"src": [a for a, b in sorted(E)],
+                    "dst": [b for a, b in sorted(E)]})
+    for parts in (1, 4):
+        got = link_predict_common_neighbors(
+            rd.from_arrow(tbl).repartition(parts), k=25
+        ).to_pandas()
+        assert [tuple(r) for r in got[["u", "w", "cn"]].itertuples(index=False)] == want, parts
+
+    # reversed duplicates and self loops collapse in canonicalization
+    noisy = pa.table({
+        "src": ([a for a, b in sorted(E)] + [b for a, b in sorted(E)] + [3]),
+        "dst": ([b for a, b in sorted(E)] + [a for a, b in sorted(E)] + [3]),
+    })
+    got = link_predict_common_neighbors(rd.from_arrow(noisy), k=25).to_pandas()
+    assert [tuple(r) for r in got[["u", "w", "cn"]].itertuples(index=False)] == want
+
+    # max_degree skew guard: a star hub's wedges vanish when the cap
+    # excludes the hub, so no leaf pair is predicted
+    star = pa.table({"src": [0] * 12, "dst": list(range(1, 13))})
+    uncapped = link_predict_common_neighbors(
+        rd.from_arrow(star), k=100
+    ).to_pandas()
+    assert len(uncapped) == 12 * 11 // 2 and set(uncapped["cn"]) == {1}
+    capped = link_predict_common_neighbors(
+        rd.from_arrow(star), k=100, max_degree=5
+    ).to_pandas()
+    assert len(capped) == 0
