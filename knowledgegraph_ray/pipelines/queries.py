@@ -2347,6 +2347,17 @@ def q_kmeans(sf_dir: str):
     return knn_mod.kmeans_assign_counts(ds, cents).sort("cid")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): semantic dedup of the embeddings table
+    — k-means clustering then within-cluster cosine pruning (keep the
+    lowest vec_id of every duplicate set).  Pairwise work confined to
+    clusters: Σ|c|² compute instead of n²; hash exchange on cid."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_mod.semdedup(ds, k=8, tau=NEARDUP_THRESHOLD).sort("id")
+
+
 def q_kg_pagerank(sf_dir: str):
     """Entity importance: distributed PageRank over the flagship KG
     (iterative graph algorithm; broadcast node vector + distributed edge
@@ -3790,6 +3801,7 @@ QUERIES = {
     "q_ivf_knn": q_ivf_knn,
     "q_hnsw_knn": q_hnsw_knn,
     "q_kmeans": q_kmeans,
+    "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
@@ -3843,6 +3855,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kmeans": [
         "tests/test_dedup_knn.py::test_kmeans_recovers_separated_blobs",
+    ],
+    "q_semdedup": [
+        "tests/test_semdedup.py::test_semdedup_matches_bruteforce",
+        "tests/test_semdedup.py::test_semdedup_partition_invariance",
+        "tests/test_semdedup.py::test_q_semdedup_contract",
     ],
     "q_neardup_lsh": [
         "tests/test_dedup_knn.py::test_neardup_lsh_subset_of_exact_with_high_recall",

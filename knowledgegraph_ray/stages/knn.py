@@ -644,3 +644,100 @@ def cross_neardup(
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def semdedup(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    tau: float = 0.95,
+    iters: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + WITHIN-cluster cosine pruning — the scale answer
+    to `allpairs_cosine_threshold`'s O(n²): pairwise work is confined to
+    clusters, so total compute is Σ|c|² with k chosen so clusters stay
+    small (the paper runs k≈10⁵ on LAION; here k scales with the caller).
+
+    Deterministic keep rule (the paper keeps one exemplar per duplicate
+    set; the exemplar choice varies by implementation): item j is DROPPED
+    iff some item i with LOWER id in the SAME cluster has cos(i, j) ≥ tau
+    — keep-first in id order, the same first-wins contract as
+    `exact_dedup` (reference D3 base-item semantics).  The rule is a pure
+    function of the (cluster, id, vector) sets: no dependence on block or
+    scan order, so partition counts cannot change the answer.
+
+    Distributed shape: `kmeans_fit` (fused assign+partial-sum iterations,
+    O(k×blocks) exchange) → one assign map pass → hash exchange on cid
+    (`grouped_apply`) → per-cluster vectorized upper-triangle max.  Skew:
+    a cluster of size c costs c² — at corpus scale pick k ∝ n/(target
+    cluster size); the per-cluster matmul is blockwise (8k rows) so memory
+    stays bounded even on a fat cluster.
+
+    → Dataset (id, cid:int32, keep:bool), one row per input row.
+    """
+    from .canonicalize import grouped_apply
+
+    # materialize ONCE: kmeans_fit streams the rows `iters` times and the
+    # assign pass once more — a lazy input would re-run its read lineage
+    # per pass (kmeans_fit's own materialize() of this is then a no-op)
+    ds = ds.materialize()
+    cent = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, seed=seed)
+    c_ref = ray.put(np.asarray(cent, dtype=np.float64))
+
+    id_t = ds.schema().base_schema.field(id_col).type
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        E = _batch_matrix(batch, vec_col)
+        if not batch.num_rows:
+            return pa.table({"id": pa.array([], id_t),
+                             "cid": pa.array([], pa.int32()),
+                             "vec": pa.array([], batch.schema.field(vec_col).type)})
+        score = E @ Cm.T - 0.5 * (Cm * Cm).sum(axis=1)
+        cid = np.argmax(score, axis=1).astype(np.int32)
+        return pa.table({"id": batch.column(id_col),
+                         "cid": pa.array(cid),
+                         "vec": batch.column(vec_col)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    out_schema = pa.schema([
+        pa.field("id", id_t), pa.field("cid", pa.int32()),
+        pa.field("keep", pa.bool_()),
+    ])
+
+    def prune_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        block = block.sort_by([("_run", "ascending"), ("id", "ascending")])
+        V = _normalize(_batch_matrix(block, "vec"))
+        lens = np.diff(np.r_[starts, n])
+        keep = np.ones(n, bool)
+        CHUNK = 8192
+        for s, ln in zip(starts, lens):
+            Vc = V[s:s + ln]
+            # drop j iff any lower-id i in the cluster has cos >= tau;
+            # chunked so a fat cluster never allocates a c x c matrix
+            for lo in range(1, ln, CHUNK):
+                hi = min(lo + CHUNK, ln)
+                sims = Vc[lo:hi] @ Vc[:hi].T          # rows j, cols i<=j
+                mask = np.tri(hi - lo, hi, k=lo - 1, dtype=bool)
+                keep[s + lo:s + hi] = ~(np.where(mask, sims, -1.0).max(axis=1) >= tau)
+        return pa.Table.from_arrays(
+            [block.column("id"), block.column("cid"),
+             pa.array(keep)],
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        assigned, ["cid"], None, out_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=prune_block, exchange="hash",
+    )
