@@ -655,6 +655,16 @@ def q_top_terms(sf_dir: str):
     return top_terms(_docs(sf_dir, ["text"]), k=50)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (retrieval-infra sink): term → (df, tf,
+    ascending comma-joined posting list).  One RE2 split + C++ group_by
+    per block (exchange moves distinct (term, doc) pairs, never tokens),
+    hash exchange on term, vectorized per-run reduceat + binary_join."""
+    from ..stages.textops import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"])).sort("term")
+
+
 def q_top_terms_by_source(sf_dir: str):
     """Per-source top-5 terms (grouped heavy hitters): tokenize → map-side
     combined (source, term) counts → grouped_topk (hash exchange + ONE
@@ -3361,6 +3371,25 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cnt DESC, term ASC
         LIMIT 50
     """,
+    # same ASCII token convention as q_top_terms; postings compared as the
+    # ORDER BY doc_id string_agg so the list order is part of the contract
+    "q_inverted_index": """
+        WITH toks AS (
+          SELECT doc_id,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        per AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY term, doc_id
+        )
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS postings
+        FROM per GROUP BY term ORDER BY term
+    """,
     "q_top_terms_by_source": """
         WITH toks AS (
           SELECT source,
@@ -3768,6 +3797,7 @@ QUERIES = {
     "q_norm_text": q_norm_text,
     "q_top_terms": q_top_terms,
     "q_top_terms_by_source": q_top_terms_by_source,
+    "q_inverted_index": q_inverted_index,
     "q_full_outer": q_full_outer,
     "q_latest_event": q_latest_event,
     "q_funnel": q_funnel,
