@@ -2357,6 +2357,22 @@ def q_kmeans(sf_dir: str):
     return knn_mod.kmeans_assign_counts(ds, cents).sort("cid")
 
 
+def q_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table: one streaming pass emits
+    per-block sufficient statistics (n, Σx, XᵀX), a zero-CPU tree combines
+    them, driver-side dim×dim eigh.  Returns the 8-component spectrum
+    (floor4 so the row set is layout-stable within the allclose contract)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = knn_mod.pca_fit(ds, 8)
+    return pa.table({
+        "component": pa.array(range(8), pa.int32()),
+        "explained_variance": pa.array(
+            knn_mod.floor4(m["explained_variance"]), pa.float64()),
+        "evr": pa.array(
+            knn_mod.floor4(m["explained_variance_ratio"]), pa.float64()),
+    })
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): semantic dedup of the embeddings table
     — k-means clustering then within-cluster cosine pruning (keep the
@@ -3831,6 +3847,7 @@ QUERIES = {
     "q_ivf_knn": q_ivf_knn,
     "q_hnsw_knn": q_hnsw_knn,
     "q_kmeans": q_kmeans,
+    "q_pca": q_pca,
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
@@ -3885,6 +3902,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kmeans": [
         "tests/test_dedup_knn.py::test_kmeans_recovers_separated_blobs",
+    ],
+    "q_pca": [
+        "tests/test_pca.py::test_pca_fit_matches_numpy",
+        "tests/test_pca.py::test_pca_transform_projects_exactly",
+        "tests/test_pca.py::test_pca_partition_invariance_allclose",
     ],
     "q_semdedup": [
         "tests/test_semdedup.py::test_semdedup_matches_bruteforce",

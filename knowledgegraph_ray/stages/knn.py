@@ -741,3 +741,97 @@ def semdedup(
         num_partitions=num_partitions, hash_sort=True,
         block_fn=prune_block, exchange="hash",
     )
+
+
+@ray.remote
+def _pca_partial(tbl: pa.Table, vec_col: str):
+    """(n, Σx, XᵀX) of one block — the sufficient statistics of PCA."""
+    if not tbl.num_rows:
+        return None
+    E = _batch_matrix(tbl, vec_col)
+    return E.shape[0], E.sum(axis=0), E.T @ E
+
+
+@ray.remote(num_cpus=0)
+def _pca_add(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a[0] + b[0], a[1] + b[1], a[2] + b[2]
+
+
+def pca_fit(
+    ds: rd.Dataset,
+    n_components: int,
+    *,
+    vec_col: str = "embedding",
+):
+    """Distributed PCA over an embedding column → (mean, components,
+    explained_variance, explained_variance_ratio).
+
+    ONE streaming pass: each block emits its sufficient statistics
+    (n, Σx, XᵀX) — dim² floats per block, never rows — combined by a
+    pairwise tree of zero-CPU tasks (O(log blocks) depth, so at 100 TB
+    neither the driver nor any task sees more than two partials at once).
+    The dim×dim covariance eigendecomposition is driver-side numpy (dim is
+    model-embedding sized, 64–4096; the O(dim³) eigh is microseconds next
+    to the scan).
+
+    Deterministic per layout; cross-layout the contract is allclose (float
+    tree-sum order), the same bar as `kmeans_fit`.  Component signs are
+    canonicalized (largest-|coefficient| entry positive) so two fits of the
+    same data agree even where eigenvectors are sign-ambiguous.
+    """
+    refs = [_pca_partial.remote(r, vec_col) for r in ds.materialize().to_arrow_refs()]
+    if not refs:
+        raise ValueError("pca_fit: empty dataset")
+    while len(refs) > 1:
+        refs = [_pca_add.remote(*refs[i:i + 2]) if i + 1 < len(refs) else refs[i]
+                for i in range(0, len(refs), 2)]
+    stats = ray.get(refs[0])
+    if stats is None:
+        raise ValueError("pca_fit: empty dataset")
+    n, s, G = stats
+    if n < 2:
+        raise ValueError("pca_fit: need >= 2 rows")
+    mean = s / n
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    ev = np.maximum(evals[order], 0.0)
+    W = evecs[:, order].T                        # (k, dim) rows = components
+    # deterministic sign: the largest-|coeff| entry of each component > 0
+    piv = np.argmax(np.abs(W), axis=1)
+    flip = W[np.arange(len(W)), piv] < 0
+    W[flip] *= -1.0
+    total = float(np.maximum(evals, 0.0).sum())
+    ratio = ev / total if total > 0 else np.zeros_like(ev)
+    return {"mean": mean, "components": W,
+            "explained_variance": ev, "explained_variance_ratio": ratio}
+
+
+def pca_transform(
+    ds: rd.Dataset,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Project onto the fitted components: (X − mean) @ Wᵀ, one matmul per
+    block against the broadcast (mean, W) — pure streaming, no shuffle.
+    Replaces `vec_col` with `out_col` (fixed_size_list<double, k>)."""
+    m_ref = ray.put((np.asarray(model["mean"], np.float64),
+                     np.asarray(model["components"], np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, W = ray.get(m_ref)
+        k = W.shape[0]
+        E = _batch_matrix(batch, vec_col)
+        P = (E - mean) @ W.T if batch.num_rows else np.zeros((0, k))
+        flat = pa.array(P.reshape(-1), pa.float64())
+        col = pa.FixedSizeListArray.from_arrays(flat, k)
+        batch = batch.drop_columns([vec_col])
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(project, batch_format="pyarrow")
