@@ -2448,6 +2448,17 @@ def q_kg_communities(sf_dir: str):
                       descending=[True, False]).limit(20)
 
 
+def q_kg_kcore(sf_dir: str):
+    """k-core decomposition of the flagship KG (H-index fixpoint = exact
+    core numbers; peeling-oracle tested), aggregated to the core-size
+    distribution."""
+    from ..stages.aggregates import partial_grouped_agg
+    from ..stages.graph_query import core_numbers
+
+    cores = core_numbers(_kg_result(sf_dir).edges())
+    return partial_grouped_agg(cores, ["core"], count_alias="n_nodes").sort("core")
+
+
 def q_kg_walks(sf_dir: str):
     """Deterministic random-walk corpus over the flagship KG (the
     DeepWalk/node2vec training-data front-end): one length-4 walk per
@@ -3857,6 +3868,7 @@ QUERIES = {
     "q_kg_linking": q_kg_linking,
     "q_kg_khop": q_kg_khop,
     "q_kg_communities": q_kg_communities,
+    "q_kg_kcore": q_kg_kcore,
     "q_kg_walks": q_kg_walks,
     "q_kg_ego": q_kg_ego,
 }
@@ -3937,6 +3949,10 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_communities": [
         "tests/test_embedder_query_multimodal.py::test_label_propagation_matches_reference",
+    ],
+    "q_kg_kcore": [
+        "tests/test_kcore.py::test_kcore_random_graph_matches_peeling",
+        "tests/test_kcore.py::test_kcore_regime_equality",
     ],
     "q_kg_walks": [
         "tests/test_embedder_query_multimodal.py::test_random_walks_deterministic_and_valid",

@@ -15,8 +15,10 @@ formatting (similarity %, :132) is left to callers.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
@@ -902,3 +904,156 @@ def link_predict_common_neighbors(
         batch_format="pyarrow",
     )
     return cand.sort(["cn", "u", "w"], descending=[True, False, False]).limit(k)
+
+
+def _hindex_fixpoint(u: np.ndarray, v: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Coreness by the H-index iteration (Lü et al. 2016, Nat. Commun. 7:10168):
+    c₀ = degree; c_{t+1}(x) = H-index of {c_t(y) : y ∈ N(x)}.  The sequence is
+    monotone non-increasing and its fixpoint IS the core number — shared by
+    the driver regime and (per reduce partition) the distributed path, so the
+    two regimes are exactly equal by construction (all-integer)."""
+    mn = np.concatenate([u, v])          # message targets, fixed per round
+    nb = np.concatenate([v, u])
+    order = np.argsort(mn, kind="stable")
+    mn_s, nb_s = mn[order], nb[order]
+    starts = np.flatnonzero(np.r_[True, mn_s[1:] != mn_s[:-1]])
+    lens = np.diff(np.r_[starts, len(mn_s)])
+    c = np.zeros(n_nodes, np.int64)
+    c[mn_s[starts]] = lens                # degree init (isolated nodes stay 0)
+    run_of = np.repeat(np.arange(len(starts)), lens)
+    pos = np.arange(len(mn_s)) - np.repeat(starts, lens) + 1
+    L = np.repeat(lens, lens)
+    while True:
+        vals = c[nb_s]
+        # ascending in-run sort, then h = |{j : v_j + pos_j ≥ L + 1}|
+        o = np.lexsort((vals, run_of))
+        ok = vals[o] + pos >= L + 1
+        h = np.add.reduceat(ok, starts).astype(np.int64)
+        if np.array_equal(h, c[mn_s[starts]]):
+            return c
+        c = c.copy()
+        c[mn_s[starts]] = h
+
+
+def core_numbers(edges, src: str = "src", dst: str = "dst",
+                 num_partitions: int = 16,
+                 small_graph_edges: int = 1_000_000,
+                 max_rounds: int | None = None):
+    """k-core decomposition: core number per node of the undirected simple
+    graph (self-loops dropped, duplicate/bidirected edges collapsed).
+
+    Small graphs (≤ ``small_graph_edges`` distinct edges — the LPA/pagerank
+    driver-regime precedent) run `_hindex_fixpoint` driver-side.  Larger
+    graphs iterate the SAME integer rule distributedly: per round, the
+    O(nodes) c-table joins back onto one streamed pass of the edge table
+    (both directions → (node, neighbor-c) messages, edge rows never
+    reshuffle more than the hash exchange), a `grouped_apply` hash exchange
+    colocates each node's messages and a vectorized run scan computes the
+    per-node H-index.  Early stop: Σc is strictly decreasing until the
+    fixpoint (the iterate is elementwise non-increasing), so ONE tiny sum
+    aggregate per round detects convergence — no O(nodes) driver diff.
+
+    Rounds-to-converge is bounded by the graph's "propagation depth" (a
+    path graph needs n/2 rounds) — ``max_rounds`` caps runaway chains; None
+    iterates to the exact fixpoint.  → Dataset (node, core:int64)."""
+    from ..functions.joins import adaptive_join
+    from .aggregates import distinct_keys, partial_grouped_agg
+    from .canonicalize import grouped_apply
+
+    ds = _ds(edges).select_columns([src, dst])
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = b.column(src), b.column(dst)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        t = pa.Table.from_arrays(
+            [pc.min_element_wise(s, d), pc.max_element_wise(s, d)],
+            names=["u", "v"],
+        )
+        return t.group_by(["u", "v"]).aggregate([])
+
+    e = distinct_keys(
+        ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+
+    if e.count() <= small_graph_edges:
+        tbls = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(pa.table(
+                {"node": pa.array([], pa.string()),
+                 "core": pa.array([], pa.int64())}))
+        et = pa.concat_tables(tbls).combine_chunks()
+        ntype = et.column("u").type
+        un = et.column("u").to_numpy(zero_copy_only=False)
+        vn = et.column("v").to_numpy(zero_copy_only=False)
+        nodes_sorted, inv = np.unique(np.concatenate([un, vn]),
+                                      return_inverse=True)
+        m = len(un)
+        c = _hindex_fixpoint(inv[:m].astype(np.int64),
+                             inv[m:].astype(np.int64), len(nodes_sorted))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes_sorted.tolist(), ntype),
+            "core": pa.array(c, pa.int64()),
+        }))
+
+    def ends(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.chunked_array([t.column("u"), t.column("v")])], names=["node"]
+        )
+
+    c_tbl = partial_grouped_agg(
+        e.map_batches(ends, batch_format="pyarrow"), ["node"], count_alias="core"
+    ).materialize()
+    node_t = c_tbl.schema().base_schema.field("node").type
+    out_schema = pa.schema([("node", node_t), ("core", pa.int64())])
+
+    def _sum_core(tbl: rd.Dataset) -> int:
+        return sum(
+            pc.sum(t.column("core")).as_py() or 0
+            for t in ray.get(tbl.to_arrow_refs()) if t.num_rows
+        )
+
+    def hindex_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        cv = block.column("cv").to_numpy(zero_copy_only=False)
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens) + 1
+        L = np.repeat(lens, lens)
+        ok = cv + pos >= L + 1           # cv ascending in-run via order_col
+        h = np.add.reduceat(ok, starts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [block.column("node").take(pa.array(starts, pa.int64())),
+             pa.array(h, pa.int64())],
+            schema=out_schema,
+        )
+
+    total = _sum_core(c_tbl)
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+
+        def msgs_dir(key: str, other: str):
+            j = adaptive_join(
+                e, c_tbl, left_keys=[other], right_keys=["node"],
+                how="inner", num_partitions=num_partitions,
+            )
+            return j.map_batches(
+                lambda t, k=key: pa.Table.from_arrays(
+                    [t.column(k), pc.cast(t.column("core"), pa.int64())],
+                    names=["node", "cv"],
+                ),
+                batch_format="pyarrow",
+            )
+
+        msgs = msgs_dir("u", "v").union(msgs_dir("v", "u"))
+        c_tbl = grouped_apply(
+            msgs, ["node"], None, out_schema,
+            num_partitions=num_partitions, hash_sort=True,
+            block_fn=hindex_block, order_col="cv", exchange="hash",
+        ).materialize()
+        new_total = _sum_core(c_tbl)
+        if new_total == total:
+            break
+        total = new_total
+    return c_tbl
