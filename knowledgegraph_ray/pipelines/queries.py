@@ -2149,6 +2149,17 @@ def q_passage_dedup(sf_dir: str):
     return passage_dedup_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring self-dedup profile (Lee et al. 2021 ExactSubstr
+    shape): per doc, distinct 13-token windows and how many appear verbatim
+    in an EARLIER doc.  Hash-sized first exchange; window strings shuffle
+    only for the rare multi-doc hashes, settled by an exact string-keyed
+    grouped MIN (bit-exact vs the SQL n-gram join, no collision caveat)."""
+    from ..stages.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir, ["doc_id", "text"]), n=13)
+
+
 def q_intra_doc_repetition(sf_dir: str):
     """Per-doc passage repetition profile (Gopher-style intra-doc signal):
     NO shuffle — a doc is one row, so explode + distinct count run entirely
@@ -3220,6 +3231,31 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(k.kept_passages, 0) AS kept_passages
         FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
     """,
+    # exact-substring self-dedup: distinct 13-token windows per doc vs the
+    # corpus-first doc containing the identical window string
+    "q_substring_dedup": """
+        WITH tok AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, array_to_string(a[i:i+12], ' ') AS w
+          FROM tok, unnest(range(1, len(a) - 11)) AS t(i)
+        ),
+        dw AS (SELECT DISTINCT doc_id, w FROM wins),
+        f AS (SELECT w, min(doc_id) AS fd FROM dw GROUP BY w),
+        per AS (
+          SELECT dw.doc_id,
+                 count(*) AS nw,
+                 sum(CASE WHEN f.fd < dw.doc_id THEN 1 ELSE 0 END) AS nd
+          FROM dw JOIN f USING (w)
+          GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
     # per-doc passage repetition: same chunking CTE as q_passage_dedup
     "q_intra_doc_repetition": """
         WITH w AS (
@@ -3803,6 +3839,7 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,
+    "q_substring_dedup": q_substring_dedup,
     "q_sentences": q_sentences,
     "q_url_normalize": q_url_normalize,
     "q_fuzzy_match": q_fuzzy_match,

@@ -1225,3 +1225,199 @@ def dedup_keep_best(
         clustered, ["cluster"], value_col="q_int", tiebreak_cols=[id_col],
         k=1, num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring self-dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr check at window granularity)
+# ---------------------------------------------------------------------------
+
+
+def _window_strings(flat, starts: np.ndarray, n: int) -> pa.Array:
+    """Exact n-token window strings for SELECTED window starts.
+
+    ``flat`` is the batch-wide flat token array from
+    ``textops._window_token_hashes``; window i's string is
+    flat[starts[i] : starts[i]+n] joined by ' ' (string_split(' ')
+    semantics, so the SQL mirror is array_to_string of a list slice).
+    One vectorized take + one fixed-width list rewindow + one binary_join —
+    no per-window Python."""
+    if starts.size == 0:
+        return pa.array([], pa.string())
+    idx = (starts[:, None] + np.arange(n, dtype=np.int64)[None, :]).ravel()
+    vals = flat.take(pa.array(idx, pa.int64()))
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    offs = np.arange(0, starts.size * n + 1, n, dtype=np.int64)
+    la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), vals)
+    return pc.binary_join(la, " ")
+
+
+def substring_dedup(
+    ds: rd.Dataset,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Exact-substring SELF-deduplication profile: for every document, how
+    many of its distinct n-token windows appear verbatim in an EARLIER
+    document (smaller id).  Returns one row per doc:
+    (doc_id, n_windows, n_dup_windows) — the per-doc overlap profile an
+    ExactSubstr-style pass (Lee et al. 2021) thresholds to drop or trim
+    documents that are substring-duplicates of earlier crawl content.
+    Companion to ``contamination_hits``/``ngram_decontaminate`` (those
+    check a CROSS-corpus probe set; this one is within-corpus).
+
+    Scale shape (exact answers, hash-sized exchanges):
+      1. per-doc stats are computed ENTIRELY in-block (a document is one
+         row): distinct windows counted by 64-bit window hash, with an
+         exact string verify of any multi-occurrence (doc, hash) group so
+         a within-doc hash collision cannot undercount;
+      2. the only all-to-all moves distinct (window-hash, doc) pairs
+         (16 B/row) through `partial_grouped_agg` — window STRINGS never
+         enter the first exchange;
+      3. hashes seen in ≥2 docs (rare on non-degenerate corpora) are
+         broadcast via ``ray.put``; a second streaming pass extracts the
+         exact window strings for ONLY those candidates and a string-keyed
+         grouped MIN settles first-occurrence exactly — a cross-doc hash
+         collision is rejected by the string compare, so the result is
+         bit-exact vs the SQL oracle with no probabilistic caveat.
+    """
+    import ray
+
+    from ..functions.joins import _dataset_to_table, adaptive_join
+    from .aggregates import partial_grouped_agg
+    from .textops import _window_token_hashes
+
+    def doc_stats(b: pa.Table) -> pa.Table:
+        flat, ws, wd, wh = _window_token_hashes(b.column(text_col), n)
+        ids = pc.cast(b.column(id_col), pa.int64())
+        nw = np.zeros(b.num_rows, np.int64)
+        if wh.size:
+            order = np.lexsort((wh, wd))
+            sd, sh, sstart = wd[order], wh[order], ws[order]
+            new = np.empty(sd.size, bool)
+            new[0] = True
+            new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+            run_id = np.cumsum(new) - 1
+            run_doc = sd[new]
+            np.add.at(nw, run_doc, 1)
+            run_len = np.bincount(run_id)
+            multi = run_len[run_id] > 1
+            if multi.any():
+                # exact within-doc collision guard: a multi-occurrence
+                # (doc, hash) run is usually ONE repeated window (counted
+                # once, correctly); distinct-string count >1 means a real
+                # 64-bit collision — add the undercount back.
+                occ = np.nonzero(multi)[0]
+                s = _window_strings(flat, sstart[occ], n)
+                t = pa.table(
+                    {"r": pa.array(run_id[occ], pa.int64()), "s": s}
+                )
+                g = t.group_by(["r"]).aggregate([("s", "count_distinct")])
+                rr = g.column("r").to_numpy(zero_copy_only=False)
+                cd = g.column("s_count_distinct").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                np.add.at(nw, run_doc[rr], cd - 1)
+        return pa.table(
+            {id_col: ids, "n_windows": pa.array(nw, pa.int64())}
+        )
+
+    _pairs_schema = {"wh": pa.int64(), id_col: pa.int64()}
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        flat, ws, wd, wh = _window_token_hashes(b.column(text_col), n)
+        if not wh.size:
+            return pa.table(
+                {c: pa.array([], t) for c, t in _pairs_schema.items()}
+            )
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = np.empty(wh.size, dtype=[("h", np.uint64), ("d", np.int64)])
+        key["h"] = wh
+        key["d"] = ids[wd]
+        u = np.unique(key)
+        return pa.table(
+            {
+                "wh": pa.array(u["h"].copy().view(np.int64), pa.int64()),
+                id_col: pa.array(u["d"].copy(), pa.int64()),
+            }
+        )
+
+    base = ds.map_batches(doc_stats, batch_format="pyarrow")
+
+    pairs = ds.map_batches(pair_rows, batch_format="pyarrow")
+    per_h = partial_grouped_agg(pairs, ["wh"], count_alias="n_docs")
+    shared_tbl = _dataset_to_table(
+        per_h.filter(expr="n_docs > 1").select_columns(["wh"])
+    )
+
+    def with_zero(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_dup_windows", pa.array(np.zeros(b.num_rows, np.int64))
+        )
+
+    if shared_tbl.num_rows == 0:
+        return base.map_batches(with_zero, batch_format="pyarrow")
+
+    sh_ref = ray.put(
+        np.sort(shared_tbl.column("wh").to_numpy(zero_copy_only=False))
+    )
+
+    _cand_schema = {"w": pa.string(), id_col: pa.int64()}
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], t) for c, t in _cand_schema.items()}
+        )
+        flat, ws, wd, wh = _window_token_hashes(b.column(text_col), n)
+        if not wh.size:
+            return empty
+        hs = ray.get(sh_ref)
+        whi = wh.view(np.int64)
+        pos = np.searchsorted(hs, whi)
+        pos[pos == hs.size] = 0
+        cand = np.nonzero(hs[pos] == whi)[0]
+        if not cand.size:
+            return empty
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "w": _window_strings(flat, ws[cand], n),
+                id_col: pa.array(ids[wd[cand]], pa.int64()),
+            }
+        )
+        return t.group_by(["w", id_col]).aggregate([])
+
+    cands = ds.map_batches(cand_rows, batch_format="pyarrow").materialize()
+    firsts = partial_grouped_agg(cands, ["w"], mins={id_col: "first_doc"})
+    marked = adaptive_join(cands, firsts, left_keys=["w"], how="inner")
+
+    def dup_rows(bt: pa.Table) -> pa.Table:
+        keep = pc.greater(bt.column(id_col), bt.column("first_doc"))
+        return pa.table({id_col: bt.column(id_col).filter(keep)})
+
+    ndup = partial_grouped_agg(
+        marked.map_batches(dup_rows, batch_format="pyarrow"),
+        [id_col],
+        count_alias="n_dup_windows",
+    )
+    joined = adaptive_join(base, ndup, left_keys=[id_col], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_windows": b.column("n_windows"),
+                "n_dup_windows": pc.fill_null(
+                    pc.cast(b.column("n_dup_windows"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
