@@ -2406,6 +2406,20 @@ def q_kg_pagerank(sf_dir: str):
     return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
 
 
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the flagship KG (Kleinberg 1999):
+    pagerank's broadcast-vector / distributed-edge-scatter topology with
+    forward AND reverse pre-sorted index blocks; top-20 by authority with
+    (auth desc, name, type) tie order."""
+    from ..stages.graph_query import hits
+
+    res = _kg_result(sf_dir)
+    ha = hits(res.nodes(), res.edges(), iters=30)
+    return ha.sort(
+        ["auth_r", "name", "type"], descending=[True, False, False]
+    ).limit(20)
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -3899,6 +3913,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
+    "q_kg_hits": q_kg_hits,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -3967,6 +3982,10 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_pagerank": [
         "tests/test_embedder_query_multimodal.py::test_pagerank_matches_dense_reference",
+    ],
+    "q_kg_hits": [
+        "tests/test_hits.py::test_hits_matches_dense_reference",
+        "tests/test_hits.py::test_hits_regime_equality",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

@@ -278,6 +278,125 @@ def pagerank(
     return rd.from_arrow(tbl)
 
 
+def hits(
+    nodes,
+    edges,
+    *,
+    iters: int = 30,
+    small_graph_edges: int = 5_000_000,
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over the built KG →
+    (name, type, hub_r, auth_r), L2-normalized, floor-canonicalized at 1e-8.
+
+    Same topology as ``pagerank``: the node VECTORS broadcast (one
+    object-store array per half-step), the EDGE LIST stays distributed as
+    index blocks built once.  Two block sets are pre-sorted once — forward
+    (grouped by dst, for the authority update a[j] = Σ_{i→j} h[i]) and
+    reverse (grouped by src, for the hub update h[i] = Σ_{i→j} a[j]) — so
+    both half-steps reuse the SAME sparse scatter (one reduceat per block)
+    and zero-CPU combine as pagerank.  Below ``small_graph_edges`` the loop
+    runs driver-side over the same blocks in the same order, so the two
+    regimes are bit-identical (pagerank's regime-equality precedent).
+    Endpoint membership is validated like pagerank: edges referencing a
+    node absent from the nodes table are dropped."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash_key_columns
+
+    nodes_ds, edges_ds = _ds(nodes), _ds(edges)
+
+    key_tbls = [
+        t.select(["name", "type"])
+        for t in ray.get(nodes_ds.select_columns(["name", "type"]).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    empty = rd.from_arrow(
+        pa.schema([("name", pa.string()), ("type", pa.string()),
+                   ("hub_r", pa.float64()), ("auth_r", pa.float64())]).empty_table()
+    )
+    if not key_tbls:
+        return empty
+    keys_tbl = pa.concat_tables(key_tbls).combine_chunks()
+    kh = np.sort(hash_key_columns(keys_tbl, ["name", "type"]))
+    n = len(kh)
+    if n == 0:
+        return empty
+    kh_ref = ray.put(kh)
+
+    def edge_idx(b: pa.Table) -> pa.Table:
+        khs = ray.get(kh_ref)
+        b = b.combine_chunks()
+        nn = len(khs)
+
+        def lookup(cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+            h = hash_key_columns(
+                b.select(cols).rename_columns(["name", "type"]), ["name", "type"]
+            )
+            idx = np.minimum(np.searchsorted(khs, h), nn - 1)
+            return idx, khs[idx] == h
+
+        src, src_ok = lookup(["src", "src_type"])
+        dst, dst_ok = lookup(["dst", "dst_type"])
+        keep = src_ok & dst_ok
+        src, dst = src[keep], dst[keep]
+        order = np.argsort(dst, kind="stable")
+        return pa.table({
+            "si": pa.array(src[order], pa.int64()),
+            "di": pa.array(dst[order], pa.int64()),
+        })
+
+    fwd = edges_ds.map_batches(edge_idx, batch_format="pyarrow").materialize()
+
+    def reverse_idx(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"si": pa.array([], pa.int64()),
+                             "di": pa.array([], pa.int64())})
+        si = b.column("si").to_numpy(zero_copy_only=False)
+        di = b.column("di").to_numpy(zero_copy_only=False)
+        order = np.argsort(si, kind="stable")
+        # swapped: group key (di slot) = src index, lookup (si slot) = dst
+        return pa.table({
+            "si": pa.array(di[order], pa.int64()),
+            "di": pa.array(si[order], pa.int64()),
+        })
+
+    rev = fwd.map_batches(reverse_idx, batch_format="pyarrow").materialize()
+    fwd_refs = list(fwd.to_arrow_refs())
+    rev_refs = list(rev.to_arrow_refs())
+
+    def l2(v: np.ndarray) -> np.ndarray:
+        s = np.sqrt((v * v).sum())
+        return v / s if s > 0 else v
+
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.full(n, 1.0 / np.sqrt(n))
+    if fwd.count() <= small_graph_edges:
+        fblocks, rblocks = ray.get(fwd_refs), ray.get(rev_refs)
+        for _ in range(iters):
+            parts = [_pr_scatter_fn(t, h) for t in fblocks]
+            a = l2(_pr_combine_fn(n, *parts) if parts else np.zeros(n))
+            parts = [_pr_scatter_fn(t, a) for t in rblocks]
+            h = l2(_pr_combine_fn(n, *parts) if parts else np.zeros(n))
+    else:
+        for _ in range(iters):
+            h_ref = ray.put(h)
+            parts = [_pr_scatter.remote(bref, h_ref) for bref in fwd_refs]
+            a = l2(ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n))
+            a_ref = ray.put(a)
+            parts = [_pr_scatter.remote(bref, a_ref) for bref in rev_refs]
+            h = l2(ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n))
+
+    pos = np.searchsorted(kh, hash_key_columns(keys_tbl, ["name", "type"]))
+    tbl = pa.table({
+        "name": keys_tbl.column("name"),
+        "type": keys_tbl.column("type"),
+        "hub_r": pa.array(np.floor(h[pos] * 1e8) / 1e8, pa.float64()),
+        "auth_r": pa.array(np.floor(a[pos] * 1e8) / 1e8, pa.float64()),
+    })
+    return rd.from_arrow(tbl)
+
+
 def khop(edges, seeds: list, k: int, direction: str = "both",
          src: str = "src", dst: str = "dst"):
     """k-hop neighborhood expansion (the GraphRAG retrieval shape, the
