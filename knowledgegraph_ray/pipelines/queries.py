@@ -2195,6 +2195,17 @@ def q_knn_top10(sf_dir: str):
     return knn_mod.topk_cosine(ds, KNN_QUERY_VEC, k=10)
 
 
+def q_knn_sq8(sf_dir: str):
+    """SQ8 scalar-quantized ANN: int8-code scan (4×-smaller hot index, one
+    dequantized matmul per block, k·oversample candidates) + exact
+    full-precision rescore of the candidates only — recovers the EXACT
+    top-10 here, so it shares q_knn_top10's SQL oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_mod.sq8_topk(ds, KNN_QUERY_VEC, k=10)
+
+
 def q_neardup_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_mod.allpairs_cosine_threshold(ds, threshold=NEARDUP_THRESHOLD)
@@ -3780,6 +3791,18 @@ ORACLE_SQL: dict[str, str] = {
                                         {_KNN_SQL_LITERAL}) DESC, vec_id ASC
         LIMIT 10
     """,
+    # SQ8 ANN with exact rescore: the candidate pool covers the true top-10
+    # on this data, so the result is the exact top-k (same oracle shape as
+    # q_knn_top10); the pytest recall/exactness suite is tests/test_sq8.py
+    "q_knn_sq8": f"""
+        SELECT vec_id,
+               floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {_KNN_SQL_LITERAL}) * 10000.0) / 10000.0 AS cos_r
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        {_KNN_SQL_LITERAL}) DESC, vec_id ASC
+        LIMIT 10
+    """,
     "q_neardup_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -3896,6 +3919,7 @@ QUERIES = {
     "q_sample_weighted": q_sample_weighted,
     "q_sample_stratified_exact": q_sample_stratified_exact,
     "q_knn_top10": q_knn_top10,
+    "q_knn_sq8": q_knn_sq8,
     "q_neardup_pairs": q_neardup_pairs,
     "q_decontaminate_semantic": q_decontaminate_semantic,
     # rows-only (no SQL oracle)
