@@ -1250,6 +1250,24 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_docs(sf_dir, ["doc_id", "text"]), n_docs)
 
 
+def q_outliers_iqr(sf_dir: str):
+    """Per-user Tukey-fence outlier counts over event value-cents: exact
+    discrete quartiles (quantile_disc positioning) → broadcast fences →
+    map-side-combined counts; the fence compare is exact-integer
+    (2v vs 2·Q1 − 3·IQR) so boundary rows cannot drift from SQL."""
+    from ..stages.aggregates import grouped_iqr_outliers
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").select(["user_id", "v"]),
+        batch_format="pyarrow",
+    )
+    return grouped_iqr_outliers(
+        ds, key_col="user_id", value_col="v", out_col="n_outliers"
+    )
+
+
 def q_value_p90(sf_dir: str):
     """Exact per-type discrete p90 of event value-cents (quantile_disc 0.9
     positioning, exact rational index arithmetic)."""
@@ -2758,6 +2776,26 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_tokens
         FROM tok JOIN g USING (term) GROUP BY doc_id
     """,
+    "q_outliers_iqr": """
+        WITH e AS (
+          SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        q AS (
+          SELECT user_id, quantile_disc(v, 0.25) AS q1,
+                 quantile_disc(v, 0.75) AS q3
+          FROM e GROUP BY user_id
+        ),
+        o AS (
+          SELECT e.user_id, count(*) AS c
+          FROM e JOIN q USING (user_id)
+          WHERE 2*e.v < 2*q.q1 - 3*(q.q3 - q.q1)
+             OR 2*e.v > 2*q.q3 + 3*(q.q3 - q.q1)
+          GROUP BY e.user_id
+        )
+        SELECT q.user_id, CAST(coalesce(o.c, 0) AS BIGINT) AS n_outliers
+        FROM q LEFT JOIN o USING (user_id)
+    """,
     "q_value_p90": """
         SELECT event_type,
                quantile_disc(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.9)
@@ -3849,6 +3887,7 @@ QUERIES = {
     "q_top3_orders": q_top3_orders,
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
+    "q_outliers_iqr": q_outliers_iqr,
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,
     "q_profile_events": q_profile_events,

@@ -77,7 +77,13 @@ def grouped_quantile(
     rank is taken over the run's NON-NULL count, so the fill can never
     be selected (a genuine INT64_MAX value ties with the fill — both are
     the same value, so the pick is still correct)."""
-    out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
+    # preserve the key's input type (an int64 key stringified here would
+    # silently type-mismatch every join/oracle built on the result)
+    ktype = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    ).field(key_col).type
+    out_schema = pa.schema([(key_col, ktype), (out_col, pa.int64())])
     s = ds.select_columns([key_col, value_col]).sort([key_col])
 
     def per_block(block: pa.Table) -> pa.Table:
@@ -103,7 +109,7 @@ def grouped_quantile(
         keys = enc.dictionary.take(pa.array(cs[starts], pa.int64()))
         picked = pa.array(vs[starts + q_idx], pa.int64())
         return pa.Table.from_pydict(
-            {key_col: pc.cast(keys, pa.string()),
+            {key_col: pc.cast(keys, ktype),
              out_col: pc.if_else(
                  pa.array(nn == 0), pa.scalar(None, pa.int64()), picked
              )},
@@ -1302,3 +1308,78 @@ def grouped_skewness(
     return pa.Table.from_pydict(
         {key_col: pa.array(keys), out_col: pa.array(vals, pa.float64())}
     )
+
+
+def grouped_iqr_outliers(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "n_outliers",
+) -> rd.Dataset:
+    """Per-key Tukey-fence outlier counts → (key, out_col): a row is an
+    outlier iff v < Q1 − 1.5·IQR or v > Q3 + 1.5·IQR, with Q1/Q3 the exact
+    discrete quartiles (``grouped_quantile`` / quantile_disc positioning).
+    The fence compare runs in EXACT integers (2v vs 2·Q1 − 3·IQR), so no
+    float boundary row can diverge from the SQL mirror.
+
+    Scale shape: two exact-quantile passes produce O(keys) rows; the fences
+    broadcast back onto the stream (lookup join — the corpus never
+    shuffles for the compare); outlier counts are map-side-combined.  Keys
+    whose values are all NULL get NULL fences → zero outliers, matching
+    SQL comparison semantics."""
+    from ..functions.joins import _dataset_to_table, adaptive_join, lookup_join
+
+    q1 = _dataset_to_table(
+        grouped_quantile(ds, key_col=key_col, value_col=value_col,
+                         q_num=1, q_den=4, out_col="_q1")
+    )
+    q3 = _dataset_to_table(
+        grouped_quantile(ds, key_col=key_col, value_col=value_col,
+                         q_num=3, q_den=4, out_col="_q3")
+    )
+    fences = q1.join(q3, keys=[key_col], join_type="inner").combine_chunks()
+    q1v = fences.column("_q1")
+    q3v = fences.column("_q3")
+    iqr = pc.subtract(q3v, q1v)
+    fences = (
+        fences.append_column(
+            "_lo2",
+            pc.subtract(pc.multiply(q1v, pa.scalar(2, pa.int64())),
+                        pc.multiply(iqr, pa.scalar(3, pa.int64()))),
+        )
+        .append_column(
+            "_hi2",
+            pc.add(pc.multiply(q3v, pa.scalar(2, pa.int64())),
+                   pc.multiply(iqr, pa.scalar(3, pa.int64()))),
+        )
+        .drop_columns(["_q1", "_q3"])
+    )
+
+    tagged = lookup_join(ds, fences, left_keys=[key_col])
+
+    def outlier_rows(b: pa.Table) -> pa.Table:
+        v2 = pc.multiply(
+            pc.cast(b.column(value_col), pa.int64()), pa.scalar(2, pa.int64())
+        )
+        is_out = pc.or_kleene(
+            pc.less(v2, b.column("_lo2")), pc.greater(v2, b.column("_hi2"))
+        )
+        keep = pc.fill_null(is_out, False)
+        return b.filter(keep).select([key_col])
+
+    counts = partial_grouped_agg(
+        tagged.map_batches(outlier_rows, batch_format="pyarrow"),
+        [key_col],
+        count_alias=out_col,
+    )
+    keys_only = rd.from_arrow(fences.select([key_col]))
+    joined = adaptive_join(keys_only, counts, left_keys=[key_col], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b.column(key_col),
+            out_col: pc.fill_null(pc.cast(b.column(out_col), pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

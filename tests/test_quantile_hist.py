@@ -360,3 +360,50 @@ def test_adaptive_combine_paths_equal(ray_session, monkeypatch):
     dk_shuffle = rows(agg.distinct_keys(ds, ["k", "s"]))
     monkeypatch.undo()
     assert dk_task == dk_shuffle and len(dk_task) == 12
+
+
+def test_grouped_iqr_outliers_matches_reference(ray_session):
+    """Tukey fences with quantile_disc quartile positioning, exact ints."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouped_iqr_outliers
+
+    rng = np.random.default_rng(17)
+    keys, vals = [], []
+    for k in range(12):
+        n = int(rng.integers(1, 60))
+        v = rng.integers(-1000, 1000, size=n).tolist()
+        if k % 3 == 0:
+            v += [100000 + k, -100000 - k]  # planted extreme outliers
+        keys += [f"k{k}"] * len(v)
+        vals += v
+    # a key with nulls mixed in and one all-null key
+    keys += ["kn"] * 4 + ["kallnull"] * 2
+    vals += [5, None, 7, 2000000, None, None]
+
+    def qd(sorted_vals, num, den):
+        n = len(sorted_vals)
+        return sorted_vals[max(math.ceil(num * n / den), 1) - 1]
+
+    ref = {}
+    for k in set(keys):
+        v = sorted(x for x, kk in zip(vals, keys) if kk == k and x is not None)
+        if not v:
+            ref[k] = 0
+            continue
+        q1, q3 = qd(v, 1, 4), qd(v, 3, 4)
+        iqr = q3 - q1
+        ref[k] = sum(1 for x in v if 2 * x < 2 * q1 - 3 * iqr
+                     or 2 * x > 2 * q3 + 3 * iqr)
+
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    for parts in (1, 5):
+        out = grouped_iqr_outliers(
+            rd.from_arrow(tbl).repartition(parts), key_col="k", value_col="v"
+        ).take_all()
+        got = {r["k"]: r["n_outliers"] for r in out}
+        assert got == ref, parts
