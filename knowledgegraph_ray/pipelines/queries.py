@@ -1268,6 +1268,38 @@ def q_outliers_iqr(sf_dir: str):
     )
 
 
+def q_unpivot(sf_dir: str):
+    """UNPIVOT/melt of four lineitem measures into long form (bounded
+    order slice): one column-slice concat per measure inside the map —
+    rows never shuffle, no per-row Python."""
+    from ..stages.aggregates import melt
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    ).filter(expr="l_orderkey < 2000")
+
+    def cents_all(b: pa.Table) -> pa.Table:
+        for src, out in [("l_quantity", "quantity_cents"),
+                         ("l_extendedprice", "extendedprice_cents"),
+                         ("l_discount", "discount_cents"),
+                         ("l_tax", "tax_cents")]:
+            b = _cents(b, src, out)
+        return b.select(["l_orderkey", "l_linenumber", "quantity_cents",
+                         "extendedprice_cents", "discount_cents",
+                         "tax_cents"])
+
+    return melt(
+        ds.map_batches(cents_all, batch_format="pyarrow"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["quantity_cents", "extendedprice_cents",
+                    "discount_cents", "tax_cents"],
+        var_col="measure",
+        value_col="cents",
+    )
+
+
 def q_value_p90(sf_dir: str):
     """Exact per-type discrete p90 of event value-cents (quantile_disc 0.9
     positioning, exact rational index arithmetic)."""
@@ -2776,6 +2808,24 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_tokens
         FROM tok JOIN g USING (term) GROUP BY doc_id
     """,
+    "q_unpivot": """
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS quantity_cents,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS extendedprice_cents,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS discount_cents,
+                 CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_cents
+          FROM lineitem WHERE l_orderkey < 2000
+        )
+        SELECT l_orderkey, l_linenumber, 'quantity_cents' AS measure,
+               quantity_cents AS cents FROM s
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice_cents', extendedprice_cents FROM s
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount_cents', discount_cents FROM s
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM s
+    """,
     "q_outliers_iqr": """
         WITH e AS (
           SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
@@ -3888,6 +3938,7 @@ QUERIES = {
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
     "q_outliers_iqr": q_outliers_iqr,
+    "q_unpivot": q_unpivot,
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,
     "q_profile_events": q_profile_events,

@@ -1383,3 +1383,41 @@ def grouped_iqr_outliers(
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def melt(
+    ds: rd.Dataset,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """UNPIVOT / melt: wide → long, one output row per (input row ×
+    value column) → (id_cols…, var_col, value_col).
+
+    Pure streaming map — per block one column-slice + concat per MEASURE
+    (len(value_cols) kernel calls, never per row); the measure-name column
+    is a dictionary array (one shared string per block) cast once.  Rows
+    never shuffle; at 100 TB the long output writes partitioned by input
+    shard like every exploded table here.  Measure columns must share one
+    type (the long column's type — cast upstream)."""
+
+    def per_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for c in value_cols:
+            name = pc.cast(
+                pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(n, np.int32)), pa.array([c])
+                ),
+                pa.string(),
+            )
+            parts.append(
+                b.select(id_cols)
+                .append_column(var_col, name)
+                .append_column(value_col, b.column(c))
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(per_block, batch_format="pyarrow")
