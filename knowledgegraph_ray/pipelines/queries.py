@@ -2481,6 +2481,28 @@ def q_kg_hits(sf_dir: str):
     ).limit(20)
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from a deterministic seed (the
+    lexicographically first Person node) — teleport/dangling mass pinned to
+    the seed, the GraphRAG neighborhood-relevance ranking; top-20 by rank."""
+    from ..stages.graph_query import pagerank
+
+    res = _kg_result(sf_dir)
+    seed = (
+        res.nodes().select_columns(["name", "type"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("type"), "Person")),
+            batch_format="pyarrow",
+        )
+        .sort("name").limit(1).take_all()[0]["name"]
+    )
+    pr = pagerank(res.nodes(), res.edges(), damping=0.85, iters=20,
+                  personalization=[(seed, "Person")])
+    return pr.sort(
+        ["rank_r", "name", "type"], descending=[True, False, False]
+    ).limit(20)
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -4028,6 +4050,7 @@ QUERIES = {
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
     "q_kg_hits": q_kg_hits,
+    "q_kg_ppr": q_kg_ppr,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -4100,6 +4123,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     "q_kg_hits": [
         "tests/test_hits.py::test_hits_matches_dense_reference",
         "tests/test_hits.py::test_hits_regime_equality",
+    ],
+    "q_kg_ppr": [
+        "tests/test_hits.py::test_personalized_pagerank_matches_dense_reference",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

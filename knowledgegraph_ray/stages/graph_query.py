@@ -155,8 +155,16 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 20,
     small_graph_edges: int = 5_000_000,
+    personalization: "list[tuple[str, str]] | None" = None,
 ) -> rd.Dataset:
     """Distributed PageRank over the built KG → (name, type, rank_r).
+
+    ``personalization``: optional (name, type) seed list — teleport (and
+    dangling) mass then concentrates uniformly on the seeds instead of all
+    nodes (personalized PageRank, the GraphRAG neighborhood-relevance
+    ranking).  Seeds absent from the nodes table are ignored; all-absent
+    raises.  The unpersonalized path keeps its original scalar update
+    expression so existing results stay bit-identical.
 
     The iterative-graph-algorithm pattern: the NODE VECTOR broadcasts (the
     canonical node table is orders of magnitude smaller than the corpus that
@@ -242,7 +250,21 @@ def pagerank(
             np.add.at(deg, t.column("i").to_numpy(zero_copy_only=False),
                       t.column("d").to_numpy(zero_copy_only=False))
 
-    r = np.full(n, 1.0 / n)
+    p = None
+    if personalization is not None:
+        seeds = pa.table({
+            "name": pa.array([s for s, _ in personalization], pa.string()),
+            "type": pa.array([t for _, t in personalization], pa.string()),
+        })
+        sh = hash_key_columns(seeds, ["name", "type"])
+        pos = np.minimum(np.searchsorted(kh, sh), n - 1)
+        pos = pos[kh[pos] == sh]  # drop seeds absent from the graph
+        if pos.size == 0:
+            raise ValueError("pagerank: no personalization seed is in the node table")
+        p = np.zeros(n, np.float64)
+        np.add.at(p, pos, 1.0 / pos.size)
+
+    r = np.full(n, 1.0 / n) if p is None else p.copy()
     safe_deg = np.maximum(deg, 1)
     m = eidx.count()
     if m <= small_graph_edges:
@@ -259,14 +281,20 @@ def pagerank(
             parts = [_pr_scatter_fn(t, w) for t in blocks]
             contrib = _pr_combine_fn(n, *parts) if parts else np.zeros(n)
             dangling = r[deg == 0].sum()
-            r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            if p is None:
+                r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            else:
+                r = (1.0 - damping) * p + damping * (contrib + dangling * p)
     else:
         for _ in range(iters):
             w_ref = ray.put(r / safe_deg)
             parts = [_pr_scatter.remote(bref, w_ref) for bref in block_refs]
             contrib = ray.get(_pr_combine.remote(n, *parts)) if parts else np.zeros(n)
             dangling = r[deg == 0].sum()
-            r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            if p is None:
+                r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+            else:
+                r = (1.0 - damping) * p + damping * (contrib + dangling * p)
 
     # ranks back onto names via the same key order
     ranks_for_rows = r[np.searchsorted(kh, hash_key_columns(keys_tbl, ["name", "type"]))]

@@ -96,3 +96,50 @@ def test_hits_no_edges(ray_session):
     got = hits(rd.from_arrow(nodes), rd.from_arrow(edges), iters=5).take_all()
     assert len(got) == 2
     assert all(r["hub_r"] == 0.0 and r["auth_r"] == 0.0 for r in got)
+
+
+def test_personalized_pagerank_matches_dense_reference(ray_session):
+    from knowledgegraph_ray.stages.graph_query import pagerank
+
+    names = ["a", "b", "c", "d", "e"]
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    nd, ed = _graph(names, e)
+    got = pagerank(nd, ed, damping=0.85, iters=30,
+                   personalization=[("a", "person"), ("ghost", "person")]
+                   ).to_pandas().set_index("name")["rank_r"]
+
+    idx = {n_: i for i, n_ in enumerate(names)}
+    n = len(names)
+    deg = np.zeros(n)
+    A = np.zeros((n, n))
+    for s, d in e:
+        deg[idx[s]] += 1
+        A[idx[d], idx[s]] += 1.0
+    p = np.zeros(n)
+    p[idx["a"]] = 1.0  # the absent seed is ignored
+    r = p.copy()
+    for _ in range(30):
+        w = r / np.maximum(deg, 1)
+        contrib = A @ w
+        dangling = r[deg == 0].sum()
+        r = 0.15 * p + 0.85 * (contrib + dangling * p)
+    for n_ in names:
+        assert abs(got[n_] - np.floor(r[idx[n_]] * 1e8) / 1e8) <= 1e-8, n_
+    # mass concentrates near the seed
+    assert got["a"] > got["e"]
+
+    # regime equality for the personalized path
+    nd, ed = _graph(names, e)
+    dist = pagerank(nd, ed, damping=0.85, iters=30, small_graph_edges=0,
+                    personalization=[("a", "person")]
+                    ).to_pandas().set_index("name")["rank_r"]
+    for n_ in names:
+        assert got[n_] == dist[n_], n_
+
+    # all-absent seeds must raise, not silently rank uniformly
+    nd, ed = _graph(names, e)
+    try:
+        pagerank(nd, ed, personalization=[("zz", "person")])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
