@@ -2187,6 +2187,19 @@ def q_link_predict(sf_dir: str):
     return link_predict_common_neighbors(_derived_doc_edges(sf_dir), k=50)
 
 
+def q_link_predict_ra(sf_dir: str):
+    """Resource-allocation link prediction (Zhou et al. 2009) over the
+    derived doc graph: Σ 1/deg(center) over shared neighbors, computed as
+    the EXACT scaled integer Σ floor(2^40/deg) so the grouped sum is
+    order-independent and the SQL mirror hashes bit-identically; top-50
+    non-adjacent pairs by (ra desc, u, w)."""
+    from ..stages.graph_query import link_predict_common_neighbors
+
+    return link_predict_common_neighbors(
+        _derived_doc_edges(sf_dir), k=50, method="ra"
+    )
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -3313,6 +3326,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE e.a IS NULL
         ORDER BY cn.cn DESC, cn.u, cn.w LIMIT 50
     """,
+    # resource-allocation index as exact scaled integers: 2^40 // deg(center)
+    "q_link_predict_ra": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        adj AS (
+          SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e
+        ),
+        deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        ra AS (
+          SELECT x.nb AS u, y.nb AS w,
+                 CAST(sum(1099511627776 // deg.d) AS BIGINT) AS ra
+          FROM adj x
+          JOIN adj y ON x.v = y.v AND x.nb < y.nb
+          JOIN deg ON deg.v = x.v
+          GROUP BY 1, 2
+        )
+        SELECT ra.u, ra.w, ra.ra FROM ra
+        LEFT JOIN e ON ra.u = e.a AND ra.w = e.b
+        WHERE e.a IS NULL
+        ORDER BY ra.ra DESC, ra.u, ra.w LIMIT 50
+    """,
     "q_connected_components": """
         WITH RECURSIVE comp(doc_id, comp) AS (
           SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
@@ -3995,6 +4040,7 @@ QUERIES = {
     "q_triangles": q_triangles,
     "q_connected_components": q_connected_components,
     "q_link_predict": q_link_predict,
+    "q_link_predict_ra": q_link_predict_ra,
     "q_degree_hist": q_degree_hist,
     "q_assortativity": q_assortativity,
     "q_intra_doc_repetition": q_intra_doc_repetition,

@@ -930,9 +930,13 @@ def ego_subgraph(edges, seeds: list[str], k: int,
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+RA_SCALE = 1 << 40  # resource-allocation weights as exact scaled integers
+
+
 def link_predict_common_neighbors(
     edges, *, k: int = 50, src: str = "src", dst: str = "dst",
     max_degree: int | None = None, num_partitions: int = 16,
+    method: str = "cn",
 ):
     """Common-neighbor link prediction (the classic unsupervised baseline,
     Liben-Nowell & Kleinberg 2003): score every NON-adjacent node pair
@@ -961,7 +965,15 @@ def link_predict_common_neighbors(
     truncation for power-law graphs; leave None when exactness vs an
     oracle is required (the derived doc graph's degrees are ~6).
 
-    Returns a Dataset (u:int64-like, w, cn:int64) of k rows.
+    ``method``: "cn" scores a pair by its shared-neighbor COUNT;
+    "ra" is the resource-allocation index (Zhou et al. 2009) —
+    Σ 1/deg(v) over shared neighbors v — computed as the EXACT scaled
+    integer Σ floor(2^40 / deg(v)) so the grouped sum is order-independent
+    and the SQL mirror (``sum(2^40 // d)``) hashes bit-identically (the
+    repo-wide float-summation-order rule).  The hash exchange colocates
+    every adjacency row of a center, so the run length IS its full degree.
+
+    Returns a Dataset (u:int64-like, w, cn|ra:int64) of k rows.
     """
     import pyarrow as pa
 
@@ -994,7 +1006,10 @@ def link_predict_common_neighbors(
         )
 
     adj = e.map_batches(adjacency, batch_format="pyarrow")
-    pair_schema = pa.schema([pa.field("u", node_t), pa.field("w", node_t)])
+    fields = [pa.field("u", node_t), pa.field("w", node_t)]
+    if method == "ra":
+        fields.append(pa.field("s", pa.int64()))
+    pair_schema = pa.schema(fields)
 
     def pair_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
         n = block.num_rows
@@ -1022,18 +1037,22 @@ def link_predict_common_neighbors(
         nb = block.column("n")
         u = nb.take(pa.array(base + i, pa.int64()))
         w = nb.take(pa.array(base + j, pa.int64()))
-        return pa.Table.from_arrays(
-            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
-             w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w],
-            schema=pair_schema,
-        )
+        cols = [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
+                w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w]
+        if method == "ra":
+            cols.append(pa.array(RA_SCALE // lens[r], pa.int64()))
+        return pa.Table.from_arrays(cols, schema=pair_schema)
 
     pairs = grouped_apply(
         adj, ["v"], None, pair_schema,
         num_partitions=num_partitions, hash_sort=True,
         block_fn=pair_block, exchange="hash",
     )
-    scores = partial_grouped_agg(pairs, ["u", "w"], count_alias="cn")
+    score_col = "ra" if method == "ra" else "cn"
+    if method == "ra":
+        scores = partial_grouped_agg(pairs, ["u", "w"], sums={"s": "ra"})
+    else:
+        scores = partial_grouped_agg(pairs, ["u", "w"], count_alias="cn")
     marker = e.map_batches(
         lambda t: t.append_column("_adj", pa.array([1] * t.num_rows, pa.int8())),
         batch_format="pyarrow",
@@ -1045,12 +1064,14 @@ def link_predict_common_neighbors(
     cand = cand.map_batches(
         lambda t: pa.Table.from_arrays(
             [t.column("u"), t.column("w"),
-             pc.cast(t.column("cn"), pa.int64())],
-            names=["u", "w", "cn"],
+             pc.cast(t.column(score_col), pa.int64())],
+            names=["u", "w", score_col],
         ).filter(pc.is_null(t.column("_adj"))),
         batch_format="pyarrow",
     )
-    return cand.sort(["cn", "u", "w"], descending=[True, False, False]).limit(k)
+    return cand.sort(
+        [score_col, "u", "w"], descending=[True, False, False]
+    ).limit(k)
 
 
 def _hindex_fixpoint(u: np.ndarray, v: np.ndarray, n_nodes: int) -> np.ndarray:
