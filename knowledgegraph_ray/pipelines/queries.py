@@ -2516,6 +2516,26 @@ def q_kg_ppr(sf_dir: str):
     ).limit(20)
 
 
+def q_phash_neardup(sf_dir: str):
+    """Image near-dup detection, the multimodal dedup pipeline: documents
+    doc_ids → deterministic BMP corpus with planted near-dups (every id ≡ 1
+    mod 7 is a 1-pixel nudge of its predecessor) → real BMP decode +
+    64-bit pHash on an actor pool → banded pairs, EXACT at hamming ≤ 3 by
+    pigeonhole.  Pytest oracle: brute-force all-pairs hamming."""
+    from ..stages.multimodal import (
+        compute_phashes,
+        docs_to_bmp_media,
+        phash_neardup_pairs,
+    )
+
+    media = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(docs_to_bmp_media, batch_format="pyarrow", batch_size=256)
+    return phash_neardup_pairs(
+        compute_phashes(media, backend="raw", concurrency=4), max_hamming=3
+    )
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -4097,6 +4117,7 @@ QUERIES = {
     "q_kg_pagerank": q_kg_pagerank,
     "q_kg_hits": q_kg_hits,
     "q_kg_ppr": q_kg_ppr,
+    "q_phash_neardup": q_phash_neardup,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -4172,6 +4193,10 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_ppr": [
         "tests/test_hits.py::test_personalized_pagerank_matches_dense_reference",
+    ],
+    "q_phash_neardup": [
+        "tests/test_phash.py::test_phash_neardup_matches_bruteforce",
+        "tests/test_phash.py::test_bmp_roundtrip_byte_exact",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

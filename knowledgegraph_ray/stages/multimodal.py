@@ -28,6 +28,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -388,3 +389,228 @@ def synth_media_table(n: int, seed: int = 5, media_type: str = "image") -> pa.Ta
         "meta_json": ["{}"] * n,
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: real decode → 64-bit pHash → banded near-dup
+# pairs.  The image-side twin of the text dedup family (exact/MinHash/
+# SimHash) — the dedup pass a multimodal training corpus runs on frames
+# and images before contrastive training.
+# ---------------------------------------------------------------------------
+
+
+def bmp_bytes(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (the exact inverse of
+    ``decode_bmp``; byte-exact round-trip tested)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + data
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (float64) — pHash's frequency transform."""
+    k = np.arange(n, dtype=np.float64)
+    D = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    D[0] *= 1.0 / np.sqrt(n)
+    D[1:] *= np.sqrt(2.0 / n)
+    return D
+
+
+_LUMA = np.array([0.299, 0.587, 0.114])  # BT.601, same as the Y4M decoder
+
+
+def phash64_from_pixels(px: np.ndarray, D: np.ndarray) -> int:
+    """64-bit perceptual hash: BT.601 luma → 32×32 (caller resizes) →
+    2-D DCT-II → top-left 8×8 low-frequency block → median threshold.
+    Deterministic float64 matmuls — every worker computes identical bits."""
+    g = px.astype(np.float64) @ _LUMA
+    f = (D @ g @ D.T)[:8, :8].reshape(-1)
+    med = np.median(f)
+    bits = f > med
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class PHasher:
+    """Actor-pool stage: payload → (media_id, phash int64-bits).  The DCT
+    basis and resize target are built ONCE per actor (stateful-stage
+    pattern); decode reuses ImageDecoder's backends (raw = real PPM/BMP)."""
+
+    def __init__(self, backend: str = "raw", size: int = 32) -> None:
+        self._dec = ImageDecoder(backend=backend, resize=(size, size))
+        self._D = _dct_matrix(size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        hashes = np.empty(len(payloads), np.uint64)
+        for i, payload in enumerate(payloads):
+            hashes[i] = phash64_from_pixels(
+                self._dec._decode(payload or b""), self._D
+            )
+        return pa.table({
+            "media_id": ids,
+            "phash": pa.array(hashes.view(np.int64), pa.int64()),
+        })
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def compute_phashes(ds, *, backend: str = "raw", concurrency: int = 2,
+                    batch_size: int = 64):
+    """Media dataset → (media_id, phash) via the PHasher actor pool."""
+    return ds.map_batches(
+        PHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"backend": backend},
+    )
+
+
+def phash_neardup_pairs(
+    hashes, *, max_hamming: int = 3, id_col: str = "media_id",
+    num_partitions: int = 16, max_bucket: int = 4096,
+):
+    """(id, phash) → near-duplicate image pairs (id_a, id_b, hamming ≤
+    ``max_hamming``), EXACT for max_hamming ≤ 3: 4 disjoint 16-bit bands
+    guarantee by pigeonhole that any pair within hamming 3 shares a band.
+
+    Scale shape: band rows (int key, id, phash) through the hash map/reduce
+    exchange (``grouped_apply(exchange='hash')``); per bucket one
+    vectorized XOR outer + byte-LUT popcount emits verified pairs; the
+    cross-band pair dedup is a distinct over O(matching pairs).
+    ``max_bucket`` caps degenerate buckets (the LSH hot-bucket guard) —
+    leave large when exactness vs an oracle is required."""
+    import ray.data as rd
+
+    from .aggregates import distinct_keys
+    from .canonicalize import grouped_apply
+
+    hashes = hashes if isinstance(hashes, rd.Dataset) else rd.from_arrow(hashes)
+    id_type = pa.schema(
+        [(f.name, f.type)
+         for f in hashes.schema(fetch_if_missing=True).base_schema]
+    ).field(id_col).type
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
+                "phash": pa.array([], pa.int64()),
+            })
+        h = b.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands = np.arange(4, dtype=np.uint64)
+        vals = (h[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF)
+        key = ((bands[None, :] << np.uint64(56)) | vals).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(b.num_rows), 4), pa.int64())
+        return pa.table({
+            "key": pa.array(key.reshape(-1), pa.int64()),
+            id_col: b.column(id_col).take(rep),
+            "phash": pa.array(np.repeat(h.view(np.int64), 4), pa.int64()),
+        })
+
+    banded = hashes.map_batches(band_rows, batch_format="pyarrow")
+    pair_schema = pa.schema([
+        pa.field("a", id_type), pa.field("b", id_type),
+        pa.field("hamming", pa.int64()),
+    ])
+
+    def bucket_pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        lens = np.diff(np.r_[starts, n])
+        ids = block.column(id_col)
+        hs = block.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2 or ln > max_bucket:
+                continue
+            hb = hs[s : s + ln]
+            x = hb[:, None] ^ hb[None, :]
+            ham = _POP8[x.view(np.uint8)].reshape(ln, ln, 8).sum(
+                axis=-1, dtype=np.int64
+            )
+            iu, ju = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if not iu.size:
+                continue
+            ia = ids.take(pa.array(s + iu, pa.int64()))
+            ib = ids.take(pa.array(s + ju, pa.int64()))
+            lo = pc.min_element_wise(ia, ib)
+            hi = pc.max_element_wise(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(pa.array(ham[iu, ju], pa.int64()))
+        if not out_a:
+            return pair_schema.empty_table()
+
+        def cat(arrs):
+            return pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in arrs]
+            )
+
+        return pa.Table.from_arrays(
+            [cat(out_a), cat(out_b), cat(out_h)], schema=pair_schema
+        )
+
+    pairs = grouped_apply(
+        banded, ["key"], None, pair_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=bucket_pairs, exchange="hash",
+    )
+    return distinct_keys(pairs, ["a", "b", "hamming"])
+
+
+def synth_smooth_image(seed: int, size: int = 32) -> np.ndarray:
+    """Deterministic low-frequency RGB image — pHash is a low-frequency
+    hash, so a 1-pixel perturbation of such an image stays within a few
+    bits (used by tests and the derived image-dedup query corpus)."""
+    rng = np.random.default_rng(seed)
+    y = np.arange(size)[:, None]
+    x = np.arange(size)[None, :]
+    chans = []
+    for _ in range(3):
+        fy = rng.uniform(0.5, 2.0)
+        fx = rng.uniform(0.5, 2.0)
+        ph = rng.uniform(0, 6)
+        g = 127 + 120 * np.sin(2 * np.pi * (fy * y + fx * x) / size + ph)
+        chans.append(g)
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+
+def docs_to_bmp_media(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    """doc ids → deterministic BMP media rows, with PLANTED near-dups:
+    every id ≡ 1 (mod 7) renders its predecessor's image with one pixel
+    nudged (a near-duplicate at pHash hamming ≈ 0–2).  Synthetic-input
+    generator for the image-dedup pipeline — deterministic per id, so any
+    partitioning of any scale factor produces the same corpus."""
+    ids = pc.cast(batch.column(id_col), pa.int64()).to_pylist()
+    payloads = []
+    for did in ids:
+        base = did - 1 if did % 7 == 1 else did
+        px = synth_smooth_image(base)
+        if did % 7 == 1:
+            px = px.copy()
+            px[0, 0, 0] = min(int(px[0, 0, 0]), 254) + 1
+        payloads.append(bmp_bytes(px))
+    return pa.table({
+        "media_id": pa.array([f"img-{d:08d}" for d in ids]),
+        "media_type": pa.array(["image"] * len(ids)),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_json": pa.array(["{}"] * len(ids)),
+    })
