@@ -1250,6 +1250,27 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_docs(sf_dir, ["doc_id", "text"]), n_docs)
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag exact lower WEIGHTED median of extendedprice cents,
+    weighted by quantity cents: distinct (key, value) weight collapse
+    (map-side combine) → hash-exchange run scan; 2·cumW ≥ totW picked in
+    exact integers."""
+    from ..stages.aggregates import grouped_weighted_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda b: _cents(_cents(b, "l_extendedprice", "v"), "l_quantity", "w")
+        .select(["l_returnflag", "v", "w"]),
+        batch_format="pyarrow",
+    )
+    return grouped_weighted_median(
+        ds, key_col="l_returnflag", value_col="v", weight_col="w",
+        out_col="wmedian_cents",
+    )
+
+
 def q_outliers_iqr(sf_dir: str):
     """Per-user Tukey-fence outlier counts over event value-cents: exact
     discrete quartiles (quantile_disc positioning) → broadcast fences →
@@ -2536,6 +2557,27 @@ def q_phash_neardup(sf_dir: str):
     )
 
 
+def q_audio_neardup(sf_dir: str):
+    """Audio near-dup detection, the audio twin of q_phash_neardup:
+    doc_ids → deterministic WAV tone corpus with planted −66 dB-noise
+    near-dups → real PCM16 decode + 64-bit band-energy fingerprint
+    (band-presence bitmap, actor pool) → banded pairs, exact at
+    hamming ≤ 2.  Pytest oracle: brute-force all-pairs hamming."""
+    from ..stages.multimodal import (
+        compute_audio_fingerprints,
+        docs_to_wav_media,
+        phash_neardup_pairs,
+    )
+
+    media = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(docs_to_wav_media, batch_format="pyarrow", batch_size=256)
+    return phash_neardup_pairs(
+        compute_audio_fingerprints(media, backend="raw", concurrency=4),
+        max_hamming=2, hash_col="afp",
+    )
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -2880,6 +2922,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, 'discount_cents', discount_cents FROM s
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM s
+    """,
+    "q_weighted_median": """
+        WITH t AS (
+          SELECT l_returnflag AS k,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
+          FROM lineitem
+        ),
+        g AS (SELECT k, v, sum(w) AS w FROM t GROUP BY k, v),
+        c AS (
+          SELECT k, v,
+                 sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+                 sum(w) OVER (PARTITION BY k) AS tw
+          FROM g
+        )
+        SELECT k AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents
+        FROM c WHERE 2 * cw >= tw GROUP BY k
     """,
     "q_outliers_iqr": """
         WITH e AS (
@@ -4025,6 +4084,7 @@ QUERIES = {
     "q_value_median": q_value_median,
     "q_value_p90": q_value_p90,
     "q_outliers_iqr": q_outliers_iqr,
+    "q_weighted_median": q_weighted_median,
     "q_unpivot": q_unpivot,
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,
@@ -4118,6 +4178,7 @@ QUERIES = {
     "q_kg_hits": q_kg_hits,
     "q_kg_ppr": q_kg_ppr,
     "q_phash_neardup": q_phash_neardup,
+    "q_audio_neardup": q_audio_neardup,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -4197,6 +4258,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     "q_phash_neardup": [
         "tests/test_phash.py::test_phash_neardup_matches_bruteforce",
         "tests/test_phash.py::test_bmp_roundtrip_byte_exact",
+    ],
+    "q_audio_neardup": [
+        "tests/test_phash.py::test_wav_roundtrip_and_audio_fingerprint_neardup",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

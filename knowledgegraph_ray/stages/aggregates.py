@@ -1421,3 +1421,80 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(per_block, batch_format="pyarrow")
+
+
+def grouped_weighted_median(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+) -> rd.Dataset:
+    """Per-key exact LOWER weighted median: the smallest v with
+    2·cumW(≤v) ≥ totalW (integer weights, compared in exact ints — at
+    equal total halves the lower value wins, the discrete-median
+    convention everywhere in this repo).
+
+    Scale shape: weights first collapse to O(distinct (key, value)) rows
+    via `partial_grouped_agg` (map-side combine — raw rows never reach the
+    exchange); the hash map/reduce exchange then colocates each key's
+    DISTINCT values only, and one vectorized run scan per reduce partition
+    (in-block sort by (run, v), cumsum with per-run offsets, reduceat
+    totals, min-position pick) selects the median.  A key with a billion
+    rows but few distinct values costs O(distinct) in the exchange."""
+    from .canonicalize import grouped_apply
+
+    base = ds.select_columns([key_col, value_col, weight_col])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.is_valid(b.column(value_col)), pc.is_valid(b.column(weight_col))
+        )
+        return b.filter(keep)
+
+    pairs = partial_grouped_agg(
+        base.map_batches(drop_null, batch_format="pyarrow"),
+        [key_col, value_col],
+        sums={weight_col: "_w"},
+    )
+
+    ktype = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    ).field(key_col).type
+    out_schema = pa.schema([(key_col, ktype), (out_col, pa.int64())])
+
+    def pick_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        block = block.sort_by([("_run", "ascending"),
+                               (value_col, "ascending")])
+        v = pc.cast(block.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.cast(block.column("_w"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cw = np.cumsum(w)
+        lens = np.diff(np.r_[starts, n])
+        run_off = np.repeat(cw[starts] - w[starts], lens)
+        cw = cw - run_off
+        tw = np.add.reduceat(w, starts)
+        ok = 2 * cw >= np.repeat(tw, lens)
+        pos = np.where(ok, np.arange(n, dtype=np.int64), np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(pos, starts)
+        keys = block.column(key_col).take(pa.array(starts, pa.int64()))
+        return pa.Table.from_pydict(
+            {key_col: pc.cast(keys, ktype),
+             out_col: pa.array(v[first], pa.int64())},
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        pairs, [key_col], None, out_schema,
+        hash_sort=True, block_fn=pick_block, exchange="hash",
+    )

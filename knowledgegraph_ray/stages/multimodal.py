@@ -484,9 +484,9 @@ def compute_phashes(ds, *, backend: str = "raw", concurrency: int = 2,
 
 def phash_neardup_pairs(
     hashes, *, max_hamming: int = 3, id_col: str = "media_id",
-    num_partitions: int = 16, max_bucket: int = 4096,
+    hash_col: str = "phash", num_partitions: int = 16, max_bucket: int = 4096,
 ):
-    """(id, phash) → near-duplicate image pairs (id_a, id_b, hamming ≤
+    """(id, 64-bit hash) → near-duplicate pairs (id_a, id_b, hamming ≤
     ``max_hamming``), EXACT for max_hamming ≤ 3: 4 disjoint 16-bit bands
     guarantee by pigeonhole that any pair within hamming 3 shares a band.
 
@@ -512,9 +512,9 @@ def phash_neardup_pairs(
             return pa.table({
                 "key": pa.array([], pa.int64()),
                 id_col: pa.array([], id_type),
-                "phash": pa.array([], pa.int64()),
+                hash_col: pa.array([], pa.int64()),
             })
-        h = b.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = b.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         bands = np.arange(4, dtype=np.uint64)
         vals = (h[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF)
         key = ((bands[None, :] << np.uint64(56)) | vals).astype(np.int64)
@@ -522,7 +522,7 @@ def phash_neardup_pairs(
         return pa.table({
             "key": pa.array(key.reshape(-1), pa.int64()),
             id_col: b.column(id_col).take(rep),
-            "phash": pa.array(np.repeat(h.view(np.int64), 4), pa.int64()),
+            hash_col: pa.array(np.repeat(h.view(np.int64), 4), pa.int64()),
         })
 
     banded = hashes.map_batches(band_rows, batch_format="pyarrow")
@@ -535,7 +535,7 @@ def phash_neardup_pairs(
         n = block.num_rows
         lens = np.diff(np.r_[starts, n])
         ids = block.column(id_col)
-        hs = block.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs = block.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         out_a, out_b, out_h = [], [], []
         for s, ln in zip(starts.tolist(), lens.tolist()):
             if ln < 2 or ln > max_bucket:
@@ -611,6 +611,149 @@ def docs_to_bmp_media(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
     return pa.table({
         "media_id": pa.array([f"img-{d:08d}" for d in ids]),
         "media_type": pa.array(["image"] * len(ids)),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_json": pa.array(["{}"] * len(ids)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup: real WAV decode → 64-bit band-energy fingerprint
+# (Haitsma–Kalker sign-delta shape) → the SAME banded near-dup machinery as
+# pHash (phash_neardup_pairs is generic over the 64-bit hash column).
+# ---------------------------------------------------------------------------
+
+
+def _log_band_edges(n_bins: int = 513, n_bands: int = 65) -> np.ndarray:
+    """Strictly increasing log-spaced rFFT-bin band edges (n_bands+1)."""
+    raw = 2.0 * (float(n_bins - 1) / 2.0) ** (np.arange(n_bands + 1) / n_bands)
+    edges = raw.astype(np.int64)
+    for i in range(1, edges.size):
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    return edges
+
+
+_AFP_WIN = 1024
+_AFP_HOP = 512
+
+
+def audio_fingerprint64(samples: np.ndarray, hann: np.ndarray | None = None,
+                        edges: np.ndarray | None = None) -> int:
+    """64-bit clip-level audio fingerprint: Hann-windowed 1024-sample
+    frames (hop 512) → average rFFT power spectrum → 65 log-spaced band
+    energies → a 64-bit band-PRESENCE bitmap (band b set iff its energy
+    exceeds 1/1024 of the total in-band energy).  Deterministic float64,
+    so every worker computes identical bits; gain-invariant (both compare
+    sides scale together) and robust to low-level noise by construction —
+    a −60 dB perturbation moves band energies ~60 dB below the threshold
+    margin, unlike adjacent-band sign deltas, which are coin flips in the
+    empty bands of sparse tonal spectra."""
+    if hann is None:
+        hann = np.hanning(_AFP_WIN)
+    if edges is None:
+        edges = _log_band_edges()
+    x = np.asarray(samples, np.float64)
+    if x.size < _AFP_WIN:
+        x = np.pad(x, (0, _AFP_WIN - x.size))
+    starts = np.arange(0, x.size - _AFP_WIN + 1, _AFP_HOP)
+    F = x[starts[:, None] + np.arange(_AFP_WIN)[None, :]] * hann
+    P = np.abs(np.fft.rfft(F, axis=1)) ** 2
+    spec = P.mean(axis=0)
+    csum = np.r_[0.0, np.cumsum(spec)]
+    e = csum[edges[1:]] - csum[edges[:-1]]
+    bits = 1024.0 * e[:64] > e.sum()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def _fake_samples(payload: bytes, n: int = 4096) -> np.ndarray:
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, n).astype(np.float32)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payload → (media_id, afp int64-bits).  Window
+    and band edges built ONCE per actor; raw backend is the real PCM16
+    decode, fake is payload-derived deterministic samples."""
+
+    def __init__(self, backend: str = "raw") -> None:
+        self.backend = backend
+        self._hann = np.hanning(_AFP_WIN)
+        self._edges = _log_band_edges()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out = np.empty(len(payloads), np.uint64)
+        for i, payload in enumerate(payloads):
+            if self.backend == "raw":
+                samples, _ = decode_wav_pcm16(payload or b"")
+            elif self.backend == "fake":
+                samples = _fake_samples(payload or b"")
+            else:
+                raise NotImplementedError(
+                    f"audio backend {self.backend!r} requires codec libraries"
+                )
+            out[i] = audio_fingerprint64(samples, self._hann, self._edges)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "afp": pa.array(out.view(np.int64), pa.int64()),
+        })
+
+
+def compute_audio_fingerprints(ds, *, backend: str = "raw",
+                               concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        AudioFingerprinter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"backend": backend},
+    )
+
+
+def wav_bytes(samples_i16: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 (inverse of decode_wav_pcm16)."""
+    data = samples_i16.astype("<i2").tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_tone_wav(seed: int, n: int = 4096, rate: int = 8000) -> np.ndarray:
+    """Deterministic 8-sine mixture (int16) spanning the band range —
+    ~8 presence bits per fingerprint, so distinct clips sit far apart in
+    hamming space while small-noise copies hash identically (3 tones set
+    too few bits: measured 2.9% chance-pair rate at hamming ≤ 3)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for _ in range(8):
+        f = rng.uniform(60.0, 3900.0)
+        a = rng.uniform(0.06, 0.12)
+        ph = rng.uniform(0, 6)
+        x += a * np.sin(2 * np.pi * f * t + ph)
+    return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def docs_to_wav_media(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    """doc ids → deterministic WAV media rows with PLANTED near-dups:
+    every id ≡ 1 (mod 7) renders its predecessor's tone mixture with
+    -66 dB noise added (same fingerprint up to a few bits)."""
+    ids = pc.cast(batch.column(id_col), pa.int64()).to_pylist()
+    payloads = []
+    for did in ids:
+        base = did - 1 if did % 7 == 1 else did
+        x = synth_tone_wav(base).astype(np.float64)
+        if did % 7 == 1:
+            noise = np.random.default_rng(did).normal(0, 16.0, x.size)
+            x = np.clip(x + noise, -32768, 32767)
+        payloads.append(wav_bytes(x.astype(np.int16)))
+    return pa.table({
+        "media_id": pa.array([f"aud-{d:08d}" for d in ids]),
+        "media_type": pa.array(["audio"] * len(ids)),
         "payload": pa.array(payloads, pa.binary()),
         "meta_json": pa.array(["{}"] * len(ids)),
     })

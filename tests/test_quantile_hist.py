@@ -407,3 +407,53 @@ def test_grouped_iqr_outliers_matches_reference(ray_session):
         ).take_all()
         got = {r["k"]: r["n_outliers"] for r in out}
         assert got == ref, parts
+
+
+def test_grouped_weighted_median_matches_reference(ray_session):
+    """Lower weighted median: smallest v with 2*cumW(<=v) >= totalW."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.aggregates import grouped_weighted_median
+
+    rng = np.random.default_rng(31)
+    keys, vals, wts = [], [], []
+    for k in range(10):
+        n = int(rng.integers(1, 50))
+        keys += [f"k{k}"] * n
+        vals += rng.integers(-100, 100, size=n).tolist()
+        wts += rng.integers(1, 9, size=n).tolist()
+    # exact-half boundary: weights 1,1 over values 3,9 -> lower median 3
+    keys += ["kb", "kb"]; vals += [9, 3]; wts += [1, 1]
+    # null rows are ignored
+    keys += ["k0", "k0"]; vals += [None, 50]; wts += [5, None]
+
+    def ref(k):
+        rows = sorted(
+            (v, w) for v, kk, w in zip(vals, keys, wts)
+            if kk == k and v is not None and w is not None
+        )
+        tot = sum(w for _, w in rows)
+        c = 0
+        for v, w in rows:
+            c += w
+            if 2 * c >= tot:
+                return v
+        raise AssertionError
+
+    want = {k: ref(k) for k in set(keys)}
+    assert want["kb"] == 3
+
+    tbl = pa.table({
+        "k": pa.array(keys),
+        "v": pa.array(vals, pa.int64()),
+        "w": pa.array(wts, pa.int64()),
+    })
+    for parts in (1, 6):
+        out = grouped_weighted_median(
+            rd.from_arrow(tbl).repartition(parts),
+            key_col="k", value_col="v", weight_col="w",
+        ).take_all()
+        got = {r["k"]: r["wmedian"] for r in out}
+        assert got == want, parts
