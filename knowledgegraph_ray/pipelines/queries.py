@@ -492,6 +492,41 @@ def q_asof_join(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "o_orderkey", "o_price_cents"])
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join: each event picks the EARLIEST order (same
+    customer, o_orderdate >= event ts; date ties broken by max o_orderkey)
+    — the "next event after" join, via the negated-timestamp mapping onto
+    the backward scan."""
+    from ..stages.temporal import asof_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "o_price_cents").select(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_price_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_price_cents"],
+        right_order="o_orderkey",
+        direction="forward",
+    )
+    return joined.select_columns(
+        ["event_id", "user_id", "o_orderkey", "o_price_cents"]
+    )
+
+
 def q_range_join(sf_dir: str):
     """Bounded-lookahead self range join: event pairs per user within 60
     minutes (strictly after)."""
@@ -2851,6 +2886,20 @@ ORACLE_SQL: dict[str, str] = {
           JOIN orders o ON e2.user_id = o.o_custkey AND o.o_orderdate <= e2.ts
         ) m ON m.eid = e.event_id AND m.rn = 1
     """,
+    "q_asof_forward": """
+        SELECT e.event_id, e.user_id, m.o_orderkey, m.o_price_cents
+        FROM events e
+        LEFT JOIN (
+          SELECT e2.event_id AS eid, o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_price_cents,
+                 row_number() OVER (
+                   PARTITION BY e2.event_id
+                   ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+                 ) AS rn
+          FROM events e2
+          JOIN orders o ON e2.user_id = o.o_custkey AND o.o_orderdate >= e2.ts
+        ) m ON m.eid = e.event_id AND m.rn = 1
+    """,
     "q_range_join": """
         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
                epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
@@ -4078,6 +4127,7 @@ QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_sessionize": q_sessionize,
     "q_asof_join": q_asof_join,
+    "q_asof_forward": q_asof_forward,
     "q_range_join": q_range_join,
     "q_rolling_sum": q_rolling_sum,
     "q_top3_orders": q_top3_orders,

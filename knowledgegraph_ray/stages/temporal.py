@@ -60,12 +60,19 @@ def asof_join(
     right_cols: list[str],
     right_order: str,
     num_partitions: int = 256,
+    direction: str = "backward",
 ) -> rd.Dataset:
     """Left as-of join: latest right row (same key, right_ts <= left_ts).
 
     ``right_cols`` are the right payload columns to attach (null when no
     right row qualifies); ``right_order`` breaks right-side timestamp ties
     deterministically (greatest value wins, matching a last-write register).
+
+    ``direction="forward"`` flips the inequality: EARLIEST right row with
+    right_ts >= left_ts (the "next event after" join) — implemented by
+    negating the unified timestamp column, which maps forward semantics
+    exactly onto the backward scan (ties still resolve to max
+    ``right_order``).
 
     Columns are pruned to key/ts/payload before the union so the shuffle
     moves only what the join needs."""
@@ -86,9 +93,12 @@ def asof_join(
 
     # Tag sides and align to one unified schema so union() is a pure
     # metadata concat; right rows carry nulls in left columns and vice versa.
+    fwd = direction == "forward"
+
     def tag_left(b: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array | pa.ChunkedArray] = {"_k": b.column(left_key)}
-        cols["_ts"] = pc.cast(b.column(left_ts), pa.int64())
+        ts_arr = pc.cast(b.column(left_ts), pa.int64())
+        cols["_ts"] = pc.negate_checked(ts_arr) if fwd else ts_arr
         cols["_side"] = pa.array(np.ones(b.num_rows, np.int8))
         cols["_ord"] = pa.nulls(b.num_rows, pa.int64())
         for n in left_names:
@@ -99,7 +109,8 @@ def asof_join(
 
     def tag_right(b: pa.Table) -> pa.Table:
         cols = {"_k": b.column(right_key)}
-        cols["_ts"] = pc.cast(b.column(right_ts), pa.int64())
+        ts_arr = pc.cast(b.column(right_ts), pa.int64())
+        cols["_ts"] = pc.negate_checked(ts_arr) if fwd else ts_arr
         cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8))
         cols["_ord"] = pc.cast(b.column(right_order), pa.int64())
         for n in left_names:

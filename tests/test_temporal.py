@@ -269,3 +269,35 @@ def test_hopping_counts_window_membership(ray_session):
             assert s <= t_us < s + width
             want[(s, "a")] = want.get((s, "a"), 0) + 1
     assert got == want
+
+
+def test_asof_join_forward_direction(ray_session):
+    """Forward as-of: earliest right row with right_ts >= left_ts; ties by
+    max right_order; no-future-row keeps nulls."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.temporal import asof_join
+
+    left = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([10, 10, 10, 20], pa.int64()),
+        "ts": pa.array([5, 11, 30, 5], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([10, 10, 10, 10, 20], pa.int64()),
+        "rts": pa.array([10, 10, 20, 25, 3], pa.int64()),
+        "ordc": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "val": pa.array([100, 200, 300, 400, 500], pa.int64()),
+    })
+    out = asof_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(2),
+        left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+        right_cols=["val"], right_order="ordc", direction="forward",
+    ).take_all()
+    got = {r["id"]: r["val"] for r in out}
+    # id 1: ts=5 -> earliest rts>=5 is 10 (tie: ordc 2 wins) -> 200
+    # id 2: ts=11 -> rts 20 -> 300;  id 3: ts=30 -> none -> None
+    # id 4 (k=20): ts=5 -> rts 3 is in the past -> None
+    assert got == {1: 200, 2: 300, 3: None, 4: None}
