@@ -2613,6 +2613,26 @@ def q_audio_neardup(sf_dir: str):
     )
 
 
+def q_kg_centrality(sf_dir: str):
+    """Harmonic centrality of the 5 lexicographically-first Person nodes
+    over the flagship KG: one broadcast-frontier BFS per seed, scores as
+    exact scaled integers Σ floor(2^40/d) — order-independent."""
+    from ..stages.graph_query import harmonic_centrality
+
+    res = _kg_result(sf_dir)
+    seeds = [
+        r["name"]
+        for r in res.nodes().select_columns(["name", "type"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("type"), "Person")),
+            batch_format="pyarrow",
+        )
+        .sort("name").limit(5).take_all()
+    ]
+    edges = res.edges().select_columns(["src", "dst"])
+    return rd.from_arrow(harmonic_centrality(edges, seeds, max_hops=16))
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -4229,6 +4249,7 @@ QUERIES = {
     "q_kg_ppr": q_kg_ppr,
     "q_phash_neardup": q_phash_neardup,
     "q_audio_neardup": q_audio_neardup,
+    "q_kg_centrality": q_kg_centrality,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -4311,6 +4332,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_audio_neardup": [
         "tests/test_phash.py::test_wav_roundtrip_and_audio_fingerprint_neardup",
+    ],
+    "q_kg_centrality": [
+        "tests/test_kcore.py::test_harmonic_centrality_matches_bfs_reference",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

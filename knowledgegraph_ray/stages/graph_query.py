@@ -482,6 +482,103 @@ def khop(edges, seeds: list, k: int, direction: str = "both",
     })
 
 
+def harmonic_centrality(
+    edges, seeds: list, *, max_hops: int = 64, direction: str = "both",
+    src: str = "src", dst: str = "dst", small_graph_edges: int = 5_000_000,
+):
+    """Harmonic centrality of each SEED node: Σ_v 1/d(seed, v) over the
+    nodes reachable within ``max_hops``, computed as the EXACT scaled
+    integer Σ_d floor(2^40 / d) · |{v : d(seed, v) = d}|.
+    → Arrow table (name, harmonic_s, n_reachable), one row per seed.
+    Exact-integer weights make the score order-independent — the
+    repo-wide rule that keeps reducers partition-invariant.
+
+    Regimes (the iterative-graph-op pattern): at or below
+    ``small_graph_edges`` the edge list materializes once on the driver as
+    a CSR adjacency and each BFS is a numpy level sweep (per-round Dataset
+    scheduling overhead IS the cost at query scale — measured 11 s → ~1 s
+    at sf0.1); above it, one broadcast-frontier BFS per seed streams the
+    edge table per round through an is_in semi-join (``khop``'s shape —
+    edge rows never shuffle).  All-integer hop math → the regimes are
+    EXACTLY equal.  Per-seed BFS is the right trade for centrality QUERIES
+    over a seed set; an all-nodes sweep at 10^9 nodes wants
+    HyperBall-style sketching instead (out of scope — this is the exact
+    path)."""
+    import pyarrow as pa
+    import ray
+
+    ds = _ds(edges).select_columns([src, dst]).materialize()
+    ntype = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    ).field(src).type
+
+    def emit(rows: list[tuple]) -> pa.Table:
+        return pa.Table.from_pydict({
+            "name": pa.array([r[0] for r in rows], ntype),
+            "harmonic_s": pa.array([r[1] for r in rows], pa.int64()),
+            "n_reachable": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    if ds.count() <= small_graph_edges:
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return emit([(s, 0, 0) for s in seeds])
+        t = pa.concat_tables(tbls).combine_chunks()
+        sv, dv = t.column(src).combine_chunks(), t.column(dst).combine_chunks()
+        names = pc.unique(pa.concat_arrays([sv, dv]))
+        si = pc.index_in(sv, value_set=names).to_numpy(zero_copy_only=False)
+        di = pc.index_in(dv, value_set=names).to_numpy(zero_copy_only=False)
+        if direction == "out":
+            u, v = si, di
+        elif direction == "in":
+            u, v = di, si
+        else:
+            u = np.concatenate([si, di])
+            v = np.concatenate([di, si])
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        n = len(names)
+        offs = np.searchsorted(u, np.arange(n + 1))
+        seed_pos = pc.index_in(pa.array(seeds, ntype), value_set=names)
+        rows = []
+        for s, sp in zip(seeds, seed_pos.to_pylist()):
+            if sp is None:  # seed absent from the edge list
+                rows.append((s, 0, 0))
+                continue
+            sp = int(sp)
+            dist = np.full(n, -1, np.int64)
+            dist[sp] = 0
+            frontier = np.array([sp], np.int64)
+            hop = 0
+            score = total = 0
+            while frontier.size and hop < max_hops:
+                hop += 1
+                nbr = np.concatenate(
+                    [v[offs[x]:offs[x + 1]] for x in frontier.tolist()]
+                ) if frontier.size else np.empty(0, np.int64)
+                nbr = np.unique(nbr)
+                nbr = nbr[dist[nbr] < 0]
+                if not nbr.size:
+                    break
+                dist[nbr] = hop
+                score += int(RA_SCALE // hop) * int(nbr.size)
+                total += int(nbr.size)
+                frontier = nbr
+            rows.append((s, score, total))
+        return emit(rows)
+
+    rows = []
+    for seed in seeds:
+        t = khop(ds, [seed], k=max_hops, direction=direction,
+                 src=src, dst=dst)
+        hops = t.column("hop").to_numpy(zero_copy_only=False)
+        hops = hops[hops > 0]  # the seed itself (hop 0) contributes nothing
+        score = int((RA_SCALE // hops).sum()) if hops.size else 0
+        rows.append((seed, score, int(hops.size)))
+    return emit(rows)
+
+
 def triangle_count(edges, src: str = "src", dst: str = "dst",
                    num_partitions: int = 16):
     """Global triangle count — degree-ordered wedge counting, the textbook

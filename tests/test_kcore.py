@@ -98,3 +98,77 @@ def test_q_kg_kcore_contract(ray_session):
     rows = q_kg_kcore("/root/testdata/sf0.001").take_all()
     assert rows and all(r["core"] >= 1 for r in rows)
     assert sum(r["n_nodes"] for r in rows) > 0
+
+
+def test_harmonic_centrality_matches_bfs_reference(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import (
+        RA_SCALE,
+        harmonic_centrality,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 40
+    E = {(int(a), int(b)) for a, b in rng.integers(0, n, (90, 2)) if a != b}
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        del dist[s]
+        return dist
+
+    seeds = [0, 7, 13]
+    tbl = pa.table({"src": pa.array([a for a, b in sorted(E)], pa.int64()),
+                    "dst": pa.array([b for a, b in sorted(E)], pa.int64())})
+    out = harmonic_centrality(
+        rd.from_arrow(tbl).repartition(3), seeds
+    )
+    got = {r["name"]: (r["harmonic_s"], r["n_reachable"])
+           for r in out.to_pylist()}
+    for s in seeds:
+        dist = bfs(s)
+        want = sum(RA_SCALE // d for d in dist.values())
+        assert got[s] == (want, len(dist)), s
+
+    # max_hops truncation: only hop-1 neighbors counted
+    out1 = harmonic_centrality(rd.from_arrow(tbl), [0], max_hops=1)
+    r = out1.to_pylist()[0]
+    assert r["n_reachable"] == len(adj[0])
+    assert r["harmonic_s"] == len(adj[0]) * RA_SCALE
+
+
+def test_harmonic_centrality_regime_equality(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import harmonic_centrality
+
+    rng = np.random.default_rng(47)
+    E = sorted({(int(a), int(b))
+                for a, b in rng.integers(0, 35, (70, 2)) if a != b})
+    tbl = pa.table({"src": pa.array([a for a, _ in E], pa.int64()),
+                    "dst": pa.array([b for _, b in E], pa.int64())})
+    seeds = [0, 5, 999]  # 999 absent -> zero row
+    small = harmonic_centrality(
+        rd.from_arrow(tbl).repartition(3), seeds
+    ).to_pylist()
+    dist = harmonic_centrality(
+        rd.from_arrow(tbl).repartition(3), seeds, small_graph_edges=0
+    ).to_pylist()
+    assert small == dist
+    z = [r for r in small if r["name"] == 999][0]
+    assert z["harmonic_s"] == 0 and z["n_reachable"] == 0
