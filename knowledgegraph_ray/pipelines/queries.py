@@ -1356,6 +1356,56 @@ def q_unpivot(sf_dir: str):
     )
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot change detection (SCD/CDC shape) between two derived
+    order versions: old = keys % 5 ≠ 0; new = keys % 3 ≠ 0 with price
+    bumped +100 cents on even keys → added/removed/changed/unchanged per
+    key with old/new prices; one full-outer exchange + vectorized
+    IS-DISTINCT-FROM classification."""
+    from ..functions.joins import table_diff
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents").select(
+            ["o_orderkey", "price_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    def mod_ne(col: str, m: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(col)
+            rem = pc.subtract(
+                k, pc.multiply(pc.divide(k, pa.scalar(m, pa.int64())),
+                               pa.scalar(m, pa.int64()))
+            )
+            return b.filter(pc.not_equal(rem, pa.scalar(0, pa.int64())))
+        return f
+
+    old = base.map_batches(mod_ne("o_orderkey", 5), batch_format="pyarrow")
+
+    def bump(b: pa.Table) -> pa.Table:
+        even = pc.equal(
+            pc.bit_wise_and(b.column("o_orderkey"), pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": pc.add(
+                b.column("price_cents"),
+                pc.if_else(even, pa.scalar(100, pa.int64()),
+                           pa.scalar(0, pa.int64())),
+            ),
+        })
+
+    new = base.map_batches(
+        mod_ne("o_orderkey", 3), batch_format="pyarrow"
+    ).map_batches(bump, batch_format="pyarrow")
+    return table_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["price_cents"]
+    )
+
+
 def q_value_p90(sf_dir: str):
     """Exact per-type discrete p90 of event value-cents (quantile_disc 0.9
     positioning, exact rational index arithmetic)."""
@@ -2992,6 +3042,26 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM s
     """,
+    "q_table_diff": """
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p
+          FROM orders
+        ),
+        old AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+        new AS (
+          SELECT o_orderkey,
+                 p + CASE WHEN o_orderkey % 2 = 0 THEN 100 ELSE 0 END AS p
+          FROM base WHERE o_orderkey % 3 <> 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.p IS DISTINCT FROM n.p THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               o.p AS price_cents_old, n.p AS price_cents_new
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
     "q_weighted_median": """
         WITH t AS (
           SELECT l_returnflag AS k,
@@ -4155,6 +4225,7 @@ QUERIES = {
     "q_value_p90": q_value_p90,
     "q_outliers_iqr": q_outliers_iqr,
     "q_weighted_median": q_weighted_median,
+    "q_table_diff": q_table_diff,
     "q_unpivot": q_unpivot,
     "q_value_p90_hist": q_value_p90_hist,
     "q_value_median_cont": q_value_median_cont,

@@ -48,3 +48,31 @@ def test_melt_empty_and_types(ray_session):
     })
     assert melt(rd.from_arrow(empty), id_cols=["id"],
                 value_cols=["x", "y"]).count() == 0
+
+
+def test_table_diff_statuses(ray_session):
+    """All four statuses, null-payload semantics (a real NULL value is not
+    'absent'), multi-compare-column OR."""
+    from knowledgegraph_ray.functions.joins import table_diff
+
+    old = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "a": pa.array([10, 20, None, 40, 50], pa.int64()),
+        "b": pa.array(["x", "y", "z", "w", "v"]),
+    })
+    new = pa.table({
+        "k": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        "a": pa.array([20, None, 41, 50, 60], pa.int64()),
+        "b": pa.array(["y", "z", "w", "q", "u"]),
+    })
+    out = table_diff(
+        rd.from_arrow(old).repartition(2), rd.from_arrow(new).repartition(2),
+        keys=["k"], compare_cols=["a", "b"],
+    ).take_all()
+    got = {r["k"]: r["status"] for r in out}
+    # k1 removed; k2 unchanged; k3 unchanged (null == null); k4 changed (a);
+    # k5 changed (b); k6 added
+    assert got == {1: "removed", 2: "unchanged", 3: "unchanged",
+                   4: "changed", 5: "changed", 6: "added"}
+    r4 = [r for r in out if r["k"] == 4][0]
+    assert (r4["a_old"], r4["a_new"]) == (40, 41)
