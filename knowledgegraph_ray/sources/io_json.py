@@ -146,3 +146,45 @@ def backup_schema(graph_dir: str, out_path: str) -> str:
         json.dump(doc, f, indent=2, sort_keys=True)
     os.replace(tmp, out_path)
     return out_path
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_mb: int = 256,
+    columns: "list[str] | None" = None,
+) -> dict[str, Any]:
+    """Small-file compaction — the table-maintenance pass every
+    long-running partitioned-output pipeline needs (thousands of tiny
+    per-task files destroy read parallelism economics at 100 TB: open/
+    footer costs dominate).  Streams the input directory through Ray Data
+    and rewrites it as ~``target_mb`` files: file count follows TOTAL BYTES
+    (never the input file count), rows are preserved exactly, and the
+    write stays distributed (repartition + write_parquet — the driver
+    never holds the data).  Returns {files_in, files_out, rows, bytes}.
+    """
+    import os
+
+    import ray.data as rd
+
+    files_in = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(in_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files_in)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    ds = rd.read_parquet(in_dir, columns=columns)
+    rows = ds.count()
+    ds.repartition(int(n_out)).write_parquet(out_dir)
+    files_out = [
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ]
+    return {
+        "files_in": len(files_in),
+        "files_out": len(files_out),
+        "rows": rows,
+        "bytes": total_bytes,
+    }

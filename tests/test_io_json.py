@@ -80,3 +80,27 @@ def test_export_graph_json_and_admin(tmp_path):
     removed = clean_graph(graph_dir)
     assert len(removed) == 2
     assert graph_status(graph_dir)["tables"]["nodes"] == {"exists": False}
+
+
+def test_compact_parquet_preserves_rows(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.sources.io_json import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    total = 0
+    for i in range(40):  # forty tiny files
+        t = pa.table({"a": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                      "b": pa.array([f"s{j}" for j in range(10)])})
+        pq.write_table(t, src / f"part-{i:03d}.parquet")
+        total += 10
+    out = tmp_path / "compact"
+    res = compact_parquet(str(src), str(out), target_mb=256)
+    assert res["files_in"] == 40 and res["rows"] == total
+    assert res["files_out"] < 40
+    back = rd.read_parquet(str(out)).take_all()
+    assert sorted(r["a"] for r in back) == list(range(total))
