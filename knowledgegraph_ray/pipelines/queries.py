@@ -2329,6 +2329,18 @@ def q_substring_dedup(sf_dir: str):
     return substring_dedup(_docs(sf_dir, ["doc_id", "text"]), n=13)
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """Cross-doc boilerplate removal: every 20-word passage appearing in
+    ≥2 distinct docs is stripped; docs rewritten from kept passages (one
+    distinct-pair collapse + broadcast frequent set + in-block rewrite —
+    document text never shuffles)."""
+    from ..stages.dedup import boilerplate_strip
+
+    return boilerplate_strip(
+        _docs(sf_dir, ["doc_id", "text"]), min_df=2
+    )
+
+
 def q_intra_doc_repetition(sf_dir: str):
     """Per-doc passage repetition profile (Gopher-style intra-doc signal):
     NO shuffle — a doc is one row, so explode + distinct count run entirely
@@ -3654,6 +3666,40 @@ ORACLE_SQL: dict[str, str] = {
                CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
+    # boilerplate strip: same chunking CTE as q_passage_dedup, df >= 2
+    # passages removed, docs rebuilt by position-ordered string_agg
+    "q_boilerplate_strip": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                 generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, i // 20 AS pos, string_agg(word, ' ' ORDER BY i) AS passage
+          FROM w GROUP BY doc_id, i // 20
+        ),
+        df AS (
+          SELECT passage, count(DISTINCT doc_id) AS df FROM chunks GROUP BY passage
+        ),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.passage
+          FROM chunks c JOIN df USING (passage) WHERE df.df < 2
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n FROM chunks GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)
+    """,
     # per-doc passage repetition: same chunking CTE as q_passage_dedup
     "q_intra_doc_repetition": """
         WITH w AS (
@@ -4255,6 +4301,7 @@ QUERIES = {
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,
     "q_substring_dedup": q_substring_dedup,
+    "q_boilerplate_strip": q_boilerplate_strip,
     "q_sentences": q_sentences,
     "q_url_normalize": q_url_normalize,
     "q_fuzzy_match": q_fuzzy_match,

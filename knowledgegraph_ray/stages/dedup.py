@@ -1421,3 +1421,91 @@ def substring_dedup(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def boilerplate_strip(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 20,
+    min_df: int = 2,
+) -> rd.Dataset:
+    """Cross-document boilerplate REMOVAL — the rewrite half of passage
+    dedup (CCNet/RefinedWeb drop repeated nav/footer blocks, not just
+    count them): any passage appearing in ≥ ``min_df`` distinct documents
+    is stripped from every document; returns one row per doc
+    (doc_id, clean_text, n_kept, n_dropped), clean_text = the kept
+    passages re-joined in document order.
+
+    Scale shape: passage document-frequency comes from ONE distinct
+    (passage, doc) collapse + a map-side-combined count (exchange
+    O(distinct passages), never words); the frequent set — bounded by the
+    passages that actually repeat — broadcasts via ``ray.put``; the
+    REWRITE is a second streaming map, fully in-block (a doc is one row):
+    one explode, one C++ is_in, one ListArray re-window + binary_join.
+    No shuffle touches document text."""
+    import ray
+
+    from ..functions.joins import _dataset_to_table
+    from .aggregates import distinct_keys, partial_grouped_agg
+
+    W = int(words_per_passage)
+
+    chunks = ds.map_batches(
+        lambda b: explode_passages(
+            b, text_col=text_col, id_col=id_col, words_per_passage=W
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = distinct_keys(
+        chunks.map_batches(
+            lambda t: t.select(["passage", "doc_id"]), batch_format="pyarrow"
+        ),
+        ["passage", "doc_id"],
+    )
+    df = partial_grouped_agg(pairs, ["passage"], count_alias="_df")
+    freq_tbl = _dataset_to_table(
+        df.filter(expr=f"_df >= {int(min_df)}").select_columns(["passage"])
+    )
+    freq_arr = freq_tbl.column("passage")
+    if isinstance(freq_arr, pa.ChunkedArray):
+        freq_arr = freq_arr.combine_chunks()
+    freq_ref = ray.put(freq_arr)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            })
+        freq = ray.get(freq_ref)
+        ch = explode_passages(
+            b, text_col=text_col, id_col=id_col, words_per_passage=W
+        )
+        ids = pc.cast(b.column(id_col), pa.int64())
+        di = pc.index_in(ch.column("doc_id"), value_set=ids).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        kept_mask = pc.invert(
+            pc.is_in(ch.column("passage"), value_set=freq)
+        )
+        km = kept_mask.to_numpy(zero_copy_only=False)
+        total = np.bincount(di, minlength=n)
+        keptc = np.bincount(di[km], minlength=n)
+        kept_vals = ch.column("passage").filter(kept_mask)
+        if isinstance(kept_vals, pa.ChunkedArray):
+            kept_vals = kept_vals.combine_chunks()
+        offs = np.r_[0, np.cumsum(keptc)].astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_vals)
+        return pa.table({
+            id_col: ids,
+            "clean_text": pc.binary_join(la, " "),
+            "n_kept": pa.array(keptc, pa.int64()),
+            "n_dropped": pa.array(total - keptc, pa.int64()),
+        })
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

@@ -125,3 +125,47 @@ def test_sf0001_contract():
     ).take_all()
     got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"]) for r in out}
     assert got == _ref(texts, ids, 13)
+
+
+def test_boilerplate_strip_matches_reference():
+    """Sequential oracle over planted boilerplate (same 20-word chunking)."""
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import boilerplate_strip
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    boiler = " ".join(f"nav{i}" for i in range(20))  # one exact 20-word block
+    texts = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=40))  # two body passages
+        texts.append(boiler + " " + body if i % 3 == 0 else body)
+    texts.append("")  # empty doc
+
+    def chunks(t):
+        toks = (t or "").split(" ")
+        return [" ".join(toks[j:j + 20]) for j in range(0, len(toks), 20)]
+
+    from collections import Counter
+    df = Counter()
+    for t in texts:
+        for p in set(chunks(t)):
+            df[p] += 1
+    ref = {}
+    for i, t in enumerate(texts):
+        ch = chunks(t)
+        kept = [p for p in ch if df[p] < 2]
+        ref[i] = (" ".join(kept), len(kept), len(ch) - len(kept))
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    for parts in (1, 5):
+        out = boilerplate_strip(
+            rd.from_arrow(tbl).repartition(parts), min_df=2
+        ).take_all()
+        got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+               for r in out}
+        assert got == ref, parts
+    # the planted boilerplate block is gone from every doc
+    assert all(boiler not in v[0] for v in ref.values())
+    assert any(v[2] > 0 for v in ref.values())
