@@ -1564,6 +1564,22 @@ def q_event_lag_delta(sf_dir: str):
     )
 
 
+def q_transition_matrix(sf_dir: str):
+    """Per-user event-type transition counts (Markov / journey matrix):
+    lead() over (user, ts, event_id) pairs counted — key-only range sort,
+    in-block shift, map-side-combined count."""
+    from ..stages.windows import grouped_transitions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return grouped_transitions(
+        ds, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="event_type",
+    )
+
+
 def q_rank_windows(sf_dir: str):
     """Four ranking windows in one colocated pass: per event_type, RANK /
     DENSE_RANK over value_cents, NTILE(4) and a ROWS-frame running sum over
@@ -3054,6 +3070,17 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM s
     """,
+    "q_transition_matrix": """
+        WITH s AS (
+          SELECT event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        )
+        SELECT event_type AS prev, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
     "q_table_diff": """
         WITH base AS (
           SELECT o_orderkey,
@@ -4283,6 +4310,7 @@ QUERIES = {
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
     "q_rank_windows": q_rank_windows,
+    "q_transition_matrix": q_transition_matrix,
     "q_dist_windows": q_dist_windows,
     "q_zscore": q_zscore,
     "q_skewness": q_skewness,

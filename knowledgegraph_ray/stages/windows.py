@@ -628,3 +628,67 @@ def ordered_prefix_sum(
     return rd.from_arrow_refs(
         [block_cumsum.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+def grouped_transitions(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    prev_col: str = "prev",
+    next_col: str = "nxt",
+    count_col: str = "n",
+) -> rd.Dataset:
+    """Per-key ordered TRANSITION counts — the Markov / user-journey
+    matrix: for consecutive rows within each key (SQL
+    ``lead(v) OVER (PARTITION BY key ORDER BY order_cols)``), count every
+    (value, next value) pair.  → (prev_col, next_col, count_col).
+
+    asof_join's exchange: the key-hash map/reduce (grouped_apply
+    exchange="hash") colocates each key's rows with no global order (a
+    range sort's sampling pass + merge-concats buy nothing here — the
+    in-block sort restores window order anyway); pair emission is two
+    array slices + one adjacent-run equality mask (pairs never span
+    keys); the count is the map-side-combined grouped count, so the
+    second exchange moves O(distinct transitions × blocks) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .aggregates import partial_grouped_agg
+    from .canonicalize import grouped_apply
+
+    need = list(dict.fromkeys([key_col, *order_cols, value_col]))
+    s = events.select_columns(need)
+    vtype = pa.schema(
+        [(f.name, f.type)
+         for f in s.schema(fetch_if_missing=True).base_schema]
+    ).field(value_col).type
+    pair_schema = pa.schema([(prev_col, vtype), (next_col, vtype)])
+
+    def pair_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n < 2:
+            return pair_schema.empty_table()
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        block = block.sort_by(
+            [("_run", "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        r = block.column("_run").to_numpy(zero_copy_only=False)
+        same = pa.array(r[:-1] == r[1:])
+        v = block.column(value_col)
+        return pa.Table.from_arrays(
+            [v.slice(0, n - 1).filter(same), v.slice(1, n - 1).filter(same)],
+            schema=pair_schema,
+        )
+
+    pairs = grouped_apply(
+        s, [key_col], None, pair_schema,
+        hash_sort=True, block_fn=pair_block, exchange="hash",
+    )
+    return partial_grouped_agg(
+        pairs, [prev_col, next_col], count_alias=count_col
+    )
