@@ -1285,6 +1285,21 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_docs(sf_dir, ["doc_id", "text"]), n_docs)
 
 
+def q_mad(sf_dir: str):
+    """Per-user Median Absolute Deviation of event value-cents (robust
+    dispersion): exact discrete medians both passes, deviations mapped via
+    a broadcast lookup — no shuffle between the quantile exchanges."""
+    from ..stages.aggregates import grouped_mad
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").select(["user_id", "v"]),
+        batch_format="pyarrow",
+    )
+    return grouped_mad(ds, key_col="user_id", value_col="v", out_col="mad")
+
+
 def q_weighted_median(sf_dir: str):
     """Per-returnflag exact lower WEIGHTED median of extendedprice cents,
     weighted by quantity cents: distinct (key, value) weight collapse
@@ -3101,6 +3116,17 @@ ORACLE_SQL: dict[str, str] = {
                o.p AS price_cents_old, n.p AS price_cents_new
         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
     """,
+    "q_mad": """
+        WITH e AS (
+          SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, quantile_disc(v, 0.5) AS med FROM e GROUP BY user_id
+        )
+        SELECT e.user_id, quantile_disc(abs(e.v - m.med), 0.5) AS mad
+        FROM e JOIN m USING (user_id) GROUP BY e.user_id
+    """,
     "q_weighted_median": """
         WITH t AS (
           SELECT l_returnflag AS k,
@@ -4298,6 +4324,7 @@ QUERIES = {
     "q_value_p90": q_value_p90,
     "q_outliers_iqr": q_outliers_iqr,
     "q_weighted_median": q_weighted_median,
+    "q_mad": q_mad,
     "q_table_diff": q_table_diff,
     "q_unpivot": q_unpivot,
     "q_value_p90_hist": q_value_p90_hist,

@@ -1550,3 +1550,42 @@ def grouped_weighted_median(
         pairs, [key_col], None, out_schema,
         hash_sort=True, block_fn=pick_block, exchange="hash",
     )
+
+
+def grouped_mad(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    out_col: str = "mad",
+) -> rd.Dataset:
+    """Per-key Median Absolute Deviation (the robust dispersion measure):
+    MAD = median(|v − median(v)|), both medians the exact DISCRETE lower
+    median (quantile_disc 0.5 positioning) over integer values, so every
+    step is exact-integer and order-independent.
+
+    Two exact-quantile passes: per-key medians (O(keys) rows) broadcast
+    back onto the stream (lookup join — no shuffle for the deviation map),
+    then one more grouped quantile over |v − med|.  Null values are
+    ignored; all-null keys yield a NULL mad."""
+    from ..functions.joins import _dataset_to_table, lookup_join
+
+    med = _dataset_to_table(
+        grouped_quantile(ds, key_col=key_col, value_col=value_col,
+                         q_num=1, q_den=2, out_col="_med")
+    )
+    tagged = lookup_join(ds, med, left_keys=[key_col])
+
+    def absdev(b: pa.Table) -> pa.Table:
+        d = pc.abs_checked(
+            pc.subtract_checked(
+                pc.cast(b.column(value_col), pa.int64()), b.column("_med")
+            )
+        )
+        return pa.table({key_col: b.column(key_col), "_ad": d})
+
+    devs = tagged.map_batches(absdev, batch_format="pyarrow")
+    return grouped_quantile(
+        devs, key_col=key_col, value_col="_ad", q_num=1, q_den=2,
+        out_col=out_col,
+    )
