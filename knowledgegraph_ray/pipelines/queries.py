@@ -2418,6 +2418,18 @@ def q_knn_sq8(sf_dir: str):
     return knn_mod.sq8_topk(ds, KNN_QUERY_VEC, k=10)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): hash-sample-trained
+    codebooks (partition-invariant), m-byte codes, broadcast-LUT ADC scan
+    + exact rescore — recovers the EXACT top-10 here, so it shares
+    q_knn_top10's SQL oracle; pytest covers recall + invariance."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_mod.pq_topk(ds, KNN_QUERY_VEC, k=10, oversample=32,
+                           params=knn_mod.pq_fit(ds, m=16))
+
+
 def q_neardup_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_mod.allpairs_cosine_threshold(ds, threshold=NEARDUP_THRESHOLD)
@@ -4275,6 +4287,15 @@ ORACLE_SQL: dict[str, str] = {
                                         {_KNN_SQL_LITERAL}) DESC, vec_id ASC
         LIMIT 10
     """,
+    "q_knn_pq": f"""
+        SELECT vec_id,
+               floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {_KNN_SQL_LITERAL}) * 10000.0) / 10000.0 AS cos_r
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        {_KNN_SQL_LITERAL}) DESC, vec_id ASC
+        LIMIT 10
+    """,
     "q_neardup_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -4401,6 +4422,7 @@ QUERIES = {
     "q_sample_stratified_exact": q_sample_stratified_exact,
     "q_knn_top10": q_knn_top10,
     "q_knn_sq8": q_knn_sq8,
+    "q_knn_pq": q_knn_pq,
     "q_neardup_pairs": q_neardup_pairs,
     "q_decontaminate_semantic": q_decontaminate_semantic,
     # rows-only (no SQL oracle)

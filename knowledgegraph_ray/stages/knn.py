@@ -966,3 +966,175 @@ def sq8_topk(
 
     subset = ds.map_batches(keep_cands, batch_format="pyarrow")
     return topk_cosine(subset, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-byte codes + asymmetric-distance scan — the
+# billion-vector ANN standard (Jégou et al. 2011).  Codebooks train on a
+# deterministic HASH SAMPLE (partition-invariant, the FAISS practice);
+# encoding and the ADC scan are distributed; the final rescore is exact.
+# ---------------------------------------------------------------------------
+
+
+def _seeded_lloyd(X: np.ndarray, k: int, *, iters: int = 15,
+                  seed: int = 0xC0DE) -> np.ndarray:
+    """Deterministic driver-side Lloyd's for PQ codebook training (the
+    training set is a bounded sample by construction).  Seeded init,
+    fixed iteration count, float64 — identical centroids every run."""
+    rng = np.random.default_rng(seed)
+    k = min(k, X.shape[0])
+    C = X[rng.choice(X.shape[0], size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            sel = X[a == c]
+            if len(sel):
+                C[c] = sel.mean(axis=0)
+    return C
+
+
+def pq_fit(
+    ds: rd.Dataset,
+    *,
+    m: int = 8,
+    n_centroids: int = 64,
+    sample_mod: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0xC0DE,
+) -> dict:
+    """Train per-subspace PQ codebooks on the NORMALIZED vectors of a
+    deterministic hash sample (mix64(id) % sample_mod == 0 — the sample,
+    and therefore the codebooks and every downstream answer, are invariant
+    to partitioning).  The sample collects to the driver (bounded — PQ
+    codebooks train on ~10^5 rows no matter the corpus size; raise
+    ``sample_mod`` at scale).  Returns {"codebooks": (m, k, dsub)}."""
+    from ..functions.joins import _dataset_to_table
+    from .sampling import _fast_bucket
+
+    def keep_sample(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sel = _fast_bucket(ids, 0) % np.uint64(sample_mod) == 0
+        return b.filter(pa.array(sel))
+
+    tbl = _dataset_to_table(
+        ds.map_batches(keep_sample, batch_format="pyarrow")
+    ).sort_by([(id_col, "ascending")])
+    X = _normalize(_batch_matrix(tbl, vec_col))
+    if X.shape[0] < 2:
+        raise ValueError("pq_fit: sample too small — lower sample_mod")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([
+        _seeded_lloyd(X[:, j * dsub:(j + 1) * dsub], n_centroids,
+                      seed=seed + j)
+        for j in range(m)
+    ])
+    return {"codebooks": books, "m": m, "dsub": dsub}
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    params: dict,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """(id, m-byte PQ code) blocks — dim·4-to-m byte compression.  Per
+    block and subspace: ONE ‖v−c‖² argmin via the matmul expansion (no
+    per-row Python)."""
+    import ray
+
+    books = params["codebooks"]
+    m, dsub = params["m"], params["dsub"]
+    b_ref = ray.put(books)
+
+    def enc(b: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        E = _normalize(_batch_matrix(b, vec_col))
+        n = E.shape[0] if E.size else 0
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "code": pa.array([], pa.list_(pa.uint8(), m)),
+            })
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            S = E[:, j * dsub:(j + 1) * dsub]
+            C = B[j]
+            d = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m
+            ),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    query_vec: "np.ndarray | list[float]",
+    *,
+    k: int = 10,
+    params: dict | None = None,
+    oversample: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """PQ approximate top-k with exact rescore → (id_col, cos_r), same
+    schema/tiebreak as ``topk_cosine``.  The ADC scan touches only m-byte
+    codes: one per-subspace lookup table q̂·c (m×k float64, built once and
+    broadcast), per row the score is m gathers + a fixed-order sum
+    (exact given the codes → partition-invariant ranking); per-block prune
+    to k·oversample, then the winning ids' full vectors rescore exactly —
+    recall tunable by ``oversample``, SQ8/IVF's knob."""
+    import ray
+
+    if params is None:
+        params = pq_fit(ds, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(ds, params, vec_col=vec_col, id_col=id_col)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    books = params["codebooks"]
+    m, dsub = params["m"], params["dsub"]
+    lut = np.stack([
+        books[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)
+    ])  # (m, k) partial dot products
+    mq = int(k) * int(oversample)
+    lut_ref = ray.put(lut)
+
+    def scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        L = ray.get(lut_ref)
+        C = _fixed_matrix(b, "code").astype(np.int64)
+        s = np.zeros(C.shape[0], np.float64)
+        for j in range(L.shape[0]):  # fixed-order sum: exact given codes
+            s += L[j][C[:, j]]
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(s) > mq:
+            idx = np.lexsort((ids, -s))[:mq]
+            s, ids = s[idx], ids[idx]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "s": pa.array(s, pa.float64())})
+
+    cand = (codes.map_batches(scan, batch_format="pyarrow")
+            .sort(["s", id_col], descending=[True, False]).limit(mq))
+    cand_ids = pa.array(sorted(r[id_col] for r in cand.take_all()), pa.int64())
+
+    def keep_cands(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(pc.cast(b.column(id_col), pa.int64()),
+                                 value_set=cand_ids))
+
+    subset = ds.map_batches(keep_cands, batch_format="pyarrow")
+    return topk_cosine(subset, q, k=k, vec_col=vec_col, id_col=id_col)

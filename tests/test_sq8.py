@@ -86,3 +86,52 @@ def test_sq8_k_exceeds_n(ray_session):
     V = rng.normal(size=(6, 8))
     got = sq8_topk(_ds(V, parts=2), rng.normal(size=8), k=10).take_all()
     assert len(got) == 6
+
+
+def test_pq_roundtrip_and_recall(ray_session):
+    from knowledgegraph_ray.stages.knn import pq_encode, pq_fit, pq_topk
+
+    rng = np.random.default_rng(19)
+    centers = rng.normal(size=(6, 32)) * 4
+    V = np.vstack([centers[i % 6] + rng.normal(scale=0.3, size=32)
+                   for i in range(600)])
+    q = centers[2] + rng.normal(scale=0.2, size=32)
+
+    p = pq_fit(_ds(V, parts=4), m=8, n_centroids=32)
+    assert p["codebooks"].shape == (8, 32, 4)
+    codes = pq_encode(_ds(V, parts=4), p).take_all()
+    assert len(codes) == 600 and all(len(r["code"]) == 8 for r in codes)
+
+    got = {r["vec_id"] for r in
+           pq_topk(_ds(V, parts=4), q, k=10, params=p).take_all()}
+    exact = {r["vec_id"] for r in topk_cosine(_ds(V, parts=4), q, k=10).take_all()}
+    assert len(got & exact) >= 9  # recall@10 ≥ 0.9 on clustered data
+
+
+def test_pq_partition_invariance(ray_session):
+    """Hash-sampled training + deterministic Lloyd's + fixed-order ADC sums
+    → the whole pipeline is invariant to partitioning."""
+    from knowledgegraph_ray.stages.knn import pq_fit, pq_topk
+
+    rng = np.random.default_rng(29)
+    V = rng.normal(size=(400, 16))
+    q = rng.normal(size=16)
+    outs = []
+    for parts in (1, 4, 9):
+        p = pq_fit(_ds(V, parts=parts), m=4, n_centroids=16)
+        rows = pq_topk(_ds(V, parts=parts), q, k=5, params=p,
+                       oversample=8).take_all()
+        outs.append([(r["vec_id"], r["cos_r"]) for r in rows])
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pq_rejects_indivisible_dim(ray_session):
+    from knowledgegraph_ray.stages.knn import pq_fit
+
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(50, 10))
+    try:
+        pq_fit(_ds(V, parts=2), m=4, sample_mod=1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
