@@ -1595,6 +1595,23 @@ def q_transition_matrix(sf_dir: str):
     )
 
 
+def q_cumulative_distinct(sf_dir: str):
+    """Running distinct count: per event, how many distinct event_types
+    its user has seen so far ((ts, event_id) order) — hash-exchange key
+    colocation + two vectorized in-block passes (first-occurrence lexsort
+    flags, per-run cumsum)."""
+    from ..stages.windows import grouped_cumulative_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return grouped_cumulative_distinct(
+        ds, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="event_type", id_col="event_id",
+    )
+
+
 def q_rank_windows(sf_dir: str):
     """Four ranking windows in one colocated pass: per event_type, RANK /
     DENSE_RANK over value_cents, NTILE(4) and a ROWS-frame running sum over
@@ -3097,6 +3114,21 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM s
     """,
+    "q_cumulative_distinct": """
+        WITH f AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id
+                      ) = 1 THEN 1 ELSE 0 END AS first_flag
+          FROM events
+        )
+        SELECT event_id,
+               CAST(sum(first_flag) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS n_seen
+        FROM f
+    """,
     "q_transition_matrix": """
         WITH s AS (
           SELECT event_type,
@@ -4359,6 +4391,7 @@ QUERIES = {
     "q_event_lag_delta": q_event_lag_delta,
     "q_rank_windows": q_rank_windows,
     "q_transition_matrix": q_transition_matrix,
+    "q_cumulative_distinct": q_cumulative_distinct,
     "q_dist_windows": q_dist_windows,
     "q_zscore": q_zscore,
     "q_skewness": q_skewness,

@@ -692,3 +692,76 @@ def grouped_transitions(
     return partial_grouped_agg(
         pairs, [prev_col, next_col], count_alias=count_col
     )
+
+
+def grouped_cumulative_distinct(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str,
+    out_col: str = "n_seen",
+) -> rd.Dataset:
+    """Running DISTINCT count per key: for every row, how many distinct
+    ``value_col`` values its key has seen up to and including it in
+    ``order_cols`` order (SQL: SUM(first-occurrence flag) OVER the
+    cumulative window) → (id_col, out_col).
+
+    Hash-exchange key colocation (no range sort); per reduce block TWO
+    vectorized passes: a (run, value, order) lexsort marks each (key,
+    value) pair's first occurrence, then a (run, order) sort + per-run
+    cumsum of the flags — no per-row Python, rows never leave their
+    block after the exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .canonicalize import grouped_apply
+
+    need = list(dict.fromkeys([key_col, *order_cols, value_col, id_col]))
+    s = events.select_columns(need)
+    sch = pa.schema(
+        [(f.name, f.type)
+         for f in s.schema(fetch_if_missing=True).base_schema]
+    )
+    out_schema = pa.schema([(id_col, sch.field(id_col).type),
+                            (out_col, pa.int64())])
+
+    def per_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        block = block.append_column("_run", pa.array(run_id, pa.int64()))
+        # window order within runs
+        block = block.sort_by(
+            [("_run", "ascending")] + [(c, "ascending") for c in order_cols]
+        ).combine_chunks()
+        r = block.column("_run").to_numpy(zero_copy_only=False)
+        # first occurrence of each (run, value): group equal pairs, flag the
+        # earliest WINDOW position (the lexsort is stable over current order)
+        enc = pc.dictionary_encode(block.column(value_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        v = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((np.arange(n), v, r))
+        first_sorted = np.empty(n, bool)
+        first_sorted[0] = True
+        first_sorted[1:] = (r[o][1:] != r[o][:-1]) | (v[o][1:] != v[o][:-1])
+        flag = np.empty(n, np.int64)
+        flag[o] = first_sorted
+        cs = np.cumsum(flag)
+        run_starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        base = np.repeat(cs[run_starts] - flag[run_starts],
+                         np.diff(np.r_[run_starts, n]))
+        return pa.Table.from_arrays(
+            [block.column(id_col), pa.array(cs - base, pa.int64())],
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        s, [key_col], None, out_schema,
+        hash_sort=True, block_fn=per_block, exchange="hash",
+    )

@@ -317,3 +317,27 @@ def test_ordered_prefix_sum(ray_session):
     out = ordered_prefix_sum(rd.from_arrow(empty), order_col="doc_id",
                              value_col="v", out_col="run")
     assert out.count() == 0
+
+
+def test_grouped_cumulative_distinct_hand_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.windows import grouped_cumulative_distinct
+
+    # user 1: a b a c b -> 1 2 2 3 3 ; user 2: x x -> 1 1
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 5, 6], pa.int64()),
+        "eid": pa.array([100, 101, 102, 103, 104, 200, 201], pa.int64()),
+        "v": pa.array(["a", "b", "a", "c", "b", "x", "x"]),
+    })
+    for parts in (1, 3):
+        out = grouped_cumulative_distinct(
+            rd.from_arrow(tbl).repartition(parts),
+            key_col="u", order_cols=["ts", "eid"], value_col="v",
+            id_col="eid",
+        ).take_all()
+        got = {r["eid"]: r["n_seen"] for r in out}
+        assert got == {100: 1, 101: 2, 102: 2, 103: 3, 104: 3,
+                       200: 1, 201: 1}, parts
