@@ -2354,6 +2354,20 @@ def q_link_predict_ra(sf_dir: str):
     )
 
 
+def q_link_predict_jaccard(sf_dir: str):
+    """Jaccard-coefficient link prediction over the derived doc graph:
+    |N(u) ∩ N(w)| / |N(u) ∪ N(w)| as the EXACT scaled integer
+    floor(2^40·cn / (du + dw − cn)) — the division happens once per pair
+    AFTER the order-independent grouped count, so both engines compute the
+    identical int64; degrees attach via the adaptive join.  Top-50
+    non-adjacent pairs by (jaccard desc, u, w)."""
+    from ..stages.graph_query import link_predict_common_neighbors
+
+    return link_predict_common_neighbors(
+        _derived_doc_edges(sf_dir), k=50, method="jaccard"
+    )
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-level exact dedup stats (CCNet paragraph dedup over fixed
     20-word windows): per-doc total vs corpus-first-occurrence-kept passage
@@ -3685,6 +3699,43 @@ ORACLE_SQL: dict[str, str] = {
         WHERE e.a IS NULL
         ORDER BY ra.ra DESC, ra.u, ra.w LIMIT 50
     """,
+    # jaccard as exact scaled integers: (2^40 * cn) // (du + dw - cn)
+    "q_link_predict_jaccard": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        adj AS (
+          SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e
+        ),
+        deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        cn AS (
+          SELECT x.nb AS u, y.nb AS w, CAST(count(*) AS BIGINT) AS cn
+          FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT cn.u, cn.w,
+                 CAST((1099511627776 * cn.cn)
+                      // (du.d + dw.d - cn.cn) AS BIGINT) AS jaccard
+          FROM cn
+          JOIN deg du ON du.v = cn.u
+          JOIN deg dw ON dw.v = cn.w
+        )
+        SELECT jac.u, jac.w, jac.jaccard FROM jac
+        LEFT JOIN e ON jac.u = e.a AND jac.w = e.b
+        WHERE e.a IS NULL
+        ORDER BY jac.jaccard DESC, jac.u, jac.w LIMIT 50
+    """,
     "q_connected_components": """
         WITH RECURSIVE comp(doc_id, comp) AS (
           SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
@@ -4418,6 +4469,7 @@ QUERIES = {
     "q_connected_components": q_connected_components,
     "q_link_predict": q_link_predict,
     "q_link_predict_ra": q_link_predict_ra,
+    "q_link_predict_jaccard": q_link_predict_jaccard,
     "q_degree_hist": q_degree_hist,
     "q_assortativity": q_assortativity,
     "q_intra_doc_repetition": q_intra_doc_repetition,

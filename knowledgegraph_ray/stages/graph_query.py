@@ -1069,8 +1069,14 @@ def link_predict_common_neighbors(
     and the SQL mirror (``sum(2^40 // d)``) hashes bit-identically (the
     repo-wide float-summation-order rule).  The hash exchange colocates
     every adjacency row of a center, so the run length IS its full degree.
+    "jaccard" is |N(u) ∩ N(w)| / |N(u) ∪ N(w)| = cn / (deg(u) + deg(w)
+    − cn), as the EXACT scaled integer floor(2^40·cn / (du + dw − cn)) —
+    one integer division AFTER the grouped count, so it shares cn's
+    order-independence; degrees attach via two ``adaptive_join``s against
+    the O(|V|)-row degree table (broadcast when small, hash shuffle past
+    the byte cap).
 
-    Returns a Dataset (u:int64-like, w, cn|ra:int64) of k rows.
+    Returns a Dataset (u:int64-like, w, cn|ra|jaccard:int64) of k rows.
     """
     import pyarrow as pa
 
@@ -1145,11 +1151,41 @@ def link_predict_common_neighbors(
         num_partitions=num_partitions, hash_sort=True,
         block_fn=pair_block, exchange="hash",
     )
-    score_col = "ra" if method == "ra" else "cn"
+    score_col = {"ra": "ra", "jaccard": "jaccard"}.get(method, "cn")
     if method == "ra":
         scores = partial_grouped_agg(pairs, ["u", "w"], sums={"s": "ra"})
     else:
         scores = partial_grouped_agg(pairs, ["u", "w"], count_alias="cn")
+    if method == "jaccard":
+        deg = partial_grouped_agg(adj, ["v"], count_alias="d")
+        scores = adaptive_join(
+            scores, deg, left_keys=["u"], right_keys=["v"],
+            how="inner", num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.rename_columns(
+                ["du" if c == "d" else c for c in t.column_names]
+            ).drop_columns([c for c in t.column_names if c == "v"]),
+            batch_format="pyarrow",
+        )
+        scores = adaptive_join(
+            scores, deg, left_keys=["w"], right_keys=["v"],
+            how="inner", num_partitions=num_partitions,
+        )
+
+        def jac(t: pa.Table) -> pa.Table:
+            cn = pc.cast(t.column("cn"), pa.int64())
+            du = pc.cast(t.column("du"), pa.int64())
+            dw = pc.cast(t.column("d"), pa.int64())
+            # union size = du + dw - cn >= 1 whenever cn >= 1 (always here)
+            den = pc.subtract(pc.add(du, dw), cn)
+            s = pc.divide(pc.multiply(cn, pa.scalar(RA_SCALE, pa.int64())),
+                          den)  # integer floor division on int64
+            return pa.Table.from_arrays(
+                [t.column("u"), t.column("w"), s],
+                names=["u", "w", "jaccard"],
+            )
+
+        scores = scores.map_batches(jac, batch_format="pyarrow")
     marker = e.map_batches(
         lambda t: t.append_column("_adj", pa.array([1] * t.num_rows, pa.int8())),
         batch_format="pyarrow",

@@ -97,7 +97,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_sentences",
     "q_url_normalize", "q_fuzzy_match", "q_triangles",
     "q_connected_components", "q_degree_hist", "q_assortativity",
-    "q_link_predict",
+    "q_link_predict", "q_link_predict_jaccard",
     "q_decontaminate", "q_decontaminate_tokens", "q_bm25_topk",
     "q_decontaminate_semantic",
     "q_ngram_jaccard_1k", "q_pii_mask", "q_gopher_quality",

@@ -826,3 +826,44 @@ def test_link_predict_resource_allocation_matches_brute_force(ray_session):
         ).to_pandas()
         assert [tuple(r) for r in
                 got[["u", "w", "ra"]].itertuples(index=False)] == want, parts
+
+
+def test_link_predict_jaccard_matches_brute_force(ray_session):
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.graph_query import (
+        RA_SCALE,
+        link_predict_common_neighbors,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 50
+    E = {(int(min(a, b)), int(max(a, b)))
+         for a, b in rng.integers(0, n, (180, 2)) if a != b}
+    adj = {i: set() for i in range(n)}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = {}
+    for u, w in itertools.combinations(range(n), 2):
+        if (u, w) in E:
+            continue
+        c = len(adj[u] & adj[w])
+        if c:
+            scores[(u, w)] = (RA_SCALE * c) // (len(adj[u]) + len(adj[w]) - c)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want = [(u, w, s) for (u, w), s in want]
+    assert want
+
+    tbl = pa.table({"src": [a for a, b in sorted(E)],
+                    "dst": [b for a, b in sorted(E)]})
+    for parts in (1, 4):
+        got = link_predict_common_neighbors(
+            rd.from_arrow(tbl).repartition(parts), k=25, method="jaccard"
+        ).to_pandas()
+        assert [tuple(r) for r in
+                got[["u", "w", "jaccard"]].itertuples(index=False)] == want, parts
