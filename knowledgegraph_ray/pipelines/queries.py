@@ -2769,6 +2769,22 @@ def q_kg_centrality(sf_dir: str):
     return rd.from_arrow(harmonic_centrality(edges, seeds, max_hops=16))
 
 
+def q_kg_betweenness(sf_dir: str):
+    """Betweenness centrality over the flagship KG — Brandes & Pich pivot
+    estimator (256 deterministic grid pivots, one Ray task per 64-pivot
+    chunk over the broadcast CSR, fixed-tree float combine): the top-20
+    broker entities by (betweenness desc, name)."""
+    from ..stages.graph_query import betweenness_centrality
+
+    res = _kg_result(sf_dir)
+    t = betweenness_centrality(
+        res.edges().select_columns(["src", "dst"]), k_pivots=256
+    )
+    return rd.from_arrow(t).sort(
+        ["betweenness", "name"], descending=[True, False]
+    ).limit(20)
+
+
 def q_kg_khop(sf_dir: str):
     """Multi-hop neighborhood retrieval over the flagship KG: 2-hop BFS
     from a deterministic seed (the lexicographically first person node),
@@ -4530,6 +4546,7 @@ QUERIES = {
     "q_phash_neardup": q_phash_neardup,
     "q_audio_neardup": q_audio_neardup,
     "q_kg_centrality": q_kg_centrality,
+    "q_kg_betweenness": q_kg_betweenness,
     "q_kg_nodes_by_type": q_kg_nodes_by_type,
     "q_kg_edges_by_type": q_kg_edges_by_type,
     "q_kg_search": q_kg_search,
@@ -4615,6 +4632,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_centrality": [
         "tests/test_kcore.py::test_harmonic_centrality_matches_bfs_reference",
+    ],
+    "q_kg_betweenness": [
+        "tests/test_betweenness.py::test_betweenness_matches_reference_random_graph",
+        "tests/test_betweenness.py::test_betweenness_partition_and_duplicate_invariance",
+        "tests/test_betweenness.py::test_betweenness_pivot_estimator",
     ],
     "q_kg_nodes_by_type": [
         "tests/test_e2e_golden.py",  # P/R == 1.0 vs the sequential oracle

@@ -579,6 +579,169 @@ def harmonic_centrality(
     return emit(rows)
 
 
+def _bc_chunk_deps(offs: np.ndarray, nbrs: np.ndarray, n: int,
+                   pivots: np.ndarray) -> np.ndarray:
+    """Σ of Brandes per-source dependency vectors over ``pivots``.
+    Pure numpy, deterministic given (offs, nbrs, pivots): the forward
+    level sweep expands concatenated CSR slices (harmonic_centrality's
+    shape), sigma accumulates with np.add.at over the level-(d−1)→d edge
+    set, and the backward pass replays the levels in reverse with the
+    textbook δ(x) += σ(x)/σ(w)·(1+δ(w)) accumulation.  O(E) numpy work
+    per source."""
+    acc = np.zeros(n, np.float64)
+    for s in pivots.tolist():
+        dist = np.full(n, -1, np.int64)
+        dist[s] = 0
+        sigma = np.zeros(n, np.float64)
+        sigma[s] = 1.0
+        levels = [np.array([s], np.int64)]
+        d = 0
+        while True:
+            frontier = levels[-1]
+            d += 1
+            cnts = offs[frontier + 1] - offs[frontier]
+            if not cnts.sum():
+                break
+            nb = np.concatenate(
+                [nbrs[offs[x]:offs[x + 1]] for x in frontier.tolist()]
+            )
+            srcs = np.repeat(frontier, cnts)
+            m_new = dist[nb] == -1
+            if m_new.any():
+                dist[nb[m_new]] = d
+            m_next = dist[nb] == d
+            np.add.at(sigma, nb[m_next], sigma[srcs[m_next]])
+            nxt = np.unique(nb[m_new])
+            if not nxt.size:
+                break
+            levels.append(nxt)
+        delta = np.zeros(n, np.float64)
+        for depth in range(len(levels) - 1, 0, -1):
+            W = levels[depth]
+            cnts = offs[W + 1] - offs[W]
+            nb = np.concatenate(
+                [nbrs[offs[x]:offs[x + 1]] for x in W.tolist()]
+            )
+            ws = np.repeat(W, cnts)
+            m = dist[nb] == depth - 1
+            x, w = nb[m], ws[m]
+            np.add.at(delta, x, sigma[x] / sigma[w] * (1.0 + delta[w]))
+        delta[s] = 0.0
+        acc += delta
+    return acc
+
+
+def betweenness_centrality(
+    edges, *, k_pivots: int | None = None, src: str = "src",
+    dst: str = "dst", chunk_pivots: int = 64,
+):
+    """Betweenness centrality over the undirected distinct edge set —
+    exact Brandes (2001) when ``k_pivots`` is None, the Brandes & Pich
+    (2007) pivot estimator otherwise (scores scaled by n/|pivots|; the
+    published scale path — exact betweenness is inherently O(V·E) and no
+    engine changes that).  → Arrow table (name, betweenness: float64).
+
+    Distributed shape: the canonical CSR (names sorted, edges lexsorted →
+    a pure function of the edge SET, so partition counts cannot change any
+    score bit) is built once by a zero-CPU task from the edge block refs
+    and broadcast via the object store; one Ray task per pivot CHUNK sums
+    its sources' dependency vectors (`_bc_chunk_deps`); partials combine
+    in a FIXED pairwise tree of zero-CPU tasks whose structure depends
+    only on the chunk count — float summation order is therefore
+    deterministic end to end.  Pivots are a deterministic grid over the
+    sorted node order.  The broadcast CSR caps this at graphs whose edge
+    arrays fit the object store (~10^9 edges at 16 B/edge) — beyond that
+    betweenness wants landmark/sketch methods, out of scope for the exact
+    path.  Undirected double-count halved at the end.
+
+    The reference's graph layer exposes 1-hop listings only
+    (query_search.py:186-226); centrality is part of the analysis surface
+    a KG user asks for on top."""
+    import pyarrow as pa
+    import ray
+
+    from .aggregates import distinct_keys
+
+    ds = _ds(edges).select_columns([src, dst])
+    ntype = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    ).field(src).type
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = b.column(src), b.column(dst)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        t = pa.Table.from_arrays([lo, hi], names=["a", "b"])
+        return t.group_by(["a", "b"]).aggregate([])
+
+    e = distinct_keys(
+        ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    @ray.remote(num_cpus=0)
+    def build_csr(*tbls):
+        live = [t for t in tbls if t.num_rows]
+        if not live:
+            return None
+        t = pa.concat_tables(live).combine_chunks()
+        av, bv = t.column("a").combine_chunks(), t.column("b").combine_chunks()
+        uniq = pc.unique(pa.concat_arrays([av, bv]))
+        names = uniq.take(pc.array_sort_indices(uniq))
+        ai = pc.index_in(av, value_set=names).to_numpy(zero_copy_only=False)
+        bi = pc.index_in(bv, value_set=names).to_numpy(zero_copy_only=False)
+        u = np.concatenate([ai, bi]).astype(np.int64)
+        v = np.concatenate([bi, ai]).astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        n = len(names)
+        offs = np.searchsorted(u, np.arange(n + 1))
+        return names, offs, v
+
+    csr_ref = build_csr.remote(*e.to_arrow_refs())
+    csr = ray.get(csr_ref)
+    if csr is None:
+        return pa.Table.from_pydict({
+            "name": pa.array([], ntype),
+            "betweenness": pa.array([], pa.float64()),
+        })
+    names, offs, _ = csr
+    n = len(names)
+    if k_pivots is None or k_pivots >= n:
+        pivots = np.arange(n, dtype=np.int64)
+    else:
+        pivots = np.unique(
+            (np.arange(k_pivots, dtype=np.int64) * n) // k_pivots
+        )
+    scale = (n / len(pivots)) / 2.0  # n/k estimator; halve the undirected
+    chunks = [pivots[i:i + chunk_pivots]
+              for i in range(0, len(pivots), chunk_pivots)]
+
+    @ray.remote
+    def chunk_task(csr, pv):
+        _, offs, nbrs = csr
+        return _bc_chunk_deps(offs, nbrs, len(csr[0]), pv)
+
+    @ray.remote(num_cpus=0)
+    def add(a, b):
+        return a + b
+
+    refs = [chunk_task.remote(csr_ref, pv) for pv in chunks]
+    while len(refs) > 1:  # fixed pairwise tree: order set by chunk count
+        nxt = [add.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    bc = ray.get(refs[0]) * scale
+    return pa.Table.from_pydict({
+        "name": pc.cast(names, ntype),
+        "betweenness": pa.array(bc, pa.float64()),
+    })
+
+
 def triangle_count(edges, src: str = "src", dst: str = "dst",
                    num_partitions: int = 16):
     """Global triangle count — degree-ordered wedge counting, the textbook
