@@ -628,6 +628,18 @@ def q_distinct_users_hll_by_type(sf_dir: str):
     )
 
 
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick featurizer over the documents table: long sparse
+    (doc_id, feature, tf) matrix at 1024 features, md5 hash convention so
+    the SQL oracle mirrors bit-for-bit.  ONE streaming map — a doc never
+    spans blocks, so per-block group counts are final; no shuffle."""
+    from ..stages.textops import hashing_features
+
+    return hashing_features(
+        _docs(sf_dir, ["doc_id", "text"]), n_features=1024, method="md5"
+    )
+
+
 def q_token_count(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
@@ -3507,6 +3519,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
     """,
+    # hashing trick, md5 convention shared with the sampling ops
+    "q_feature_hash": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(CONCAT('0x', substr(md5(w), 1, 16)) AS UBIGINT)
+                    % 1024 AS BIGINT) AS feature,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
@@ -4471,6 +4494,7 @@ QUERIES = {
     "q_above_avg": q_above_avg,
     "q_distinct_users": q_distinct_users,
     "q_token_count": q_token_count,
+    "q_feature_hash": q_feature_hash,
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
     "q_exact_dedup": q_exact_dedup,

@@ -1071,3 +1071,93 @@ def inverted_index(
         num_partitions=num_partitions, hash_sort=True,
         block_fn=build_postings, order_col="doc", exchange="hash",
     )
+
+
+def hashing_features(
+    docs, *, n_features: int = 1024, text_col: str = "text",
+    id_col: str = "doc_id", method: str = "md5",
+):
+    """Hashing-trick featurizer (Weinberger et al. 2009): every token maps
+    to ``feature = hash(token) % n_features``; output is the long sparse
+    matrix (id, feature, tf) a downstream linear model / clusterer trains
+    on.  → Dataset, NO shuffle: a doc never spans blocks, so the per-block
+    (id, feature) group count is FINAL — the whole op is one streaming map.
+
+    Tokenization is DuckDB ``string_split(text, ' ')`` semantics (empty
+    string → one empty token) so the oracle mirrors bit-for-bit.
+
+    ``method``:
+      * ``md5``  — feature = uint64(first 16 hex of md5(token)) mod
+        n_features; matches SQL ``CAST(CONCAT('0x', substr(md5(w),1,16))
+        AS UBIGINT) % n`` exactly.  hashlib runs per DISTINCT token per
+        block (dictionary-encoded), not per occurrence — cost is O(vocab).
+      * ``fast`` — vectorized FNV-1a over the token bytes (one numpy pass
+        across the block's flattened token buffer, no per-token Python);
+        the 100-TB path when SQL parity is not required.
+
+    The reference has no featurizer (its vectors come from the embedding
+    service, embedding_provider.py) — this is training-data-pipeline
+    surface on top."""
+    import ray.data as rd
+
+    ds = docs if isinstance(docs, rd.Dataset) else rd.from_arrow(docs)
+    ds = ds.select_columns([id_col, text_col])
+    nf = np.uint64(n_features)
+
+    def _md5_feats(tokens: pa.Array) -> np.ndarray:
+        enc = tokens.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_feats = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % n_features
+             for t in enc.dictionary.to_pylist()],
+            np.int64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return dict_feats[codes]
+
+    def _fast_feats(tokens: pa.Array) -> np.ndarray:
+        # FNV-1a over utf8 bytes, segmented over the flattened buffer
+        flat = tokens.cast(pa.large_binary())
+        buf = np.frombuffer(
+            flat.buffers()[2] or b"", np.uint8
+        ).astype(np.uint64)
+        offs = np.frombuffer(flat.buffers()[1], np.int64)[
+            flat.offset: flat.offset + len(flat) + 1
+        ]
+        h = np.full(len(flat), np.uint64(0xCBF29CE484222325))
+        prime = np.uint64(0x100000001B3)
+        maxlen = int((offs[1:] - offs[:-1]).max()) if len(flat) else 0
+        starts, ends = offs[:-1], offs[1:]
+        for i in range(maxlen):
+            m = starts + i < ends
+            idx = np.where(m, starts + i, 0)
+            h[m] = (h[m] ^ buf[idx][m]) * prime
+        return (h % nf).astype(np.int64)
+
+    feats_fn = _md5_feats if method == "md5" else _fast_feats
+    out_schema = None  # derived per block; id keeps its input type
+
+    def per_block(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        toks = pc.split_pattern(b.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = b.column(id_col).take(parents)
+        feats = feats_fn(flat.combine_chunks()
+                         if isinstance(flat, pa.ChunkedArray) else flat)
+        t = pa.Table.from_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+             pa.array(feats, pa.int64())],
+            names=[id_col, "feature"],
+        )
+        g = t.group_by([id_col, "feature"]).aggregate([([], "count_all")])
+        # select by the ACTUAL generated name before renaming (the
+        # keys-first layout is an undocumented pyarrow contract)
+        return g.select([id_col, "feature", "count_all"]).rename_columns(
+            [id_col, "feature", "tf"]
+        )
+
+    return ds.map_batches(per_block, batch_format="pyarrow")

@@ -92,7 +92,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_intra_doc_repetition",
     "q_semi_join", "q_set_ops", "q_anti_join", "q_lineitem_agg",
     "q_events_hourly",
-    "q_token_count", "q_bpe_tokens", "q_quality", "q_exact_dedup",
+    "q_token_count", "q_feature_hash", "q_bpe_tokens", "q_quality",
+    "q_exact_dedup",
     "q_passage_dedup",
     "q_sentences",
     "q_url_normalize", "q_fuzzy_match", "q_triangles",
