@@ -1921,6 +1921,29 @@ def q_hopping_window(sf_dir: str):
     return hopping_counts(ds, width_minutes=60, hop_minutes=15)
 
 
+def q_ols_per_flag(sf_dir: str):
+    """Per-returnflag OLS regression of extendedprice-cents on quantity —
+    exact int64 sum partials (hi/lo splits) through the exchange; slope
+    and intercept are each ONE float division of two exact integers,
+    mirrored bit-for-bit by HUGEINT SQL arithmetic."""
+    from ..stages.aggregates import grouped_ols
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            "price_cents": _cents(b, "l_extendedprice", "pc_").column("pc_"),
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_ols(
+        ds, key_col="l_returnflag", x_col="qty", y_col="price_cents",
+    )
+
+
 def q_token_commonness(sf_dir: str):
     """Corpus-statistic quality score (CCNet-filter shape, exact-integer):
     per doc, sum of each token occurrence's global corpus frequency +
@@ -3296,6 +3319,37 @@ ORACLE_SQL: dict[str, str] = {
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
         FROM s
     """,
+    "q_ols_per_flag": """
+        WITH c AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x * y AS HUGEINT)) AS sxy,
+                 sum(CAST(x * x AS HUGEINT)) AS sxx
+          FROM c GROUP BY l_returnflag
+        ),
+        d AS (
+          SELECT l_returnflag, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den
+          FROM s
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               CASE WHEN n < 2 OR den = 0 THEN NULL
+                    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+               CASE WHEN n < 2 OR den = 0 THEN NULL
+                    ELSE CAST(sy * den - num * sx AS DOUBLE)
+                         / CAST(n * den AS DOUBLE) END AS intercept
+        FROM d
+    """,
     "q_user_journey": """
         SELECT user_id,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
@@ -4476,6 +4530,7 @@ QUERIES = {
     "q_mode_per_user": q_mode_per_user,
     "q_user_journey": q_user_journey,
     "q_corr_qty_price": q_corr_qty_price,
+    "q_ols_per_flag": q_ols_per_flag,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -1212,6 +1212,68 @@ def grouped_corr(
     )
 
 
+def grouped_ols(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> pa.Table:
+    """Per-key simple linear regression (OLS y = a·x + b) with
+    REPRODUCIBLE float output — ``grouped_corr``'s recipe: the five
+    distributive sums (n, Σx, Σy, Σxy, Σx²) travel as EXACT int64
+    partials (products as hi/lo 32-bit splits so grouped sums cannot
+    wrap), the driver forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy·den − num·Σx) / (n·den)
+
+    in arbitrary-precision Python ints, and each value needs exactly ONE
+    float division of two exact integers — an SQL engine computing the
+    same HUGEINT expressions yields the bit-identical doubles.  Inputs
+    must be integer-canonicalized (cents).  Returns O(groups) rows
+    (key, n, slope, intercept); nulls for degenerate (n<2 or zero-x-
+    variance) groups."""
+    def add_products(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        cols = {key_col: b.column(key_col), "_x": x, "_y": y}
+        for name, prod in (("_xy", pc.multiply_checked(x, y)),
+                           ("_xx", pc.multiply_checked(x, x))):
+            cols[name + "_hi"], cols[name + "_lo"] = _split64(prod)
+        return pa.Table.from_pydict(cols)
+
+    wide = {f"_{p}_{h}": f"s{p}_{h}"
+            for p in ("xy", "xx") for h in ("hi", "lo")}
+    sums = partial_grouped_agg(
+        ds.select_columns([key_col, x_col, y_col]).map_batches(
+            add_products, batch_format="pyarrow"
+        ),
+        [key_col],
+        sums={"_x": "sx", "_y": "sy", **wide},
+        count_alias="n",
+    ).take_all()
+    keys, ns, slopes, icepts = [], [], [], []
+    for r in sorted(sums, key=lambda r: r[key_col]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * _joined64(r, "sxy") - sx * sy
+        den = n * _joined64(r, "sxx") - sx * sx
+        keys.append(r[key_col])
+        ns.append(n)
+        if n < 2 or den == 0:
+            slopes.append(None)
+            icepts.append(None)
+        else:
+            slopes.append(float(num) / float(den))
+            icepts.append(float(sy * den - num * sx) / float(n * den))
+    return pa.Table.from_pydict({
+        key_col: pa.array(keys),
+        "n": pa.array(ns, pa.int64()),
+        "slope": pa.array(slopes, pa.float64()),
+        "intercept": pa.array(icepts, pa.float64()),
+    })
+
+
 def grouped_zscore(
     ds: rd.Dataset,
     *,

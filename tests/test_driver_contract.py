@@ -113,6 +113,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_mode_per_user",
     "q_user_journey",
     "q_corr_qty_price",
+    "q_ols_per_flag",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",
