@@ -1944,6 +1944,32 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured ETL: pull the integer ``k`` field out of the events
+    table's JSON ``props`` column and aggregate per event_type.  The parse
+    is O(distinct strings) — dictionary-encode each batch, json.loads each
+    distinct value once, project back by take (functions/json_utils.py) —
+    then map-side integer partials; bit-exact vs the SQL json_extract
+    oracle."""
+    from ..functions.json_utils import json_int_field
+    from ..stages.aggregates import partial_grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    ).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "event_type": b.column("event_type"),
+            "k": json_int_field(b.column("props"), "k"),
+        }),
+        batch_format="pyarrow",
+    )
+    return partial_grouped_agg(
+        ds, ["event_type"],
+        sums={"k": "sum_k"}, mins={"k": "min_k"}, maxs={"k": "max_k"},
+        count_alias="n",
+    )
+
+
 def q_token_commonness(sf_dir: str):
     """Corpus-statistic quality score (CCNet-filter shape, exact-integer):
     per doc, sum of each token occurrence's global corpus frequency +
@@ -3350,6 +3376,15 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_json_extract": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
     "q_user_journey": """
         SELECT user_id,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
@@ -4531,6 +4566,7 @@ QUERIES = {
     "q_user_journey": q_user_journey,
     "q_corr_qty_price": q_corr_qty_price,
     "q_ols_per_flag": q_ols_per_flag,
+    "q_json_extract": q_json_extract,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

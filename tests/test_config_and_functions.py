@@ -258,3 +258,23 @@ def test_pyarrow_coalesce_chunk_bug_workaround():
         assert out[p] == mid_np[p], f"null at {p} must take fallback, got {out[p]}"
     # everything else unchanged
     assert out[0] == comp_list[0] and out[-1] == comp_list[-1]
+
+
+def test_json_int_field_edge_cases():
+    import pyarrow as pa
+
+    from knowledgegraph_ray.functions.json_utils import json_int_field
+
+    col = pa.chunked_array([pa.array([
+        '{"k": 7}',          # plain int
+        '{"k": -3, "x": 1}', # extra keys
+        '{"x": 1}',          # missing key -> null
+        'not json',          # malformed -> null
+        None,                # null row -> null
+        '{"k": true}',       # bool is not an int -> null
+        '{"k": 2.5}',        # float is not an int -> null
+        '{"k": 7}',          # duplicate distinct string reuses the parse
+    ])])
+    out = json_int_field(col, "k").to_pylist()
+    assert out == [7, -3, None, None, None, None, None, 7]
+    assert json_int_field(pa.array([], pa.string()), "k").to_pylist() == []

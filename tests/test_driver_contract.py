@@ -114,6 +114,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_user_journey",
     "q_corr_qty_price",
     "q_ols_per_flag",
+    "q_json_extract",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",
