@@ -1944,6 +1944,26 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_cooccur_parts(sf_dir: str):
+    """Market-basket co-occurrence: top-20 part pairs by the number of
+    orders containing both (the co-occurrence-graph edge-weight build).
+    One hash exchange colocates each order's lineitems, pair emission is
+    the vectorized triangular-inversion kernel, counts are map-side
+    partials; all-integer → bit-exact vs the SQL self-join oracle."""
+    from ..stages.aggregates import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ),
+        group_col="l_orderkey", item_col="l_partkey",
+        out_a="part_a", out_b="part_b", count_col="n",
+    )
+    return pairs.sort(
+        ["n", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(20)
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -3376,6 +3396,15 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_cooccur_parts": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n DESC, part_a, part_b LIMIT 20
+    """,
     "q_json_extract": """
         SELECT event_type,
                count(*) AS n,
@@ -4567,6 +4596,7 @@ QUERIES = {
     "q_corr_qty_price": q_corr_qty_price,
     "q_ols_per_flag": q_ols_per_flag,
     "q_json_extract": q_json_extract,
+    "q_cooccur_parts": q_cooccur_parts,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

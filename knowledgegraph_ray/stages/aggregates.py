@@ -1651,3 +1651,88 @@ def grouped_mad(
         devs, key_col=key_col, value_col="_ad", q_num=1, q_den=2,
         out_col=out_col,
     )
+
+
+def cooccurrence_pairs(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    item_col: str,
+    out_a: str = "item_a",
+    out_b: str = "item_b",
+    count_col: str = "n",
+    max_items_per_group: int = 1024,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Within-group distinct-item pair counts (market-basket / co-visitation
+    co-occurrence) — the edge-weight build of a co-occurrence graph.
+
+    For every group (order, session, user) emit each unordered pair of
+    DISTINCT items it contains (``out_a < out_b``) and count each pair's
+    occurrences across groups.  Scale shape: one hash exchange colocates a
+    group's rows (grouped_apply ``exchange="hash"``), in-group dedup and
+    pair emission are fully vectorized (the triangular-inversion kernel the
+    triangle counter's wedge emission uses, graph_query.py::pairs), and the
+    counts flow through map-side-combined integer partials
+    (``partial_grouped_agg``).  Returns the unsorted (out_a, out_b, n)
+    Dataset; callers order/limit.
+
+    Hot-key guard: a group larger than ``max_items_per_group`` contributes
+    pairs only among its FIRST cap items in item order (the LSH
+    ``max_bucket`` precedent) — quadratic blowup is bounded at cap² per
+    group instead of unbounded.  Items must be non-null.
+    """
+    from .canonicalize import grouped_apply
+
+    item_type = ds.schema().base_schema.field(item_col).type
+    pair_schema = pa.schema([
+        pa.field(out_a, item_type), pa.field(out_b, item_type)
+    ])
+    cap = int(max_items_per_group)
+
+    def pair_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        iv = block.column(item_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(n, bool)
+        keep[1:] = (iv[1:] != iv[:-1]) | (run_id[1:] != run_id[:-1])
+        iv = iv[keep]
+        run_id = run_id[keep]
+        m = iv.size
+        if m == 0:
+            return pair_schema.empty_table()
+        g_starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])
+        lens = np.minimum(np.diff(np.r_[g_starts, m]), cap)
+        npair = lens * (lens - 1) // 2
+        total = int(npair.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        pair_off = np.r_[0, np.cumsum(npair)]
+        k = np.arange(total, dtype=np.int64)
+        r = np.searchsorted(pair_off, k, side="right") - 1
+        kl = k - pair_off[r]
+        # triangular inversion: j = largest with j(j-1)/2 <= kl, i < j
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * kl.astype(np.float64))) / 2.0).astype(
+            np.int64
+        )
+        j -= (j * (j - 1) // 2 > kl)
+        j += ((j + 1) * j // 2 <= kl)
+        i = kl - j * (j - 1) // 2
+        base = g_starts[r]
+        # iv is sorted within each run (order_col below), so i < j means
+        # iv[base+i] < iv[base+j]: the a<b canonical pair order is free
+        return pa.Table.from_arrays(
+            [pa.array(iv[base + i]).cast(item_type),
+             pa.array(iv[base + j]).cast(item_type)],
+            schema=pair_schema,
+        )
+
+    pairs = grouped_apply(
+        ds.select_columns([group_col, item_col]),
+        [group_col], None, pair_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=pair_block, order_col=item_col, exchange="hash",
+    )
+    return partial_grouped_agg(pairs, [out_a, out_b], count_alias=count_col)

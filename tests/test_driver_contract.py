@@ -115,6 +115,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_corr_qty_price",
     "q_ols_per_flag",
     "q_json_extract",
+    "q_cooccur_parts",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",
