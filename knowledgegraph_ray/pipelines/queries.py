@@ -1944,6 +1944,92 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction (tokenizer/vocab-building corpus statistic):
+    top-20 adjacent-word bigrams by the PMI ratio c_xy·N / (c_x·c_y) with
+    min count 5.  Bigram and unigram counts are map-side-combined integer
+    partials; the tiny unigram table broadcasts into the bigram table
+    (adaptive_join); the ratio is ONE float division whose operands are
+    exact products < 2⁵³ (asserted), so the SQL HUGEINT→DOUBLE oracle
+    yields bit-identical doubles and an identical ordering."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import partial_grouped_agg
+
+    def toks_flat(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), pattern=" ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return pa.table({"w": flat})
+
+    def bigram_pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        left = np.ones(total, bool)
+        left[ends - 1] = False
+        li = np.flatnonzero(left)
+        return pa.table({
+            "w1": flat.take(pa.array(li, pa.int64())),
+            "w2": flat.take(pa.array(li + 1, pa.int64())),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    uni = partial_grouped_agg(
+        docs.map_batches(toks_flat, batch_format="pyarrow"),
+        ["w"], count_alias="c",
+    )
+    bg = partial_grouped_agg(
+        docs.map_batches(bigram_pairs, batch_format="pyarrow"),
+        ["w1", "w2"], count_alias="n",
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 5)),
+        batch_format="pyarrow",
+    )
+    n_tok = int(uni.aggregate(Sum("c"))["sum(c)"])
+
+    def _ren(side: str):
+        return lambda b: pa.Table.from_arrays(
+            [b.column("w"), b.column("c")], names=[side, f"c_{side}"]
+        )
+
+    j = adaptive_join(
+        bg, uni.map_batches(_ren("w1"), batch_format="pyarrow"),
+        left_keys=["w1"], right_keys=["w1"], how="inner",
+    )
+    j = adaptive_join(
+        j, uni.map_batches(_ren("w2"), batch_format="pyarrow"),
+        left_keys=["w2"], right_keys=["w2"], how="inner",
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b.column("c_w1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b.column("c_w2").to_numpy(zero_copy_only=False).astype(np.float64)
+        # both products must be exactly representable for bit parity with
+        # the SQL HUGEINT→DOUBLE oracle (one correctly-rounded division)
+        assert (n.size == 0 or
+                (n.max() * n_tok < 2**53 and (c1 * c2).max() < 2**53))
+        bigram = pc.binary_join_element_wise(
+            b.column("w1"), b.column("w2"), " "
+        )
+        return pa.table({
+            "bigram": bigram,
+            "n": b.column("n"),
+            "pmi_ratio": pa.array((n * float(n_tok)) / (c1 * c2), pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow").sort(
+        ["pmi_ratio", "bigram"], descending=[True, False]
+    ).limit(20)
+
+
 def q_cooccur_parts(sf_dir: str):
     """Market-basket co-occurrence: top-20 part pairs by the number of
     orders containing both (the co-occurrence-graph edge-weight build).
@@ -3396,6 +3482,36 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_pmi_bigrams": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS term,
+                 CAST(generate_subscripts(
+                   string_split(coalesce(text, ''), ' '), 1) AS BIGINT)
+                   AS pos
+          FROM documents
+        ),
+        uni AS (
+          SELECT term, CAST(count(*) AS HUGEINT) AS c FROM tok GROUP BY term
+        ),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n_tok FROM tok),
+        bg AS (
+          SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS HUGEINT) AS n
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2
+        )
+        SELECT w1 || ' ' || w2 AS bigram,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * n_tok AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+        FROM bg
+        CROSS JOIN tot
+        JOIN uni u1 ON bg.w1 = u1.term
+        JOIN uni u2 ON bg.w2 = u2.term
+        WHERE n >= 5
+        ORDER BY pmi_ratio DESC, bigram
+        LIMIT 20
+    """,
     "q_cooccur_parts": """
         WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -4597,6 +4713,7 @@ QUERIES = {
     "q_ols_per_flag": q_ols_per_flag,
     "q_json_extract": q_json_extract,
     "q_cooccur_parts": q_cooccur_parts,
+    "q_pmi_bigrams": q_pmi_bigrams,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
