@@ -1944,6 +1944,18 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the derived doc graph:
+    top-20 by cc = 2·T(v)/(deg·(deg−1)).  Triangle credits come from the
+    shared degree-ordered wedge enumeration (one hash exchange + one join,
+    no adjacency materialization); cc is one float division of exact ints,
+    mirrored bit-for-bit by the SQL oracle."""
+    from ..stages.graph_query import local_clustering
+
+    cc = local_clustering(_derived_doc_edges(sf_dir))
+    return cc.sort(["cc", "node"], descending=[True, False]).limit(20)
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction (tokenizer/vocab-building corpus statistic):
     top-20 adjacent-word bigrams by the PMI ratio c_xy·N / (c_x·c_y) with
@@ -3482,6 +3494,45 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_clustering_coeff": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        raw AS (
+          SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents
+        ),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        tv AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        tc AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS tri FROM tv GROUP BY node
+        )
+        SELECT d.node, d.deg, coalesce(tc.tri, 0) AS tri,
+               CAST(2 * coalesce(tc.tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS cc
+        FROM deg d LEFT JOIN tc ON d.node = tc.node
+        WHERE d.deg >= 2
+        ORDER BY cc DESC, d.node LIMIT 20
+    """,
     "q_pmi_bigrams": """
         WITH tok AS (
           SELECT doc_id,
@@ -4714,6 +4765,7 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_cooccur_parts": q_cooccur_parts,
     "q_pmi_bigrams": q_pmi_bigrams,
+    "q_clustering_coeff": q_clustering_coeff,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -742,11 +742,15 @@ def betweenness_centrality(
     })
 
 
-def triangle_count(edges, src: str = "src", dst: str = "dst",
-                   num_partitions: int = 16):
-    """Global triangle count — degree-ordered wedge counting, the textbook
-    distributed formulation (no per-node adjacency ever materializes in one
-    place):
+def _triangle_triples(edges, src: str = "src", dst: str = "dst",
+                      num_partitions: int = 16):
+    """Shared core of ``triangle_count`` / ``local_clustering``: returns
+    ``(triples, deg)`` where ``triples`` is a Dataset with one row per
+    triangle — (v1, v2, v3) with v1 the degree-order pivot — and ``deg``
+    the (node, deg) Dataset of the distinct undirected graph.
+
+    Degree-ordered wedge counting, the textbook distributed formulation (no
+    per-node adjacency ever materializes in one place):
 
     1. canonicalize + DISTINCT the undirected edge set (map-side per-block
        distinct, then one C++ hash groupby — exchange is O(distinct edges));
@@ -758,11 +762,7 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
        (``grouped_apply(exchange="hash")``), pair emission fully vectorized
        (triangular-number inversion, no per-run Python);
     5. one inner join of wedges against the oriented edge set closes the
-       triangles; count rows.
-
-    Orientation choice cannot change the COUNT, so the DuckDB oracle uses
-    plain value order (least/greatest + b<b' self-joins) while the engine
-    uses degree order.  Returns a 1-row Arrow table {triangles: int64}."""
+       triangles — each closed wedge row IS one triangle, exactly once."""
     import pyarrow as pa
 
     from ..functions.joins import adaptive_join
@@ -829,8 +829,10 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         batch_format="pyarrow",
     ).materialize()
 
+    lo_type = oriented.schema().base_schema.field("lo").type
     wedge_schema = pa.schema([
-        pa.field("wa", oriented.schema().base_schema.field("lo").type),
+        pa.field("wp", lo_type),
+        pa.field("wa", oriented.schema().base_schema.field("hi").type),
         pa.field("wb", oriented.schema().base_schema.field("hi").type),
     ])
 
@@ -858,12 +860,15 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         i = kl - j * (j - 1) // 2
         base = starts[r]
         hi_col = block.column("hi")
+        wp = block.column("lo").take(pa.array(base, pa.int64()))
         wa = hi_col.take(pa.array(base + i, pa.int64()))
         wb = hi_col.take(pa.array(base + j, pa.int64()))
+
+        def _one(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
         return pa.Table.from_arrays(
-            [wa.combine_chunks() if isinstance(wa, pa.ChunkedArray) else wa,
-             wb.combine_chunks() if isinstance(wb, pa.ChunkedArray) else wb],
-            schema=wedge_schema,
+            [_one(wp), _one(wa), _one(wb)], schema=wedge_schema,
         )
 
     wedges = grouped_apply(
@@ -876,7 +881,82 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         left_keys=["wa", "wb"], right_keys=["lo", "hi"],
         how="inner", num_partitions=num_partitions,
     )
-    return pa.table({"triangles": pa.array([closed.count()], pa.int64())})
+    triples = closed.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("wp"), t.column("wa"), t.column("wb")],
+            names=["v1", "v2", "v3"],
+        ),
+        batch_format="pyarrow",
+    )
+    return triples, deg
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   num_partitions: int = 16):
+    """Global triangle count (degree-ordered wedge counting; see
+    ``_triangle_triples``).  Orientation choice cannot change the COUNT, so
+    the DuckDB oracle uses plain value order (least/greatest + b<b'
+    self-joins) while the engine uses degree order.  Returns a 1-row Arrow
+    table {triangles: int64}."""
+    triples, _ = _triangle_triples(edges, src=src, dst=dst,
+                                   num_partitions=num_partitions)
+    return pa.table({"triangles": pa.array([triples.count()], pa.int64())})
+
+
+def local_clustering(edges, src: str = "src", dst: str = "dst",
+                     num_partitions: int = 16) -> "rd.Dataset":
+    """Per-node local clustering coefficient cc(v) = 2·T(v) / (deg(v)·
+    (deg(v)−1)) over the distinct undirected graph.
+
+    T(v) comes from the shared degree-ordered triangle enumeration
+    (``_triangle_triples``): each triangle row credits its three vertices
+    via one endpoint explode + map-side-combined count — no per-node
+    adjacency materialization, same skew bound as the triangle count.  The
+    coefficient is ONE float division of exact integers (2·T < 2⁶³,
+    deg·(deg−1) < 2⁶³ checked), so a HUGEINT→DOUBLE SQL oracle reproduces
+    the doubles bit-for-bit.  Nodes with deg < 2 are dropped (cc undefined).
+    Returns a Dataset (node, deg, tri, cc) — callers order/limit."""
+    from ..functions.joins import adaptive_join
+    from .aggregates import partial_grouped_agg
+
+    triples, deg = _triangle_triples(edges, src=src, dst=dst,
+                                     num_partitions=num_partitions)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.chunked_array([t.column("v1"), t.column("v2"),
+                               t.column("v3")])],
+            names=["node"],
+        )
+
+    tcnt = partial_grouped_agg(
+        triples.map_batches(explode, batch_format="pyarrow"),
+        ["node"], count_alias="tri",
+    )
+    j = adaptive_join(deg, tcnt, left_keys=["node"], right_keys=["node"],
+                      how="left", num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        t = t.filter(pa.array(keep))
+        d = d[keep]
+        tri = pc.fill_null(t.column("tri"), 0)
+        trv = tri.to_numpy(zero_copy_only=False).astype(np.int64)
+        num = 2 * trv
+        den = d * (d - 1)
+        # operands are exact in float64 (graph degrees and per-node triangle
+        # counts sit far below 2^53); one correctly-rounded division each
+        cc = num.astype(np.float64) / den.astype(np.float64)
+        return pa.table({
+            "node": t.column("node"),
+            "deg": pc.cast(t.column("deg"), pa.int64()),
+            "tri": pa.array(trv, pa.int64()),
+            "cc": pa.array(cc, pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def _label_propagation_local(e, rounds: int):
