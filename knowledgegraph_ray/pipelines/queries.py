@@ -1944,6 +1944,32 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_interval_coverage(sf_dir: str):
+    """Per-user busy-time (interval-union) coverage: each event opens the
+    interval [ts, ts + value-cents seconds]; overlapping-or-touching
+    intervals merge into islands (one hash exchange + segmented-cummax
+    island scan, stages/temporal.py::interval_coverage).  All-integer
+    epoch-us arithmetic → bit-exact vs the SQL window oracle."""
+    from ..stages.temporal import interval_coverage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "s": pc.cast(b.column("ts"), pa.int64()),
+            "e": pc.add_checked(
+                pc.cast(b.column("ts"), pa.int64()),
+                pc.multiply_checked(
+                    _cents(b, "value", "vc").column("vc"), 1_000_000
+                ),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return interval_coverage(ds, key_col="user_id", start_col="s", end_col="e")
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient over the derived doc graph:
     top-20 by cc = 2·T(v)/(deg·(deg−1)).  Triangle credits come from the
@@ -3494,6 +3520,40 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_interval_coverage": """
+        WITH iv AS (
+          SELECT user_id,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts)
+                   + CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 1000000 AS e
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pm
+          FROM iv
+        ),
+        g AS (
+          SELECT user_id, s, e,
+                 CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS island
+          FROM m
+        ),
+        isl AS (
+          SELECT user_id, island, min(s) AS island_s, max(e) AS island_e
+          FROM g GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(island_e - island_s) AS BIGINT) AS covered,
+               CAST(min(island_s) AS BIGINT) AS first_start,
+               CAST(max(island_e) AS BIGINT) AS last_end
+        FROM isl GROUP BY user_id
+    """,
     "q_clustering_coeff": """
         WITH n AS (SELECT count(*) AS c FROM documents),
         raw AS (
@@ -4766,6 +4826,7 @@ QUERIES = {
     "q_cooccur_parts": q_cooccur_parts,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
+    "q_interval_coverage": q_interval_coverage,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

@@ -251,3 +251,97 @@ def range_join(
         )
 
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def _segmented_cummax(x: np.ndarray, run_id: np.ndarray) -> np.ndarray:
+    """Inclusive per-run prefix max, fully vectorized (guarded doubling:
+    O(n log maxrun) int64 ops, exact — no float offsets, no per-run Python).
+    After step d, x[i] holds the max over its run-clamped trailing window of
+    length 2d; the run guard stops propagation across run boundaries."""
+    x = x.copy()
+    n = x.size
+    d = 1
+    while d < n:
+        same = run_id[d:] == run_id[:-d]
+        np.maximum(x[d:], np.where(same, x[:-d], x[d:]), out=x[d:])
+        d *= 2
+    return x
+
+
+def interval_coverage(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Merge overlapping-or-touching [start, end] intervals per key and
+    report coverage (the log/trace "interval union" pass: dedup of
+    overlapping spans, total busy time, island counts).
+
+    Exact algorithm: one hash exchange colocates each key's rows
+    (grouped_apply ``exchange="hash"``, ordered by start), a new island
+    begins where start > the per-run prefix max of earlier ends
+    (``_segmented_cummax``), and per-island / per-key stats reduce with
+    ``np.add.reduceat`` — no per-row Python anywhere.  Inputs must be int64
+    (epoch-us timestamps / integer durations) with end >= start; all outputs
+    are exact integers so a SQL window-function oracle matches bit-for-bit.
+
+    Returns one row per key: (key, n_islands, covered, first_start,
+    last_end), where ``covered`` sums (island_end − island_start).
+    """
+    from .canonicalize import grouped_apply
+
+    key_type = ds.schema().base_schema.field(key_col).type
+    out_schema = pa.schema([
+        pa.field(key_col, key_type),
+        pa.field("n_islands", pa.int64()),
+        pa.field("covered", pa.int64()),
+        pa.field("first_start", pa.int64()),
+        pa.field("last_end", pa.int64()),
+    ])
+
+    def cover_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        run_id = np.zeros(n, np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        s = block.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = block.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = _segmented_cummax(e, run_id)
+        new_island = np.ones(n, bool)
+        # a row starts a new island unless it overlaps/touches the prefix
+        # max end of EARLIER rows in its run (which always belongs to the
+        # current island: islands are separated by gaps and e >= s)
+        new_island[1:] = (run_id[1:] != run_id[:-1]) | (s[1:] > cm[:-1])
+        isl_start_idx = np.flatnonzero(new_island)
+        # island end = prefix max at the row before the next island start
+        isl_end_idx = np.r_[isl_start_idx[1:] - 1, n - 1]
+        isl_s = s[isl_start_idx]
+        isl_e = cm[isl_end_idx]
+        isl_run = run_id[isl_start_idx]
+        run_first = np.flatnonzero(np.r_[True, isl_run[1:] != isl_run[:-1]])
+        n_isl = np.diff(np.r_[run_first, isl_run.size])
+        covered = np.add.reduceat(isl_e - isl_s, run_first)
+        first_s = isl_s[run_first]                      # starts ascend in run
+        last_e = np.maximum.reduceat(isl_e, run_first)  # == max e of run
+        # one output row per run; `starts` already holds each run's first
+        # block-row index in run order
+        keys = block.column(key_col).take(pa.array(starts, pa.int64()))
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        return pa.Table.from_arrays(
+            [keys,
+             pa.array(n_isl, pa.int64()),
+             pa.array(covered, pa.int64()),
+             pa.array(first_s, pa.int64()),
+             pa.array(last_e, pa.int64())],
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        ds.select_columns([key_col, start_col, end_col]),
+        [key_col], None, out_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=cover_block, order_col=start_col, exchange="hash",
+    )

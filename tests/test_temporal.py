@@ -301,3 +301,78 @@ def test_asof_join_forward_direction(ray_session):
     # id 2: ts=11 -> rts 20 -> 300;  id 3: ts=30 -> none -> None
     # id 4 (k=20): ts=5 -> rts 3 is in the past -> None
     assert got == {1: 200, 2: 300, 3: None, 4: None}
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+
+def _brute_coverage(rows):
+    """rows: (key, s, e).  Classic sort-and-merge island oracle."""
+    by_k: dict[int, list[tuple[int, int]]] = {}
+    for k, s, e in rows:
+        by_k.setdefault(k, []).append((s, e))
+    out = {}
+    for k, iv in by_k.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        out[k] = (
+            len(islands),
+            sum(e - s for s, e in islands),
+            islands[0][0],
+            max(e for _, e in islands),
+        )
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_interval_coverage_matches_brute(blocks):
+    import numpy as np
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.temporal import interval_coverage
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(800):
+        k = int(rng.integers(0, 30))
+        s = int(rng.integers(0, 500))
+        rows.append((k, s, s + int(rng.integers(0, 40))))
+    # exact-touch and zero-length edge cases
+    rows += [(99, 0, 10), (99, 10, 20), (99, 21, 21), (99, 21, 21), (99, 30, 30)]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.int64()),
+        "e": pa.array([r[2] for r in rows], pa.int64()),
+    })).repartition(blocks)
+    got = {
+        r["k"]: (r["n_islands"], r["covered"], r["first_start"], r["last_end"])
+        for r in interval_coverage(
+            ds, key_col="k", start_col="s", end_col="e"
+        ).take_all()
+    }
+    assert got == _brute_coverage(rows)
+    # touching intervals merged, zero-length islands counted
+    assert got[99] == (3, 20, 0, 30)
+
+
+def test_segmented_cummax():
+    import numpy as np
+
+    from knowledgegraph_ray.stages.temporal import _segmented_cummax
+
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 7, 1000):
+        runs = np.sort(rng.integers(0, max(1, n // 5), n))
+        x = rng.integers(-50, 50, n)
+        want = x.copy()
+        for i in range(1, n):
+            if runs[i] == runs[i - 1]:
+                want[i] = max(want[i], want[i - 1])
+        assert (_segmented_cummax(x, runs) == want).all()
