@@ -1944,6 +1944,54 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence-packing manifest at context length 512: docs
+    concatenate in doc_id order into one global token stream (exclusive
+    offsets from the distributed block-offset prefix sum), each doc's span
+    explodes into the sequences it touches (vectorized ragged arange), and
+    per-sequence stats reduce with map-side partials.  The manifest a
+    training exporter writes before cutting fixed-length rows; all-integer
+    → bit-exact vs the SQL window + generate_series oracle."""
+    from ..stages.temporal import _ragged_arange
+    from ..stages.textops import add_token_count
+    from ..stages.windows import ordered_prefix_sum
+    from ..stages.aggregates import partial_grouped_agg
+
+    L = 512
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: add_token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    run = ordered_prefix_sum(
+        docs, order_col="doc_id", value_col="n_tokens", out_col="cum"
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        off = cum - n
+        keep = n > 0
+        off, cum, ids = off[keep], cum[keep], ids[keep]
+        row, seq = _ragged_arange(off // L, (cum - 1) // L + 1)
+        tok = (np.minimum(cum[row], (seq + 1) * L)
+               - np.maximum(off[row], seq * L))
+        return pa.table({
+            "seq": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(ids[row], pa.int64()),
+            "tok": pa.array(tok, pa.int64()),
+        })
+
+    return partial_grouped_agg(
+        run.map_batches(explode, batch_format="pyarrow"),
+        ["seq"],
+        sums={"tok": "n_tokens"},
+        mins={"doc_id": "first_doc"},
+        maxs={"doc_id": "last_doc"},
+        count_alias="n_docs",
+    )
+
+
 def q_interval_coverage(sf_dir: str):
     """Per-user busy-time (interval-union) coverage: each event opens the
     interval [ts, ts + value-cents seconds]; overlapping-or-touching
@@ -3520,6 +3568,31 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_pack_sequences": """
+        WITH d AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+          FROM d
+        ),
+        x AS (
+          SELECT doc_id, n, cum, cum - n AS off FROM c WHERE n > 0
+        ),
+        e AS (
+          SELECT doc_id, off, cum,
+                 unnest(generate_series(off // 512, (cum - 1) // 512)) AS seq
+          FROM x
+        )
+        SELECT seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(cum, (seq + 1) * 512)
+                        - greatest(off, seq * 512)) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM e GROUP BY seq
+    """,
     "q_interval_coverage": """
         WITH iv AS (
           SELECT user_id,
@@ -4827,6 +4900,7 @@ QUERIES = {
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
+    "q_pack_sequences": q_pack_sequences,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,
