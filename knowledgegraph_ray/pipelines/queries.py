@@ -1944,6 +1944,57 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_resample_locf(sf_dir: str):
+    """Fixed-grid resample with last-observation-carried-forward: every
+    (user < 100) × 6-hour grid mark gets the value of that user's latest
+    event at-or-before the mark (null before the first event) — the
+    time-series regularization pass feature stores run.  Grid bounds come
+    from one distributed min/max, the user×mark cross product builds
+    per-block from a broadcastable mark vector, and the fill is the
+    existing distributed as-of join; all-integer epoch-us arithmetic →
+    bit-exact vs the SQL oracle."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.aggregates import distinct_keys
+    from ..stages.temporal import asof_join
+
+    STEP = 6 * 3600 * 1_000_000
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+        filter=pc.field("user_id") < 100,
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "ets_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "locf_cents": _cents(b, "value", "vc").column("vc"),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    agg = ev.aggregate(Min("ets_us"), Max("ets_us"))
+    lo = (int(agg["min(ets_us)"]) // STEP) * STEP
+    hi = int(agg["max(ets_us)"])
+    marks = np.arange(lo, hi + 1, STEP, dtype=np.int64)
+
+    def cross(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, marks.size), pa.int64()),
+            "ts_us": pa.array(np.tile(marks, u.size), pa.int64()),
+        })
+
+    grid = distinct_keys(
+        ev.select_columns(["user_id"]), ["user_id"]
+    ).map_batches(cross, batch_format="pyarrow")
+    return asof_join(
+        grid, ev,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts_us", right_ts="ets_us",
+        right_cols=["locf_cents"], right_order="event_id",
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence-packing manifest at context length 512: docs
     concatenate in doc_id order into one global token stream (exclusive
@@ -3568,6 +3619,35 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_resample_locf": """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ets_us, event_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+          FROM events WHERE user_id < 100
+        ),
+        b AS (
+          SELECT (min(ets_us) // 21600000000) * 21600000000 AS lo,
+                 max(ets_us) AS hi
+          FROM ev
+        ),
+        marks AS (
+          SELECT unnest(generate_series((SELECT lo FROM b),
+                                        (SELECT hi FROM b),
+                                        21600000000)) AS ts_us
+        ),
+        users AS (SELECT DISTINCT user_id FROM ev),
+        grid AS (SELECT u.user_id, m.ts_us FROM users u CROSS JOIN marks m)
+        SELECT g.user_id, g.ts_us, m.vc AS locf_cents
+        FROM grid g
+        LEFT JOIN (
+          SELECT g2.user_id AS uid, g2.ts_us AS gts, e.vc,
+                 row_number() OVER (
+                   PARTITION BY g2.user_id, g2.ts_us
+                   ORDER BY e.ets_us DESC, e.event_id DESC) AS rn
+          FROM grid g2 JOIN ev e
+            ON e.user_id = g2.user_id AND e.ets_us <= g2.ts_us
+        ) m ON m.uid = g.user_id AND m.gts = g.ts_us AND m.rn = 1
+    """,
     "q_pack_sequences": """
         WITH d AS (
           SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
@@ -4901,6 +4981,7 @@ QUERIES = {
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
     "q_pack_sequences": q_pack_sequences,
+    "q_resample_locf": q_resample_locf,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

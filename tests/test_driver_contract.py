@@ -120,6 +120,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_clustering_coeff",
     "q_interval_coverage",
     "q_pack_sequences",
+    "q_resample_locf",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",
