@@ -1944,6 +1944,24 @@ def q_ols_per_flag(sf_dir: str):
     )
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric near-containment join on a bounded slice (doc_id < 500;
+    the hot-vocabulary caveat of q_ngram_jaccard_1k applies — the slice
+    bound is part of the query name contract's oracle too): ordered pairs
+    where ≥55% of doc a's 5-byte shingles appear in doc b — the
+    quote/inclusion relation symmetric Jaccard misses.  Exact one-sided
+    prefix filter + shared-index verify (stages/dedup.py::
+    ngram_containment_join)."""
+    from ..stages.dedup import ngram_containment_join
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < 500,
+    )
+    return ngram_containment_join(docs, threshold=0.55, k=5)
+
+
 def q_resample_locf(sf_dir: str):
     """Fixed-grid resample with last-observation-carried-forward: every
     (user < 100) × 6-hour grid mark gets the value of that user's latest
@@ -3619,6 +3637,25 @@ ORACLE_SQL: dict[str, str] = {
                          / CAST(n * den AS DOUBLE) END AS intercept
         FROM d
     """,
+    "q_containment": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
+          FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+          WHERE doc_id < 500
+        ),
+        sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               floor(i / CAST(sa.s AS DOUBLE) * 10000.0) / 10000.0
+                 AS containment_r
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE i / CAST(sa.s AS DOUBLE) >= 0.55
+    """,
     "q_resample_locf": """
         WITH ev AS (
           SELECT user_id, epoch_us(ts) AS ets_us, event_id,
@@ -4982,6 +5019,7 @@ QUERIES = {
     "q_interval_coverage": q_interval_coverage,
     "q_pack_sequences": q_pack_sequences,
     "q_resample_locf": q_resample_locf,
+    "q_containment": q_containment,
     "q_token_commonness": q_token_commonness,
     "q_hopping_window": q_hopping_window,
     "q_event_lag_delta": q_event_lag_delta,

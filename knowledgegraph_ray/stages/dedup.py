@@ -355,6 +355,21 @@ def _verify_jaccard_indexed(
     ia: np.ndarray, ib: np.ndarray,
 ) -> np.ndarray:
     """Exact Jaccard per candidate pair against the shared sorted-unique
+    shingle index (intersections from ``_verify_inter_indexed``)."""
+    na = (offs[ia + 1] - offs[ia]).astype(np.int64)
+    nb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+    inter = _verify_inter_indexed(offs, flat, rank, ia, ib)
+    union = na + nb - inter
+    return np.divide(
+        inter, union, out=np.zeros(len(ia), np.float64), where=union > 0
+    )
+
+
+def _verify_inter_indexed(
+    offs: np.ndarray, flat: np.ndarray, rank: np.ndarray,
+    ia: np.ndarray, ib: np.ndarray,
+) -> np.ndarray:
+    """Exact |S_a ∩ S_b| per candidate pair against the shared sorted-unique
     shingle index.  Hybrid regime split (_SMALL_PAIR_ELEMS):
 
     * SMALL pairs — pack (pair_in_chunk, global value rank) into one int64.
@@ -369,7 +384,7 @@ def _verify_jaccard_indexed(
     na = (offs[ia + 1] - offs[ia]).astype(np.int64)
     nb = (offs[ib + 1] - offs[ib]).astype(np.int64)
     tot = na + nb
-    jac = np.zeros(n, dtype=np.float64)
+    out = np.zeros(n, dtype=np.int64)
     small = tot <= _SMALL_PAIR_ELEMS
 
     si = np.flatnonzero(small & (na > 0) & (nb > 0))
@@ -397,8 +412,7 @@ def _verify_jaccard_indexed(
             match = b_keys[pos] == a_keys
             # per-pair match counts: segments are nonempty (na, nb > 0), so
             # reduceat starts are strictly increasing
-            inter = np.add.reduceat(match, csa[:-1]).astype(np.int64)
-            jac[idx] = inter / (tot[idx] - inter)
+            out[idx] = np.add.reduceat(match, csa[:-1]).astype(np.int64)
             lo = hi
 
     for i in np.flatnonzero(~small):
@@ -410,9 +424,8 @@ def _verify_jaccard_indexed(
         # intersect1d's concat+sort of both sets
         pos = np.searchsorted(b, a)
         pos[pos == len(b)] = len(b) - 1
-        inter = int(np.count_nonzero(b[pos] == a))
-        jac[i] = inter / (tot[i] - inter)
-    return jac
+        out[i] = int(np.count_nonzero(b[pos] == a))
+    return out
 
 
 def _doc_shingle_lists(
@@ -742,6 +755,200 @@ def ngram_jaccard_join(
         )
 
     return _dedup_survivors(joined.map_batches(verify, batch_format="pyarrow"))
+
+
+CONTAINMENT_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("containment_r", pa.float64())]
+)
+
+
+def ngram_containment_join(
+    ds: rd.Dataset,
+    *,
+    threshold: float,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT asymmetric set-containment join: all ORDERED pairs (a, b),
+    a ≠ b, with |S_a ∩ S_b| / |S_a| ≥ threshold — "a is (nearly) contained
+    in b", the quote/inclusion/boilerplate relation a symmetric Jaccard
+    join misses whenever the container is much larger than the quote.
+
+    One-sided prefix filter: containment ≥ t forces |S_a ∩ S_b| ≥
+    ⌈t·|S_a|⌉, so S_a's first |S_a| − ⌈t·|S_a|⌉ + 1 hashes under the global
+    ascending order must hit S_b (the standard prefix lemma applied to the
+    contained side only).  The CONTAINER side has no size bound, so every
+    doc's FULL hash list enters the exchange as probe rows — candidate
+    generation stays complete at O(total shingles × 25 B) shuffled bytes
+    (linear, though wider than Jaccard's prefix-only stream).  Pruning per
+    shared hash: a.doc ≠ b.doc, the size filter n_b ≥ ⌈t·n_a⌉, and the
+    one-sided positional filter 1 + min(n_a−p_a−1, n_b−p_b−1) ≥ ⌈t·n_a⌉.
+    Candidates verify exactly (inter / |S_a|) against the shared zero-copy
+    shingle index; past NGRAM_BROADCAST_BYTES the verify joins the shingle
+    lists onto candidates instead (same fallback as the Jaccard join).
+
+    Returns (id_a, id_b, containment_r) with containment_r
+    floor-canonicalized to 1e-4 — ordered pairs: (a,b) and (b,a) are
+    independent results.  Hot shingles shared by many docs make quadratic
+    runs — inherent to exactness; bound the input or raise k, as with the
+    Jaccard join."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys
+
+    sigs = ds.map_batches(
+        lambda b: _doc_shingle_lists(b, text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        """ALL hash positions per doc; pos < plen marks contained-side
+        prefix rows (same epsilon as the Jaccard prefix: err LONGER)."""
+        sh = batch.column("sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        sizes = batch.column("n_sh").to_numpy(zero_copy_only=False)
+        plen = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        plen = np.clip(plen, 0, sizes)
+        flat = sh.values.to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_all = int(sizes.sum())
+        cs = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=cs[1:])
+        pos = (np.arange(n_all, dtype=np.int64)
+               - np.repeat(cs[:-1], sizes)) if len(sizes) else np.zeros(0, np.int64)
+        return pa.Table.from_pydict({
+            "psh": pa.array(flat, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, sizes), pa.int64()),
+            "n_sh": pa.array(np.repeat(sizes, sizes), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "pref": pa.array(pos < np.repeat(plen, sizes), pa.bool_()),
+        })
+
+    def run_pairs(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+        if n == 0:
+            return empty
+        keys = block.column("psh").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = block.column("n_sh").to_numpy(zero_copy_only=False)
+        ps = block.column("pos").to_numpy(zero_copy_only=False)
+        pref = block.column("pref").to_numpy(zero_copy_only=False)
+        rem = ns - ps
+        bounds = np.r_[np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]), n]
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            L = e - s
+            pi = s + np.flatnonzero(pref[s:e])
+            if L < 2 or pi.size == 0:
+                continue
+            # chunked (prefix-row × run-row) emission, 4M pairs per slab
+            per = max(1, (1 << 22) // L)
+            for lo in range(0, pi.size, per):
+                ii = np.repeat(pi[lo:lo + per], L)
+                jj = np.tile(np.arange(s, e, dtype=np.int64),
+                             min(per, pi.size - lo))
+                # same epsilon discipline as the Jaccard join: never round
+                # the requirement UP past the exact rational bound
+                req = np.ceil(threshold * ns[ii] - 1e-9)
+                keep = (
+                    (ids[ii] != ids[jj])
+                    & (ns[jj] >= req)
+                    & (1 + np.minimum(rem[ii] - 1, rem[jj] - 1) >= req)
+                )
+                outs_a.append(ids[ii][keep])
+                outs_b.append(ids[jj][keep])
+        if not outs_a:
+            return empty
+        t = pa.Table.from_pydict({
+            "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+        })
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    cand = (
+        sigs.map_batches(probe_rows, batch_format="pyarrow")
+        .sort("psh")
+        .map_batches(run_pairs, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    def _emit(batch: pa.Table, cont: np.ndarray) -> pa.Table:
+        keep = cont >= threshold
+        return pa.Table.from_pydict(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "containment_r": pa.array(
+                    np.floor(cont[keep] * 10000.0) / 10000.0, pa.float64()
+                ),
+            },
+            schema=CONTAINMENT_SCHEMA,
+        )
+
+    n_docs = sigs.count()
+    total_sh = int(sigs.sum("n_sh") or 0)
+    if total_sh * 8 + n_docs * 24 <= NGRAM_BROADCAST_BYTES:
+        idx_ref = _sig_index_task.remote(sigs.to_arrow_refs())
+
+        def verify_lookup(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return CONTAINMENT_SCHEMA.empty_table()
+            ids, offs, flat, rank = _resolve_sig_index(idx_ref)
+            ia = np.searchsorted(ids, batch.column("id_a").to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(ids, batch.column("id_b").to_numpy(zero_copy_only=False))
+            inter = _verify_inter_indexed(offs, flat, rank, ia, ib)
+            na = (offs[ia + 1] - offs[ia]).astype(np.int64)
+            cont = np.divide(inter, na, out=np.zeros(len(ia), np.float64),
+                             where=na > 0)
+            return _emit(batch, cont)
+
+        verified = cand.map_batches(verify_lookup, batch_format="pyarrow")
+        return distinct_keys(verified, ["id_a", "id_b", "containment_r"])
+
+    def _side(side: str) -> rd.Dataset:
+        return sigs.map_batches(
+            lambda b, _s=side: pa.Table.from_pydict({
+                f"id_{_s}": b.column("doc_id"),
+                f"sh_{_s}": b.column("sh"),
+            }),
+            batch_format="pyarrow",
+        )
+
+    joined = adaptive_join(cand, _side("a"), left_keys=["id_a"],
+                           num_partitions=num_partitions)
+    joined = adaptive_join(joined, _side("b"), left_keys=["id_b"],
+                           num_partitions=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CONTAINMENT_SCHEMA.empty_table()
+
+        def _flat(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return (col.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+                    col.values.to_numpy(zero_copy_only=False))
+
+        offs_a, flat_a = _flat(batch.column("sh_a"))
+        offs_b, flat_b = _flat(batch.column("sh_b"))
+        cont = np.zeros(batch.num_rows, dtype=np.float64)
+        for i in range(batch.num_rows):
+            a = flat_a[offs_a[i]: offs_a[i + 1]]
+            b = flat_b[offs_b[i]: offs_b[i + 1]]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = len(b) - 1
+            cont[i] = int(np.count_nonzero(b[pos] == a)) / len(a)
+        return _emit(batch, cont)
+
+    return distinct_keys(
+        joined.map_batches(verify, batch_format="pyarrow"),
+        ["id_a", "id_b", "containment_r"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -645,3 +645,51 @@ def test_cross_neardup_matches_bruteforce(ray_session):
             rd.from_arrow(corpus).repartition(parts), bench, threshold=thr
         ).take_all()}
         assert got == want, parts
+
+
+def test_ngram_containment_matches_brute():
+    """Property: exact ordered-pair containment vs brute-force shingle sets,
+    including a short doc embedded verbatim in a long one (the asymmetric
+    case Jaccard misses)."""
+    import numpy as np
+
+    from knowledgegraph_ray.stages.dedup import ngram_containment_join
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    quote = "the quick brown fox jumps over the lazy dog"
+    texts = []
+    for i in range(40):
+        body = " ".join(rng.choice(words, size=rng.integers(8, 30)))
+        if i % 7 == 0:
+            body = body + " " + quote + " " + body[::-1]
+        texts.append(body)
+    texts.append(quote)                      # doc 40: contained in every i%7==0
+    texts.append(quote + " extra tail")      # doc 41: mostly contained
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_r"]
+        for r in ngram_containment_join(ds, threshold=t, k=5).take_all()
+    }
+
+    def shingles(s):
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    sets = [shingles(s) for s in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b or not sets[a]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= t:
+                want[(a, b)] = np.floor(c * 10000.0) / 10000.0
+    assert got == want
+    assert any(a == 40 for a, _ in got), "the quote doc must be contained somewhere"
+    # asymmetry: the long host is NOT contained in the short quote
+    host = next(b for a, b in got if a == 40)
+    assert (host, 40) not in got

@@ -121,6 +121,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_interval_coverage",
     "q_pack_sequences",
     "q_resample_locf",
+    "q_containment",
     "q_token_commonness",
     "q_hopping_window",
     "q_event_lag_delta",
