@@ -2205,6 +2205,72 @@ def q_cooccur_parts(sf_dir: str):
     ).limit(20)
 
 
+def q_basket_lift(sf_dir: str):
+    """Association-rule lift: top-20 part pairs by
+    lift = n_ab·N_orders / (n_a·n_b) among pairs co-bought ≥ 2 times —
+    the scoring pass over the co-occurrence graph (composition of
+    cooccurrence_pairs + distinct item counts + broadcast joins).  The
+    float lift is ONE division of exact integer products < 2⁵³ (asserted),
+    bit-identical to the SQL HUGEINT→DOUBLE oracle."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import (
+        cooccurrence_pairs,
+        distinct_keys,
+        partial_grouped_agg,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = cooccurrence_pairs(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        out_a="part_a", out_b="part_b", count_col="nab",
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("nab"), 2)),
+        batch_format="pyarrow",
+    )
+    d = distinct_keys(li, ["l_orderkey", "l_partkey"]).materialize()
+    n_orders = distinct_keys(
+        d.select_columns(["l_orderkey"]), ["l_orderkey"]
+    ).count()
+    ic = partial_grouped_agg(
+        d.select_columns(["l_partkey"]), ["l_partkey"], count_alias="c"
+    )
+
+    def _ren(side: str):
+        return lambda b: pa.Table.from_arrays(
+            [b.column("l_partkey"), b.column("c")],
+            names=[side, f"c_{side}"],
+        )
+
+    j = adaptive_join(
+        pairs, ic.map_batches(_ren("part_a"), batch_format="pyarrow"),
+        left_keys=["part_a"], right_keys=["part_a"], how="inner",
+    )
+    j = adaptive_join(
+        j, ic.map_batches(_ren("part_b"), batch_format="pyarrow"),
+        left_keys=["part_b"], right_keys=["part_b"], how="inner",
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        nab = b.column("nab").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = b.column("c_part_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = b.column("c_part_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        assert b.num_rows == 0 or (
+            nab.max() * n_orders < 2**53 and (ca * cb).max() < 2**53
+        )
+        return pa.table({
+            "part_a": b.column("part_a"),
+            "part_b": b.column("part_b"),
+            "n": pc.cast(b.column("nab"), pa.int64()),
+            "lift": pa.array(nab * float(n_orders) / (ca * cb), pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow").sort(
+        ["lift", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(20)
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -3822,6 +3888,30 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY n DESC, part_a, part_b LIMIT 20
     """,
+    "q_basket_lift": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nord AS (
+          SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS n FROM d
+        ),
+        ic AS (
+          SELECT l_partkey, CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS HUGEINT) AS nab
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, CAST(nab AS BIGINT) AS n,
+               CAST(nab * nord.n AS DOUBLE)
+                 / CAST(ca.c * cb.c AS DOUBLE) AS lift
+        FROM pairs
+        CROSS JOIN nord
+        JOIN ic ca ON ca.l_partkey = part_a
+        JOIN ic cb ON cb.l_partkey = part_b
+        ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
     "q_json_extract": """
         SELECT event_type,
                count(*) AS n,
@@ -5014,6 +5104,7 @@ QUERIES = {
     "q_ols_per_flag": q_ols_per_flag,
     "q_json_extract": q_json_extract,
     "q_cooccur_parts": q_cooccur_parts,
+    "q_basket_lift": q_basket_lift,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
