@@ -2271,6 +2271,30 @@ def q_basket_lift(sf_dir: str):
     ).limit(20)
 
 
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE + LAST_VALUE + COUNT per user in ONE pass — each block
+    collapses to one arg-extrema partial row per in-block user (C++
+    multi-key sort + run scan), so the exchange moves O(users × blocks)
+    rows instead of the event count; the associative arg-combine (min/max
+    by (ts, event_id)) finishes in an adaptive zero-CPU task.  Unlike
+    q_latest_event (grouped_topk ships every row), this is the map-side
+    combiner shape for first/last-capture-per-URL at 100 TB."""
+    from ..stages.aggregates import grouped_arg_extrema
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return grouped_arg_extrema(
+        ds,
+        key_col="user_id",
+        order_col="ts",
+        tiebreak_col="event_id",
+        payload_col="event_type",
+        count_alias="n_events",
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -3888,6 +3912,25 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY n DESC, part_a, part_b LIMIT 20
     """,
+    "q_first_last": """
+        WITH w AS (
+          SELECT user_id, event_type, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn_d,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        )
+        SELECT user_id,
+               max(CASE WHEN rn_a = 1 THEN ts END)         AS first_ts,
+               max(CASE WHEN rn_a = 1 THEN event_type END) AS first_event_type,
+               max(CASE WHEN rn_d = 1 THEN ts END)         AS last_ts,
+               max(CASE WHEN rn_d = 1 THEN event_type END) AS last_event_type,
+               CAST(max(n) AS BIGINT) AS n_events
+        FROM w GROUP BY user_id
+    """,
     "q_basket_lift": """
         WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         nord AS (
@@ -5105,6 +5148,7 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_cooccur_parts": q_cooccur_parts,
     "q_basket_lift": q_basket_lift,
+    "q_first_last": q_first_last,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,

@@ -838,6 +838,162 @@ def grouped_topk(
     )
 
 
+def grouped_arg_extrema(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    payload_col: str,
+    count_alias: str = "n_rows",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """FIRST_VALUE + LAST_VALUE + COUNT per key in ONE pass — the
+    argmin/argmax combiner shape (first/last event per user, first/last
+    capture per URL).
+
+    SQL: ``first_value(payload) OVER (PARTITION BY key ORDER BY order,
+    tiebreak)`` + the LAST_VALUE mirror + ``count(*)``, one row per key.
+    ``(order, tiebreak)`` must be a total order within each key (pass a
+    unique id as the tiebreak) so both engines pick the same row.
+
+    Unlike ``grouped_topk`` (which ships every row through the exchange),
+    each block first collapses to ONE partial row per in-block key — a
+    single C++ multi-key sort + run scan finds both extrema — so the
+    exchange moves O(keys × blocks) rows carrying (first_*, last_*, n).
+    The arg-combine (first = min by (ord, tie), last = max, n = Σ) is
+    associative, so any partition count yields identical rows.  Final
+    combine is adaptive like ``partial_grouped_agg``: one zero-CPU task
+    under ``_SMALL_COMBINE_ROWS`` partials, hash-exchange ``grouped_apply``
+    past it (the 100 TB path).  ``key_col`` must cast to int64 (ids); the
+    payload travels as its native Arrow type, never through Python.
+    """
+    from .canonicalize import grouped_apply
+
+    f_ord, f_pay = f"first_{order_col}", f"first_{payload_col}"
+    l_ord, l_pay = f"last_{order_col}", f"last_{payload_col}"
+
+    def _runs(tbl: pa.Table, sort_cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted row order, run-start offsets) of tbl grouped by key."""
+        order = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in sort_cols]
+        ).to_numpy()
+        k = (
+            pc.cast(tbl.column(key_col), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+        )
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        return order, starts
+
+    def per_block(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, order_col, tiebreak_col, payload_col]).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t.column(key_col),
+                    f_ord: t.column(order_col),
+                    "_f_tie": t.column(tiebreak_col),
+                    f_pay: t.column(payload_col),
+                    l_ord: t.column(order_col),
+                    "_l_tie": t.column(tiebreak_col),
+                    l_pay: t.column(payload_col),
+                    count_alias: pa.array([], pa.int64()),
+                }
+            )
+        order, starts = _runs(t, [key_col, order_col, tiebreak_col])
+        n = t.num_rows
+        sizes = np.diff(np.r_[starts, n])
+        f_take = pa.array(order[starts], pa.int64())
+        l_take = pa.array(order[np.r_[starts[1:], n] - 1], pa.int64())
+        return pa.table(
+            {
+                key_col: t.column(key_col).take(f_take),
+                f_ord: t.column(order_col).take(f_take),
+                "_f_tie": t.column(tiebreak_col).take(f_take),
+                f_pay: t.column(payload_col).take(f_take),
+                l_ord: t.column(order_col).take(l_take),
+                "_l_tie": t.column(tiebreak_col).take(l_take),
+                l_pay: t.column(payload_col).take(l_take),
+                count_alias: pa.array(sizes, pa.int64()),
+            }
+        )
+
+    out_cols = [key_col, f_ord, f_pay, l_ord, l_pay, count_alias]
+
+    def combine_tbl(p: pa.Table) -> pa.Table:
+        p = p.combine_chunks()
+        if p.num_rows == 0:
+            return p.select(out_cols)
+        o1, starts = _runs(p, [key_col, f_ord, "_f_tie"])
+        o2, _ = _runs(p, [key_col, l_ord, "_l_tie"])
+        n = p.num_rows
+        f_take = pa.array(o1[starts], pa.int64())
+        l_take = pa.array(o2[np.r_[starts[1:], n] - 1], pa.int64())
+        counts = (
+            p.column(count_alias)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[o1]
+        )
+        sums = np.add.reduceat(counts, starts)
+        return pa.table(
+            {
+                key_col: p.column(key_col).take(f_take),
+                f_ord: p.column(f_ord).take(f_take),
+                f_pay: p.column(f_pay).take(f_take),
+                l_ord: p.column(l_ord).take(l_take),
+                l_pay: p.column(l_pay).take(l_take),
+                count_alias: pa.array(sums, pa.int64()),
+            }
+        )
+
+    mat = ds.map_batches(per_block, batch_format="pyarrow").materialize()
+    n_partial = mat.count()
+    if n_partial == 0:
+        # fully-empty input may surface no partial schema at all — derive
+        # the typed empty result from the INPUT dataset (distinct_keys
+        # convention)
+        sch = mat.schema(fetch_if_missing=True)
+        if sch is not None:
+            base = sch.base_schema
+        else:
+            in_base = ds.schema(fetch_if_missing=True).base_schema
+            base = pa.schema(
+                [
+                    in_base.field(key_col),
+                    in_base.field(order_col).with_name(f_ord),
+                    in_base.field(payload_col).with_name(f_pay),
+                    in_base.field(order_col).with_name(l_ord),
+                    in_base.field(payload_col).with_name(l_pay),
+                    pa.field(count_alias, pa.int64()),
+                ]
+            )
+        return rd.from_arrow(
+            pa.schema([base.field(c) for c in out_cols]).empty_table()
+        )
+    if n_partial <= _SMALL_COMBINE_ROWS:
+        import ray as _ray
+
+        @_ray.remote(num_cpus=0)
+        def combine(refs: list) -> pa.Table:
+            ts = [t for t in _ray.get(refs) if t.num_rows]
+            return combine_tbl(pa.concat_tables(ts))
+
+        return rd.from_arrow_refs([combine.remote(list(mat.to_arrow_refs()))])
+    sch = mat.schema(fetch_if_missing=True).base_schema
+    out_schema = pa.schema([sch.field(c) for c in out_cols])
+    return grouped_apply(
+        mat,
+        [key_col],
+        None,
+        out_schema,
+        num_partitions=num_partitions,
+        hash_sort=True,
+        block_fn=lambda block, starts: combine_tbl(block).select(out_cols),
+        exchange="hash",
+    )
+
+
 def _grouped_order_stats(
     ds: rd.Dataset,
     *,

@@ -117,6 +117,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_json_extract",
     "q_cooccur_parts",
     "q_basket_lift",
+    "q_first_last",
     "q_pmi_bigrams",
     "q_clustering_coeff",
     "q_interval_coverage",
