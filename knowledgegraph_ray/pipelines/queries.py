@@ -2295,6 +2295,30 @@ def q_first_last(sf_dir: str):
     )
 
 
+def q_sssp(sf_dir: str):
+    """Unweighted single-source shortest paths (hop distances, ≤ 3) from
+    the smallest part over the part co-occurrence graph — the first
+    ORACLE-BACKED iterative graph traversal (DuckDB recursive CTE):
+    cooccurrence_pairs builds the distinct edge list with map-side
+    combine, then khop's broadcast-frontier BFS streams it once per round
+    through an is_in semi-join — edge rows never shuffle, the exchange per
+    round is O(distinct neighbors × blocks)."""
+    from ..stages.aggregates import cooccurrence_pairs
+    from ..stages.graph_query import khop
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    seed = int(li.min("l_partkey"))
+    edges = cooccurrence_pairs(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        out_a="part_a", out_b="part_b", count_col="n",
+    ).materialize()
+    t = khop(edges, [seed], k=3, direction="both",
+             src="part_a", dst="part_b")
+    return t.rename_columns(["part", "dist"])
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -3912,6 +3936,24 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY n DESC, part_a, part_b LIMIT 20
     """,
+    "q_sssp": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+        ),
+        seed AS (SELECT min(l_partkey) AS p FROM lineitem),
+        bfs(part, dist) AS (
+          SELECT p, 0 FROM seed
+          UNION
+          SELECT e.d, bfs.dist + 1
+          FROM bfs JOIN e ON e.s = bfs.part
+          WHERE bfs.dist < 3
+        )
+        SELECT part, CAST(min(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY part
+    """,
     "q_first_last": """
         WITH w AS (
           SELECT user_id, event_type, ts,
@@ -5149,6 +5191,7 @@ QUERIES = {
     "q_cooccur_parts": q_cooccur_parts,
     "q_basket_lift": q_basket_lift,
     "q_first_last": q_first_last,
+    "q_sssp": q_sssp,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
