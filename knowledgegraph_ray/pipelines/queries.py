@@ -2319,6 +2319,86 @@ def q_sssp(sf_dir: str):
     return t.rename_columns(["part", "dist"])
 
 
+def q_harmonic_parts(sf_dir: str):
+    """Harmonic centrality (exact scaled-integer Σ floor(2^40/d)) of the 5
+    smallest parts over the part co-occurrence graph, radius 4 — the
+    multi-seed oracle-backed companion of q_sssp: cooccurrence_pairs
+    builds the distinct edge list with map-side combine; each seed runs
+    harmonic_centrality's CSR level sweep / broadcast-frontier BFS
+    (regime picked by edge count, exactly equal by all-integer hop math).
+    Oracle: DuckDB recursive-CTE multi-seed BFS."""
+    from ..stages.aggregates import cooccurrence_pairs
+    from ..stages.graph_query import harmonic_centrality
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_pairs(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        out_a="part_a", out_b="part_b", count_col="n",
+    ).materialize()
+
+    def block_min5(b: pa.Table) -> pa.Table:
+        cat = pa.concat_arrays([
+            b.column("part_a").combine_chunks(),
+            b.column("part_b").combine_chunks(),
+        ])
+        u = np.unique(cat.to_numpy(zero_copy_only=False))
+        return pa.table({"p": pa.array(u[:5], pa.int64())})
+
+    cands = sorted({
+        r["p"]
+        for r in edges.map_batches(
+            block_min5, batch_format="pyarrow"
+        ).take_all()
+    })
+    t = harmonic_centrality(
+        edges, cands[:5], max_hops=4, direction="both",
+        src="part_a", dst="part_b",
+    )
+    return t.rename_columns(["part", "harmonic_s", "n_reachable"])
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier (2-D skyline) of the part table under (retail price
+    lower-better, size higher-better) — multi-objective data curation's
+    selection rule (the best document at every budget).  Per-block local
+    skylines (one C sort + segmented prefix-max) union into one zero-CPU
+    combine; only candidates ever leave a block.  Oracle: DuckDB
+    NOT-EXISTS dominance."""
+    from ..stages.aggregates import skyline_2d
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return skyline_2d(
+        ds, min_col="p_retailprice", max_col="p_size",
+        id_cols=["p_partkey"],
+    )
+
+
+def q_mutual_nn(sf_dir: str):
+    """Mutual top-1 nearest-neighbor pairs between the even- and odd-id
+    halves of the embeddings table — the candidate rule of margin-based
+    bitext mining (Artetxe & Schwenk 2019).  Exact block-pair matmul
+    partials → associative arg-extrema combine (ties toward the smaller
+    candidate id) → count==2 mutuality filter; cos floored at 4 decimals
+    like every pairs oracle here."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def parity(b: pa.Table, want: int) -> pa.Table:
+        ids = pc.cast(b.column("vec_id"), pa.int64())
+        return b.filter(pc.equal(pc.bit_wise_and(ids, 1), want))
+
+    return knn_mod.mutual_nn_pairs(
+        ds.map_batches(lambda b: parity(b, 0), batch_format="pyarrow"),
+        ds.map_batches(lambda b: parity(b, 1), batch_format="pyarrow"),
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -3954,6 +4034,56 @@ ORACLE_SQL: dict[str, str] = {
         SELECT part, CAST(min(dist) AS BIGINT) AS dist
         FROM bfs GROUP BY part
     """,
+    "q_harmonic_parts": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+        ),
+        seeds AS (SELECT DISTINCT s AS p FROM e ORDER BY s LIMIT 5),
+        bfs(seed, part, dist) AS (
+          SELECT p, p, 0 FROM seeds
+          UNION
+          SELECT bfs.seed, e.d, bfs.dist + 1
+          FROM bfs JOIN e ON e.s = bfs.part
+          WHERE bfs.dist < 4
+        ),
+        md AS (SELECT seed, part, min(dist) AS d FROM bfs GROUP BY 1, 2)
+        SELECT seed AS part,
+               CAST(coalesce(
+                 SUM(1099511627776 // d) FILTER (WHERE d > 0), 0
+               ) AS BIGINT) AS harmonic_s,
+               CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reachable
+        FROM md GROUP BY seed
+    """,
+    "q_skyline": """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part r
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part o
+          WHERE o.p_retailprice <= r.p_retailprice
+            AND o.p_size >= r.p_size
+            AND (o.p_retailprice < r.p_retailprice OR o.p_size > r.p_size)
+        )
+    """,
+    "q_mutual_nn": """
+        WITH pairs AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS c
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ),
+        ba AS (SELECT ia, ib, c, row_number()
+                 OVER (PARTITION BY ia ORDER BY c DESC, ib) AS r FROM pairs),
+        bb AS (SELECT ia, ib, row_number()
+                 OVER (PARTITION BY ib ORDER BY c DESC, ia) AS r FROM pairs)
+        SELECT ba.ia AS id_a, ba.ib AS id_b,
+               floor(ba.c * 10000.0) / 10000.0 AS cos_r
+        FROM ba JOIN bb ON ba.ia = bb.ia AND ba.ib = bb.ib
+        WHERE ba.r = 1 AND bb.r = 1
+    """,
     "q_first_last": """
         WITH w AS (
           SELECT user_id, event_type, ts,
@@ -5192,6 +5322,9 @@ QUERIES = {
     "q_basket_lift": q_basket_lift,
     "q_first_last": q_first_last,
     "q_sssp": q_sssp,
+    "q_harmonic_parts": q_harmonic_parts,
+    "q_skyline": q_skyline,
+    "q_mutual_nn": q_mutual_nn,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,

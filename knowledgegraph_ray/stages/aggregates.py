@@ -1892,3 +1892,75 @@ def cooccurrence_pairs(
         block_fn=pair_block, order_col=item_col, exchange="hash",
     )
     return partial_grouped_agg(pairs, [out_a, out_b], count_alias=count_col)
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_filter(t: pa.Table, min_col: str, max_col: str) -> pa.Table:
+    """Rows of ``t`` not dominated under (min_col ↓, max_col ↑), original
+    order preserved.  One C sort + segmented prefix-max: sort by
+    (min asc, max desc); a row survives iff its max equals its min-value
+    group's max AND that group max strictly exceeds the running max of
+    every strictly-smaller min group (equal (min, max) duplicates are
+    mutually non-dominating and all kept)."""
+    if t.num_rows == 0:
+        return t
+    t = t.combine_chunks()
+    mn = t.column(min_col).to_numpy(zero_copy_only=False)
+    mx = t.column(max_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((-mx, mn))
+    smn, smx = mn[order], mx[order]
+    gstart = np.r_[True, smn[1:] != smn[:-1]]
+    gid = np.cumsum(gstart) - 1
+    gmax = smx[gstart]
+    prev = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
+    keep = (smx == gmax[gid]) & (gmax > prev)[gid]
+    return t.take(pa.array(np.sort(order[keep]), pa.int64()))
+
+
+def skyline_2d(
+    ds: rd.Dataset,
+    *,
+    min_col: str,
+    max_col: str,
+    id_cols: "list[str] | None" = None,
+) -> rd.Dataset:
+    """2-D skyline (Pareto frontier): rows not dominated under
+    (``min_col`` lower-is-better, ``max_col`` higher-is-better) — the
+    multi-objective selection rule of data curation (the best-quality
+    document at every length budget).  x dominates r iff x.min ≤ r.min
+    AND x.max ≥ r.max with at least one strict; fully-equal rows are
+    mutually non-dominating and ALL kept (SQL NOT-EXISTS dominance
+    semantics, the oracle shape).
+
+    Distributed shape: per-block LOCAL skyline (any dominator of a row is
+    itself undominated within its own block after transitive chasing, so
+    the union of block skylines contains every global survivor), then ONE
+    zero-CPU combine task re-applies the same filter to the union.  Only
+    skyline candidates ever leave a block — a 2-D skyline is bounded by
+    the distinct min-value count and is tiny on real data, so the combine
+    never materializes the input."""
+    import ray
+
+    cols = list(dict.fromkeys((id_cols or []) + [min_col, max_col]))
+    mat = ds.select_columns(cols).map_batches(
+        lambda b: _skyline_filter(b, min_col, max_col),
+        batch_format="pyarrow",
+    ).materialize()
+    sch = pa.schema(
+        [(f.name, f.type) for f in mat.schema(fetch_if_missing=True).base_schema]
+    )
+
+    @ray.remote(num_cpus=0)
+    def combine(refs: list) -> pa.Table:
+        ts = [t for t in ray.get(refs) if t.num_rows]  # degenerate-schema guard
+        if not ts:
+            return sch.empty_table()
+        return _skyline_filter(
+            pa.concat_tables(ts).combine_chunks(), min_col, max_col
+        )
+
+    return rd.from_arrow_refs([combine.remote(list(mat.to_arrow_refs()))])

@@ -646,6 +646,125 @@ def cross_neardup(
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+_BESTS_SCHEMA = pa.schema(
+    [("skey", pa.int64()), ("neg_cos", pa.float64()), ("cand", pa.int64()),
+     ("pay", pa.int64())]  # = cand; grouped_arg_extrema needs tiebreak ≠ payload
+)
+
+
+@ray.remote
+def _block_pair_bests(ref_a, ref_b, id_col: str) -> pa.Table:
+    """One partial BEST per (row, opposite block) for a normalized block
+    pair — the map side of the exact mutual-NN reduce.  ``skey`` packs
+    (id << 1 | side) so one associative arg-extrema combine serves both
+    directions; argmax ties break toward the smaller candidate id (the
+    same rule the combine's tiebreak column applies across blocks)."""
+    ta: pa.Table = ref_a
+    tb: pa.Table = ref_b
+    A, B = _fixed_matrix(ta, "_nvec"), _fixed_matrix(tb, "_nvec")
+    ids_a = pc.cast(ta.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+    ids_b = pc.cast(tb.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+    if not len(ids_a) or not len(ids_b):
+        return _BESTS_SCHEMA.empty_table()
+    sims = A @ B.T
+    big = np.iinfo(np.int64).max
+    best_a = sims.max(axis=1)
+    cand_a = np.where(sims == best_a[:, None], ids_b[None, :], big).min(axis=1)
+    best_b = sims.max(axis=0)
+    cand_b = np.where(sims == best_b[None, :], ids_a[:, None], big).min(axis=0)
+    cand = pa.array(np.concatenate([cand_a, cand_b]), pa.int64())
+    return pa.Table.from_pydict(
+        {
+            "skey": pa.array(
+                np.concatenate([ids_a << 1, (ids_b << 1) | 1]), pa.int64()
+            ),
+            "neg_cos": pa.array(
+                np.concatenate([-best_a, -best_b]), pa.float64()
+            ),
+            "cand": cand,
+            "pay": cand,
+        },
+        schema=_BESTS_SCHEMA,
+    )
+
+
+def mutual_nn_pairs(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_block_rows: int = 32768,
+) -> rd.Dataset:
+    """Mutual (reciprocal) top-1 nearest neighbors across two vector sets
+    → (id_a, id_b, cos_r): pairs where b is a's best cross-set match AND
+    a is b's — the candidate rule of margin-based parallel-corpus mining
+    (Artetxe & Schwenk 2019).  EXACT and partition-invariant: block-pair
+    tasks matmul normalized blocks and emit ONE partial best per (row,
+    opposite block); grouped_arg_extrema's associative first-by-(order,
+    tiebreak) combine reduces them (cosine ties break toward the smaller
+    candidate id, the in-block rule above); mutuality is a count == 2
+    filter on the (id_a, id_b) pair group — no join stage.  O(|A|·|B|)
+    compute is inherent to the exact top-1 — this is the oracle op; at
+    corpus scale generate candidates with the NSW/IVF index and verify
+    the survivors here."""
+    from .aggregates import grouped_arg_extrema, partial_grouped_agg
+
+    def prep(ds: rd.Dataset) -> list:
+        mat = ds.map_batches(
+            lambda b: _norm_vec_block(b, vec_col, id_col),
+            batch_format="pyarrow",
+        ).materialize()
+        nblocks = max(1, -(-mat.count() // target_block_rows))
+        if mat.num_blocks() > nblocks * 2:
+            mat = mat.repartition(nblocks).materialize()
+        return list(mat.to_arrow_refs())
+
+    refs_a, refs_b = prep(ds_a), prep(ds_b)
+    if not refs_a or not refs_b:
+        return rd.from_arrow(PAIRS_SCHEMA.empty_table())
+    partials = rd.from_arrow_refs(
+        [_block_pair_bests.remote(ra, rb, id_col)
+         for ra in refs_a for rb in refs_b]
+    )
+    best = grouped_arg_extrema(
+        partials, key_col="skey", order_col="neg_cos",
+        tiebreak_col="cand", payload_col="pay",
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        sk = pc.cast(b.column("skey"), pa.int64()).to_numpy(zero_copy_only=False)
+        own, side = sk >> 1, sk & 1
+        cand = b.column("first_pay").to_numpy(zero_copy_only=False)
+        cos = -b.column("first_neg_cos").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array(np.where(side == 0, own, cand), pa.int64()),
+            "id_b": pa.array(np.where(side == 0, cand, own), pa.int64()),
+            "cos": pa.array(cos, pa.float64()),
+        })
+
+    agg = partial_grouped_agg(
+        best.map_batches(decode, batch_format="pyarrow"),
+        ["id_a", "id_b"], mins={"cos": "cos"}, count_alias="n_dir",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("n_dir"), 2))
+        return pa.Table.from_pydict(
+            {
+                "id_a": pc.cast(t.column("id_a"), pa.int64()),
+                "id_b": pc.cast(t.column("id_b"), pa.int64()),
+                "cos_r": pa.array(
+                    floor4(t.column("cos").to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def semdedup(
     ds: rd.Dataset,
     *,

@@ -131,6 +131,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_weighted_avg", "q_minmax_norm",
     "q_case_bucket", "q_revenue_by_nation", "q_distinct_users",
     "q_order_priority", "q_status_pivot", "q_above_avg",
+    "q_sssp", "q_harmonic_parts", "q_skyline", "q_mutual_nn",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
