@@ -2399,6 +2399,130 @@ def q_mutual_nn(sf_dir: str):
     )
 
 
+def q_quota_sample(sf_dir: str):
+    """Quality-quota (curriculum-mixing) sampling: documents bucketed by
+    exact length quartiles — thresholds from ONE histogram-walk order-stats
+    pass (no sort, no group colocation), broadcast as three scalars — then
+    kept at per-bucket rates 5% / 20% / 50% / 100% (shortest → longest
+    quartile) by the deterministic md5 id-hash predicate every sampler
+    here uses.  The data-mixing primitive: reweight quality strata as a
+    pure streaming filter, materializing nothing."""
+    from ..stages.aggregates import _grouped_order_stats
+    from ..stages.sampling import _bucket_column
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    keyed = docs.map_batches(
+        lambda b: pa.table({
+            "_k": pa.array(np.zeros(b.num_rows, np.int64)),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    _, done = _grouped_order_stats(
+        keyed, key_col="_k", value_col="n_chars",
+        rank_fns=[
+            lambda n: -(-(1 * n) // 4) - 1,
+            lambda n: -(-(2 * n) // 4) - 1,
+            lambda n: -(-(3 * n) // 4) - 1,
+        ],
+    )
+    q1, q2, q3 = done[0]
+    thr = np.array([50_000, 200_000, 500_000, 1_000_000], np.uint64)
+
+    def flt(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bucket = (
+            (n > q1).astype(np.int64) + (n > q2).astype(np.int64)
+            + (n > q3).astype(np.int64)
+        )
+        keep = _bucket_column(b, "doc_id", "md5", "") < thr[bucket]
+        t = b.filter(pa.array(keep))
+        return t.append_column("bucket", pa.array(bucket[keep], pa.int64()))
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
+def q_keyness_chi2(sf_dir: str):
+    """Distinctive-terms audit (corpus-linguistics keyness): the χ²
+    statistic of every (source, term) contingency table over the token
+    stream.  Counts are map-side-combined exact integers (a = c_st,
+    b = c_s − a, c = c_t − a, d = N − c_s − c_t + a); term totals join
+    back through adaptive_join (broadcast under the cap, hash shuffle past
+    it — terms are unbounded at corpus scale), source totals and N are
+    O(sources) driver scalars.  The statistic is ONE float expression with
+    the SAME operand association as the SQL mirror (exact ints cast to
+    double, fixed multiply order), floored at 4 decimals."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import partial_grouped_agg
+    from ..stages.textops import doc_token_rows
+
+    docs = _docs(sf_dir, ["source", "text"])
+    tok = docs.map_batches(
+        lambda b: doc_token_rows(b, id_col="source").rename_columns(
+            ["source", "term"]
+        ),
+        batch_format="pyarrow",
+    )
+    st = partial_grouped_agg(tok, ["source", "term"], count_alias="a")
+    st = st.materialize()
+    tt = partial_grouped_agg(st, ["term"], sums={"a": "ct"})
+    src = {
+        r["source"]: r["cs"]
+        for r in partial_grouped_agg(
+            st, ["source"], sums={"a": "cs"}
+        ).take_all()
+    }
+    n_total = int(sum(src.values()))
+    joined = adaptive_join(st, tt, left_keys=["term"])
+
+    def chi2(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
+        ct = pc.cast(b.column("ct"), pa.int64()).to_numpy(zero_copy_only=False)
+        cs = np.array(
+            [src[s] for s in b.column("source").to_pylist()], np.int64
+        )
+        d = n_total - cs - ct + a
+        adbc = a * d - (cs - a) * (ct - a)
+        num = (np.float64(n_total) * adbc.astype(np.float64)) * adbc.astype(
+            np.float64
+        )
+        den = (
+            (cs.astype(np.float64) * (n_total - cs).astype(np.float64))
+            * ct.astype(np.float64)
+        ) * (n_total - ct).astype(np.float64)
+        chi = np.floor((num / den) * 10000.0) / 10000.0
+        return pa.table({
+            "source": b.column("source"),
+            "term": b.column("term"),
+            "chi2_r": pa.array(chi, pa.float64()),
+        })
+
+    return joined.map_batches(chi2, batch_format="pyarrow")
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value (TWAP / time-in-state):
+    Σ cents·Δt / span with Δt in whole epoch seconds to the next event
+    (ORDER BY ts, event_id), exact int64 numerator and span, one float
+    division; single-event / zero-span users → NULL.  Key-only range sort
+    + one vectorized segment scan (grouped_lag's shape)."""
+    from ..stages.windows import grouped_twap
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return grouped_twap(
+        ds, key_col="user_id", ts_col="ts",
+        order_cols=["ts", "event_id"], value_col="v", out_col="twap",
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -4067,6 +4191,62 @@ ORACLE_SQL: dict[str, str] = {
             AND (o.p_retailprice < r.p_retailprice OR o.p_size > r.p_size)
         )
     """,
+    "q_quota_sample": """
+        WITH t AS (
+          SELECT quantile_disc(n_chars, 0.25) AS q1,
+                 quantile_disc(n_chars, 0.50) AS q2,
+                 quantile_disc(n_chars, 0.75) AS q3
+          FROM documents
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(CAST(d.n_chars > t.q1 AS INT)
+                  + CAST(d.n_chars > t.q2 AS INT)
+                  + CAST(d.n_chars > t.q3 AS INT) AS BIGINT) AS bucket
+        FROM documents d, t
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 1000000
+              < CASE CAST(d.n_chars > t.q1 AS INT)
+                   + CAST(d.n_chars > t.q2 AS INT)
+                   + CAST(d.n_chars > t.q3 AS INT)
+                  WHEN 0 THEN 50000 WHEN 1 THEN 200000
+                  WHEN 2 THEN 500000 ELSE 1000000 END
+    """,
+    "q_keyness_chi2": """
+        WITH toks AS (
+          SELECT source,
+                 lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+          FROM documents
+        ),
+        st AS (SELECT source, term, count(*) AS a FROM toks GROUP BY 1, 2),
+        s AS (SELECT source, count(*) AS cs FROM toks GROUP BY 1),
+        t AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM toks)
+        SELECT st.source, st.term,
+               floor(
+                 ((CAST(n.n AS DOUBLE)
+                   * CAST(st.a * (n.n - s.cs - t.ct + st.a)
+                          - (s.cs - st.a) * (t.ct - st.a) AS DOUBLE)
+                   * CAST(st.a * (n.n - s.cs - t.ct + st.a)
+                          - (s.cs - st.a) * (t.ct - st.a) AS DOUBLE))
+                  / (CAST(s.cs AS DOUBLE) * CAST(n.n - s.cs AS DOUBLE)
+                     * CAST(t.ct AS DOUBLE) * CAST(n.n - t.ct AS DOUBLE)))
+                 * 10000.0) / 10000.0 AS chi2_r
+        FROM st JOIN s USING (source) JOIN t USING (term) CROSS JOIN n
+    """,
+    "q_twap": """
+        WITH w AS (
+          SELECT user_id,
+                 epoch_us(ts) // 1000000 AS ts_s,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+                 lead(epoch_us(ts) // 1000000) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(v * (nxt - ts_s)) AS DOUBLE)
+               / CAST(NULLIF(max(ts_s) - min(ts_s), 0) AS DOUBLE) AS twap
+        FROM w GROUP BY user_id
+    """,
     "q_mutual_nn": """
         WITH pairs AS (
           SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -5325,6 +5505,9 @@ QUERIES = {
     "q_harmonic_parts": q_harmonic_parts,
     "q_skyline": q_skyline,
     "q_mutual_nn": q_mutual_nn,
+    "q_quota_sample": q_quota_sample,
+    "q_keyness_chi2": q_keyness_chi2,
+    "q_twap": q_twap,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,

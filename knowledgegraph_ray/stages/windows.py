@@ -250,6 +250,82 @@ def grouped_lag(
     return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_twap(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "twap",
+) -> rd.Dataset:
+    """Time-weighted average per key (TWAP / time-in-state):
+    Σ value·Δt / (t_last − t_first), rows ordered by ``order_cols``, Δt in
+    whole epoch SECONDS to the next row (the last row carries no
+    duration), value as an exact integer (cents).  Numerator and span
+    accumulate as exact int64 segment sums (order-independent — the
+    repo's rational-aggregate rule), then ONE float division; keys whose
+    span is zero (a single event, or all within one second) → NULL.
+
+    Same shape as grouped_lag: key-only range sort colocates each key,
+    one in-block C sort restores window order, and the per-key math is a
+    single vectorized reduceat — no per-row Python, no second shuffle."""
+    import pyarrow.compute as pc
+
+    need = list(dict.fromkeys([key_col, *order_cols, ts_col, value_col]))
+    s = events.select_columns(need).sort([key_col])
+    ktype = pa.schema(
+        [(f.name, f.type)
+         for f in events.schema(fetch_if_missing=True).base_schema]
+    ).field(key_col).type
+    out_schema = pa.schema([(key_col, ktype), (out_col, pa.float64())])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        block = block.take(order)
+        keys_np = block.column(key_col).to_numpy(zero_copy_only=False)
+        ts_s = (
+            pc.cast(block.column(ts_col), pa.int64())
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        )
+        vcol = block.column(value_col)
+        vals = pc.fill_null(pc.cast(vcol, pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        ends = np.r_[starts[1:], n]
+        dt = np.zeros(n, np.int64)
+        dt[:-1] = ts_s[1:] - ts_s[:-1]
+        dt[ends - 1] = 0  # last row of every key: no next row
+        num = np.add.reduceat(vals * dt, starts)
+        span = ts_s[ends - 1] - ts_s[starts]
+        twap = pa.array(
+            num.astype(np.float64)
+            / np.where(span == 0, 1, span).astype(np.float64),
+            pa.float64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                key_col: block.column(key_col).take(
+                    pa.array(starts, pa.int64())
+                ),
+                out_col: pc.if_else(
+                    pa.array(span == 0), pa.scalar(None, pa.float64()), twap
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return s.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
 def hopping_counts(
     events: rd.Dataset,
     *,
