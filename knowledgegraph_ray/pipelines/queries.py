@@ -2523,6 +2523,109 @@ def q_twap(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: exact 5-token-window Jaccard for
+    every source pair — the corpus-audit op quantifying train/eval or
+    crawl-snapshot overlap at shingle granularity.  Per block: exact
+    window STRINGS (string_split(' ') semantics, the same window builder
+    as substring_dedup's SQL mirror) → map-side distinct (source, window)
+    pairs; per-source set sizes are O(sources) driver scalars;
+    intersections come from cooccurrence_pairs over the window groups
+    (each unordered source pair once, lexicographic); jaccard = ONE float
+    division of exact ints.  At corpus scale swap the shipped strings for
+    substring_dedup's 128-bit-hash + string-verify shape — this is the
+    exact-oracle path."""
+    from ..stages.aggregates import (
+        cooccurrence_pairs, distinct_keys, partial_grouped_agg,
+    )
+    from ..stages.dedup import _window_strings
+    from ..stages.textops import _window_token_hashes
+
+    docs = _docs(sf_dir, ["source", "text"])
+    W = 5
+
+    def wins(b: pa.Table) -> pa.Table:
+        flat, ws, wd, _ = _window_token_hashes(b.column("text"), W)
+        return pa.table({
+            "source": b.column("source").take(pa.array(wd, pa.int64())),
+            "w": _window_strings(flat, ws, W),
+        })
+
+    dw = distinct_keys(
+        docs.map_batches(wins, batch_format="pyarrow"), ["source", "w"]
+    ).materialize()
+    sz = {
+        r["source"]: r["n"]
+        for r in partial_grouped_agg(
+            dw, ["source"], count_alias="n"
+        ).take_all()
+    }
+    inter = cooccurrence_pairs(
+        dw, group_col="w", item_col="source",
+        out_a="src_a", out_b="src_b", count_col="n_inter",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ni = pc.cast(b.column("n_inter"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        na = np.array(
+            [sz[s] for s in b.column("src_a").to_pylist()], np.int64
+        )
+        nb = np.array(
+            [sz[s] for s in b.column("src_b").to_pylist()], np.int64
+        )
+        nu = na + nb - ni
+        return pa.table({
+            "src_a": b.column("src_a"), "src_b": b.column("src_b"),
+            "n_inter": pa.array(ni, pa.int64()),
+            "n_union": pa.array(nu, pa.int64()),
+            "jaccard": pa.array(
+                ni.astype(np.float64) / nu.astype(np.float64), pa.float64()
+            ),
+        })
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def q_mad(sf_dir: str):
+    """Robust scale per event type: median absolute deviation in cents —
+    median(|v − median(v)|), both medians the exact discrete
+    quantile_disc(1/2); every intermediate is int64, so the result is
+    partition-invariant and bit-exact with no float caveat.  Per-type
+    medians are O(types) driver scalars broadcast into the deviation map;
+    two grouped-median exchanges total."""
+    from ..stages.aggregates import grouped_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: _cents(b, "value", "v").select(["event_type", "v"]),
+        batch_format="pyarrow",
+    )
+    med = {
+        r["event_type"]: r["med"]
+        for r in grouped_median(
+            ds, key_col="event_type", value_col="v", out_col="med"
+        ).take_all()
+    }
+
+    def dev(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column("v"), pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.array(
+            [med[t] for t in b.column("event_type").to_pylist()], np.int64
+        )
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "av": pa.array(np.abs(v - m), pa.int64()),
+        })
+
+    return grouped_median(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        key_col="event_type", value_col="av", out_col="mad_cents",
+    )
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: pull the integer ``k`` field out of the events
     table's JSON ``props`` column and aggregate per event_type.  The parse
@@ -4247,6 +4350,44 @@ ORACLE_SQL: dict[str, str] = {
                / CAST(NULLIF(max(ts_s) - min(ts_s), 0) AS DOUBLE) AS twap
         FROM w GROUP BY user_id
     """,
+    "q_source_overlap": """
+        WITH tok AS (
+          SELECT source, string_split(coalesce(text, ''), ' ') AS a
+          FROM documents
+        ),
+        wins AS (
+          SELECT source, array_to_string(a[i:i+4], ' ') AS w
+          FROM tok, unnest(range(1, len(a) - 3)) AS t(i)
+        ),
+        dw AS (SELECT DISTINCT source, w FROM wins),
+        sz AS (SELECT source, count(*) AS n FROM dw GROUP BY source),
+        i AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+          FROM dw a JOIN dw b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT i.src_a, i.src_b,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+               CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        FROM i JOIN sz sa ON sa.source = i.src_a
+               JOIN sz sb ON sb.source = i.src_b
+    """,
+    "q_mad": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+              FROM c GROUP BY 1)
+        SELECT c.event_type,
+               CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT)
+                 AS mad_cents
+        FROM c JOIN m USING (event_type)
+        GROUP BY c.event_type
+    """,
     "q_mutual_nn": """
         WITH pairs AS (
           SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -5508,6 +5649,8 @@ QUERIES = {
     "q_quota_sample": q_quota_sample,
     "q_keyness_chi2": q_keyness_chi2,
     "q_twap": q_twap,
+    "q_source_overlap": q_source_overlap,
+    "q_mad": q_mad,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
