@@ -2588,7 +2588,7 @@ def q_source_overlap(sf_dir: str):
     return inter.map_batches(finish, batch_format="pyarrow")
 
 
-def q_mad(sf_dir: str):
+def q_mad_by_type(sf_dir: str):
     """Robust scale per event type: median absolute deviation in cents —
     median(|v − median(v)|), both medians the exact discrete
     quantile_disc(1/2); every intermediate is int64, so the result is
@@ -4374,7 +4374,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM i JOIN sz sa ON sa.source = i.src_a
                JOIN sz sb ON sb.source = i.src_b
     """,
-    "q_mad": """
+    "q_mad_by_type": """
         WITH c AS (
           SELECT event_type,
                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
@@ -5650,7 +5650,7 @@ QUERIES = {
     "q_keyness_chi2": q_keyness_chi2,
     "q_twap": q_twap,
     "q_source_overlap": q_source_overlap,
-    "q_mad": q_mad,
+    "q_mad_by_type": q_mad_by_type,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,

@@ -133,7 +133,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     "q_order_priority", "q_status_pivot", "q_above_avg",
     "q_sssp", "q_harmonic_parts", "q_skyline", "q_mutual_nn",
     "q_quota_sample", "q_keyness_chi2", "q_twap",
-    "q_source_overlap", "q_mad",
+    "q_source_overlap", "q_mad", "q_mad_by_type",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
