@@ -81,6 +81,29 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     assert len(o) >= 15
 
 
+def test_no_duplicate_query_defs_or_dict_keys():
+    """A second `def q_x` (or a repeated dict-literal key) silently shadows
+    the first — Python keeps the last binding, so a query and its oracle can
+    vanish from the contract with every test still green (happened to q_mad,
+    round 3).  Guard at the AST level."""
+    import ast
+    from knowledgegraph_ray.pipelines import queries as qmod
+
+    tree = ast.parse(open(qmod.__file__.rstrip("c")).read())
+    seen, dup_defs = set(), []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            if node.name in seen:
+                dup_defs.append(node.name)
+            seen.add(node.name)
+    assert not dup_defs, f"duplicate top-level defs: {dup_defs}"
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            dups = {k for k in keys if keys.count(k) > 1}
+            assert not dups, f"duplicate dict keys at line {node.lineno}: {dups}"
+
+
 @pytest.mark.parametrize("name", [
     "q_filter_project", "q_point_lookup", "q_groupby_count",
     "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
