@@ -105,6 +105,14 @@ def test_no_duplicate_query_defs_or_dict_keys():
 
 
 @pytest.mark.parametrize("name", [
+    # previously rehearsed only by the driver itself — every oracle-backed
+    # query must appear here so drift is caught before the driver run
+    "q_asof_forward", "q_bloom_semi_join", "q_boilerplate_strip",
+    "q_cumulative_distinct", "q_domain_cap", "q_inverted_index",
+    "q_knn_pq", "q_knn_sq8", "q_link_predict_ra", "q_outliers_iqr",
+    "q_sessionize", "q_substring_dedup", "q_table_diff", "q_tfidf",
+    "q_token_shards", "q_top_terms", "q_top_terms_sketch",
+    "q_transition_matrix", "q_unpivot", "q_weighted_median",
     "q_filter_project", "q_point_lookup", "q_groupby_count",
     "q_doc_stats_by_source", "q_topk_events", "q_sorted_limit", "q_join_agg",
     "q_left_join", "q_rollup_revenue", "q_cube_events", "q_rrf_fusion",
