@@ -2502,6 +2502,102 @@ def q_keyness_chi2(sf_dir: str):
     return joined.map_batches(chi2, batch_format="pyarrow")
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style corpus-LM quality score per document — the classic
+    training-data filter (score each doc under a language model trained on
+    the corpus, drop the tail).  Every in-doc adjacent token pair (a, b)
+    scores its add-one-smoothed corpus bigram likelihood
+    P(b|a) = (c(a,b)+1)/(c(a)+V) in 2^20 FIXED POINT via exact integer
+    division — the repo's rational log-free bit-parity rule (cf.
+    tfidf_scores; cross-libm ``ln`` drifts at floor boundaries, integer
+    division cannot).  Model counts (c_ab, c_a) are map-side-combined
+    exact integers attached back through adaptive_join (broadcast under
+    the cap — bigram types are vocabulary-bounded, not corpus-bounded;
+    hash shuffle past it); V (distinct tokens) is one driver scalar.
+    Per-doc output: exact int term sum + count and their float mean
+    (one exactly-rounded division, floored at 4 decimals)."""
+    from ..functions.joins import adaptive_join
+    from ..stages.aggregates import distinct_keys, partial_grouped_agg
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _tok_lists(b: pa.Table):
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return lens, flat
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        _, flat = _tok_lists(b)
+        return pa.table({"term": flat})
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        lens, flat = _tok_lists(b)
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        left = np.ones(total, bool)
+        left[ends - 1] = False  # each doc's last token starts no bigram
+        li = np.flatnonzero(left)
+        doc_row = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        return pa.table({
+            "doc_id": b.column("doc_id").take(pa.array(doc_row[li], pa.int64())),
+            "a": flat.take(pa.array(li, pa.int64())),
+            "b": flat.take(pa.array(li + 1, pa.int64())),
+        })
+
+    bg = docs.map_batches(bigram_rows, batch_format="pyarrow").materialize()
+    cab = partial_grouped_agg(bg, ["a", "b"], count_alias="c_ab")
+    ca = partial_grouped_agg(bg, ["a"], count_alias="c_a")
+    v_tokens = distinct_keys(
+        docs.map_batches(tok_rows, batch_format="pyarrow"), ["term"]
+    ).count()
+    j = adaptive_join(bg, cab, left_keys=["a", "b"])
+    j = adaptive_join(j, ca, left_keys=["a"])
+
+    scale = 1 << 20
+
+    def term_score(b: pa.Table) -> pa.Table:
+        c_ab = pc.cast(b.column("c_ab"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c_a = pc.cast(b.column("c_a"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = (c_ab + 1) * scale // (c_a + v_tokens)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "t": pa.array(t, pa.int64()),
+        })
+
+    per_doc = partial_grouped_agg(
+        j.map_batches(term_score, batch_format="pyarrow"),
+        ["doc_id"], sums={"t": "lm_score"}, count_alias="n_bigrams",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("lm_score"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = pc.cast(b.column("n_bigrams"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        avg = np.floor(s / n.astype(np.float64) * 10000.0) / 10000.0
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_bigrams": pa.array(n, pa.int64()),
+            "lm_score": pa.array(s, pa.int64()),
+            "lm_avg_r": pa.array(avg, pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def q_twap(sf_dir: str):
     """Per-user time-weighted average value (TWAP / time-in-state):
     Σ cents·Δt / span with Δt in whole epoch seconds to the next event
@@ -4374,6 +4470,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM i JOIN sz sa ON sa.source = i.src_a
                JOIN sz sb ON sb.source = i.src_b
     """,
+    "q_lm_perplexity": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS term,
+                 CAST(generate_subscripts(
+                   string_split(coalesce(text, ''), ' '), 1) AS BIGINT) AS pos
+          FROM documents
+        ),
+        bg AS (
+          SELECT a.doc_id, a.term AS a, b.term AS b
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                FROM bg GROUP BY 1, 2),
+        ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+        terms AS (
+          SELECT g.doc_id,
+                 (cab.c_ab + 1) * 1048576 // (ca.c_a + v.v) AS t
+          FROM bg g JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(t) AS BIGINT) AS lm_score
+          FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, lm_score,
+               floor(CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                     * 10000.0) / 10000.0 AS lm_avg_r
+        FROM agg
+    """,
     "q_mad_by_type": """
         WITH c AS (
           SELECT event_type,
@@ -5651,6 +5778,7 @@ QUERIES = {
     "q_twap": q_twap,
     "q_source_overlap": q_source_overlap,
     "q_mad_by_type": q_mad_by_type,
+    "q_lm_perplexity": q_lm_perplexity,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,
