@@ -2598,6 +2598,56 @@ def q_lm_perplexity(sf_dir: str):
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc lexical-diversity quality signals: type-token ratio and
+    Simpson index (1 − Σ(c_i/n)² — the repetition detector MTLD/TTR
+    pipelines gate on).  A document is ONE row, so its token histogram is
+    row-local: zero shuffle — one dictionary-encode of the batch's flat
+    token buffer + one (doc, code) lexsort + run scan yields n_tokens /
+    n_types / Σc² per doc as exact int64; the two ratios are single
+    exactly-rounded float expressions floored at 4 decimals (the floor4
+    convention)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(b.column("text"), ""), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes_arr = flat.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        doc_of = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        order = np.lexsort((codes, doc_of))
+        dv, cv = doc_of[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, (dv[1:] != dv[:-1]) | (cv[1:] != cv[:-1])])
+        run_len = np.diff(np.r_[starts, len(dv)])
+        run_doc = dv[starts]
+        n_types = np.bincount(run_doc, minlength=b.num_rows).astype(np.int64)
+        simpson = np.zeros(b.num_rows, np.int64)
+        np.add.at(simpson, run_doc, run_len * run_len)
+        n = lens.astype(np.int64)
+        nf = n.astype(np.float64)
+        ttr = np.floor(n_types / nf * 10000.0) / 10000.0
+        simp = np.floor((1.0 - simpson / (nf * nf)) * 10000.0) / 10000.0
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "simpson_num": pa.array(simpson, pa.int64()),
+            "ttr_r": pa.array(ttr, pa.float64()),
+            "simpson_r": pa.array(simp, pa.float64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
 def q_twap(sf_dir: str):
     """Per-user time-weighted average value (TWAP / time-in-state):
     Σ cents·Δt / span with Δt in whole epoch seconds to the next event
@@ -4470,6 +4520,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM i JOIN sz sa ON sa.source = i.src_a
                JOIN sz sb ON sb.source = i.src_b
     """,
+    "q_lexical_diversity": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS term
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c * c) AS BIGINT) AS simpson_num
+          FROM c GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_types, simpson_num,
+               floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     * 10000.0) / 10000.0 AS ttr_r,
+               floor((1.0 - CAST(simpson_num AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+                     * 10000.0) / 10000.0 AS simpson_r
+        FROM a
+    """,
     "q_lm_perplexity": """
         WITH tok AS (
           SELECT doc_id,
@@ -5779,6 +5854,7 @@ QUERIES = {
     "q_source_overlap": q_source_overlap,
     "q_mad_by_type": q_mad_by_type,
     "q_lm_perplexity": q_lm_perplexity,
+    "q_lexical_diversity": q_lexical_diversity,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_clustering_coeff": q_clustering_coeff,
     "q_interval_coverage": q_interval_coverage,

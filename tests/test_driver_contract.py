@@ -165,6 +165,7 @@ def test_no_duplicate_query_defs_or_dict_keys():
     "q_sssp", "q_harmonic_parts", "q_skyline", "q_mutual_nn",
     "q_quota_sample", "q_keyness_chi2", "q_twap",
     "q_source_overlap", "q_mad", "q_mad_by_type", "q_lm_perplexity",
+    "q_lexical_diversity",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
