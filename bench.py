@@ -39,6 +39,37 @@ PAGES_PER_DOC = int(os.environ.get("KGRAY_PAGES_PER_DOC", "20"))
 # correctness gate cover the same set); None = the full QUERIES dict
 BENCH_QUERY_NAMES = None
 
+# The final stdout JSON line must stay small enough for the driver's tail
+# capture (BENCH_r03 lost the headline because 161 per-query timings pushed
+# it past the window — "parsed": null).  The last line carries only this
+# representative subset; the FULL per-query map is written to
+# BENCH_QUERIES_FULL.json next to this file.
+HEADLINE_QUERY_NAMES = [
+    "q_filter_project", "q_groupby_count", "q_join_agg", "q_exact_dedup",
+    "q_minhash_lsh", "q_knn_top10", "q_kg_pagerank", "q_kg_nodes_by_type",
+    "q_kg_edges_by_type", "q_kg_search",
+]
+QUERIES_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES_FULL.json")
+
+
+def _compact_queries(queries: dict[str, float]) -> dict:
+    """Write the full per-query map to QUERIES_FILE; return compact fields
+    for the final stdout line (headline subset + total, bounded size)."""
+    if not queries:
+        return {"queries": {}}
+    with open(QUERIES_FILE, "w") as f:
+        json.dump({"sf": _sf_label(SF_DIR), "num_cpus": NUM_CPUS,
+                   "queries": queries}, f, indent=1, sort_keys=True)
+    return {
+        "queries": {k: queries[k] for k in HEADLINE_QUERY_NAMES
+                    if k in queries},
+        "query_count": len(queries),
+        "query_total_s": round(sum(queries.values()), 1),
+        "query_max": max(queries, key=queries.get),
+        "queries_file": os.path.basename(QUERIES_FILE),
+    }
+
 
 def _sf_label(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
@@ -167,7 +198,7 @@ def main_bench_inproc(num_cpus: int, with_queries: bool = True) -> dict:
         "metric": "kg_build wall seconds (synthetic CC-style pages, adaptive shuffle config)",
         "value": kg["kg_wall_s"],
         "unit": "sec",
-        "queries": queries,
+        **_compact_queries(queries),
         "sf": _sf_label(SF_DIR),
         "num_cpus": num_cpus,
         "kg_runs_all_wall_s": [r["kg_wall_s"] for r in kgs],
@@ -225,11 +256,24 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
                      include_dashboard=False, logging_level="ERROR")
         queries = run_queries(SF_DIR)
         ray.shutdown()
+    # sub-stage timings (dotted keys) go to the file artifact; the final
+    # line keeps only top-level stages so it stays within the driver's
+    # tail-capture window
+    stage_s = kg.pop("graph_stage_s", {})
+    kg["graph_stage_s"] = {k: v for k, v in stage_s.items() if "." not in k}
+    compact = _compact_queries(queries)
+    if queries:
+        with open(QUERIES_FILE) as f:
+            full = json.load(f)
+        full["graph_stage_s_full"] = stage_s
+        full["kg_runs_all_wall_s"] = [r["kg_wall_s"] for r in kgs]
+        with open(QUERIES_FILE, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     return {
         "metric": "kg_build wall seconds (synthetic CC-style pages, adaptive shuffle config)",
         "value": kg["kg_wall_s"],
         "unit": "sec",
-        "queries": queries,
+        **compact,
         "sf": _sf_label(SF_DIR),
         "num_cpus": num_cpus,
         "kg_runs_all_wall_s": [r["kg_wall_s"] for r in kgs],
