@@ -2199,6 +2199,7 @@ def q_cooccur_parts(sf_dir: str):
         ),
         group_col="l_orderkey", item_col="l_partkey",
         out_a="part_a", out_b="part_b", count_col="n",
+        max_items_per_group=None,  # oracle is an uncapped SQL self-join
     )
     return pairs.sort(
         ["n", "part_a", "part_b"], descending=[True, False, False]
@@ -2225,6 +2226,7 @@ def q_basket_lift(sf_dir: str):
     pairs = cooccurrence_pairs(
         li, group_col="l_orderkey", item_col="l_partkey",
         out_a="part_a", out_b="part_b", count_col="nab",
+        max_items_per_group=None,  # oracle is an uncapped SQL self-join
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("nab"), 2)),
         batch_format="pyarrow",
@@ -2313,6 +2315,7 @@ def q_sssp(sf_dir: str):
     edges = cooccurrence_pairs(
         li, group_col="l_orderkey", item_col="l_partkey",
         out_a="part_a", out_b="part_b", count_col="n",
+        max_items_per_group=None,  # oracle is an uncapped SQL self-join
     ).materialize()
     t = khop(edges, [seed], k=3, direction="both",
              src="part_a", dst="part_b")
@@ -2336,6 +2339,7 @@ def q_harmonic_parts(sf_dir: str):
     edges = cooccurrence_pairs(
         li, group_col="l_orderkey", item_col="l_partkey",
         out_a="part_a", out_b="part_b", count_col="n",
+        max_items_per_group=None,  # oracle is an uncapped SQL self-join
     ).materialize()
 
     def block_min5(b: pa.Table) -> pa.Table:
@@ -2484,6 +2488,14 @@ def q_keyness_chi2(sf_dir: str):
             [src[s] for s in b.column("source").to_pylist()], np.int64
         )
         d = n_total - cs - ct + a
+        # both int64 products must be exact (no wrap) for bit parity with
+        # the SQL HUGEINT oracle — the same <2^53 guard q_pmi_bigrams and
+        # q_basket_lift apply (a*d ~ N² wraps silently past ~3e9 tokens)
+        assert a.size == 0 or (
+            (a.astype(np.float64) * d.astype(np.float64)).max() < 2**53
+            and ((cs - a).astype(np.float64)
+                 * (ct - a).astype(np.float64)).max() < 2**53
+        )
         adbc = a * d - (cs - a) * (ct - a)
         num = (np.float64(n_total) * adbc.astype(np.float64)) * adbc.astype(
             np.float64

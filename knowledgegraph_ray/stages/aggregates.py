@@ -1817,7 +1817,7 @@ def cooccurrence_pairs(
     out_a: str = "item_a",
     out_b: str = "item_b",
     count_col: str = "n",
-    max_items_per_group: int = 1024,
+    max_items_per_group: "int | None" = 1024,
     num_partitions: int = 64,
 ) -> rd.Dataset:
     """Within-group distinct-item pair counts (market-basket / co-visitation
@@ -1836,7 +1836,10 @@ def cooccurrence_pairs(
     Hot-key guard: a group larger than ``max_items_per_group`` contributes
     pairs only among its FIRST cap items in item order (the LSH
     ``max_bucket`` precedent) — quadratic blowup is bounded at cap² per
-    group instead of unbounded.  Items must be non-null.
+    group instead of unbounded.  Pass ``max_items_per_group=None`` for
+    exact uncapped semantics (what the oracle-backed consumers do — their
+    SQL self-join oracles are uncapped, so a silently truncated hot group
+    would diverge with no signal).  Items must be non-null.
     """
     from .canonicalize import grouped_apply
 
@@ -1844,7 +1847,7 @@ def cooccurrence_pairs(
     pair_schema = pa.schema([
         pa.field(out_a, item_type), pa.field(out_b, item_type)
     ])
-    cap = int(max_items_per_group)
+    cap = None if max_items_per_group is None else int(max_items_per_group)
 
     def pair_block(block: pa.Table, starts: np.ndarray) -> pa.Table:
         n = block.num_rows
@@ -1860,7 +1863,9 @@ def cooccurrence_pairs(
         if m == 0:
             return pair_schema.empty_table()
         g_starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])
-        lens = np.minimum(np.diff(np.r_[g_starts, m]), cap)
+        lens = np.diff(np.r_[g_starts, m])
+        if cap is not None:
+            lens = np.minimum(lens, cap)
         npair = lens * (lens - 1) // 2
         total = int(npair.sum())
         if total == 0:
@@ -1902,22 +1907,27 @@ def cooccurrence_pairs(
 def _skyline_filter(t: pa.Table, min_col: str, max_col: str) -> pa.Table:
     """Rows of ``t`` not dominated under (min_col ↓, max_col ↑), original
     order preserved.  One C sort + segmented prefix-max: sort by
-    (min asc, max desc); a row survives iff its max equals its min-value
-    group's max AND that group max strictly exceeds the running max of
-    every strictly-smaller min group (equal (min, max) duplicates are
-    mutually non-dominating and all kept)."""
+    (min asc, max asc); a row survives iff its max equals its min-value
+    group's max (the group's LAST element in sort order) AND that group
+    max strictly exceeds the running max of every strictly-smaller min
+    group (equal (min, max) duplicates are mutually non-dominating and
+    all kept).  All comparisons stay in max_col's NATIVE dtype — a
+    float64 cast would lose precision for int64 above 2^53 and could
+    flip dominance on equal/greater comparisons."""
     if t.num_rows == 0:
         return t
     t = t.combine_chunks()
     mn = t.column(min_col).to_numpy(zero_copy_only=False)
-    mx = t.column(max_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    order = np.lexsort((-mx, mn))
+    mx = t.column(max_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((mx, mn))
     smn, smx = mn[order], mx[order]
     gstart = np.r_[True, smn[1:] != smn[:-1]]
     gid = np.cumsum(gstart) - 1
-    gmax = smx[gstart]
-    prev = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
-    keep = (smx == gmax[gid]) & (gmax > prev)[gid]
+    gend = np.r_[np.flatnonzero(gstart[1:]), smn.size - 1]
+    gmax = smx[gend]  # groups sorted max-ascending: last element is the max
+    run = np.maximum.accumulate(gmax)
+    ok = np.r_[True, gmax[1:] > run[:-1]]
+    keep = (smx == gmax[gid]) & ok[gid]
     return t.take(pa.array(np.sort(order[keep]), pa.int64()))
 
 

@@ -699,12 +699,18 @@ def mutual_nn_pairs(
     """Mutual (reciprocal) top-1 nearest neighbors across two vector sets
     → (id_a, id_b, cos_r): pairs where b is a's best cross-set match AND
     a is b's — the candidate rule of margin-based parallel-corpus mining
-    (Artetxe & Schwenk 2019).  EXACT and partition-invariant: block-pair
-    tasks matmul normalized blocks and emit ONE partial best per (row,
-    opposite block); grouped_arg_extrema's associative first-by-(order,
-    tiebreak) combine reduces them (cosine ties break toward the smaller
-    candidate id, the in-block rule above); mutuality is a count == 2
-    filter on the (id_a, id_b) pair group — no join stage.  O(|A|·|B|)
+    (Artetxe & Schwenk 2019).  EXACT top-1 (every pair is scored — no
+    candidate pruning) and partition-invariant UP TO FLOAT
+    REPRODUCIBILITY: block-pair tasks matmul normalized blocks and emit
+    ONE partial best per (row, opposite block); grouped_arg_extrema's
+    associative first-by-(order, tiebreak) combine reduces them (cosine
+    ties break toward the smaller candidate id, the in-block rule above);
+    mutuality is a count == 2 filter on the (id_a, id_b) pair group — no
+    join stage.  Caveat: argmax selection compares raw BLAS floats (floor4
+    applies only to the emitted cos_r), so a cosine tie at dgemm
+    accumulation-order granularity (~1 ulp) can resolve differently across
+    block shapes or vs a serial oracle — selection-tie stability is only
+    guaranteed for ties exact at float64.  O(|A|·|B|)
     compute is inherent to the exact top-1 — this is the oracle op; at
     corpus scale generate candidates with the NSW/IVF index and verify
     the survivors here."""

@@ -265,7 +265,12 @@ def grouped_twap(
     duration), value as an exact integer (cents).  Numerator and span
     accumulate as exact int64 segment sums (order-independent — the
     repo's rational-aggregate rule), then ONE float division; keys whose
-    span is zero (a single event, or all within one second) → NULL.
+    span is zero (a single event, or all within one second) → NULL, and
+    keys with NO non-null SUM term (a term = value·Δt needs a non-null
+    value AND a successor row) → NULL — exact SQL SUM-over-no-terms
+    semantics; null values inside a mixed key contribute 0, matching SUM
+    skipping null terms.  Timestamps must be non-null (asserted — NULL
+    ts would silently degrade the int64 epoch math to float NaN).
 
     Same shape as grouped_lag: key-only range sort colocates each key,
     one in-block C sort restores window order, and the per-key math is a
@@ -291,11 +296,17 @@ def grouped_twap(
         )
         block = block.take(order)
         keys_np = block.column(key_col).to_numpy(zero_copy_only=False)
+        if block.column(ts_col).null_count:
+            raise ValueError(
+                f"grouped_twap: {ts_col} contains NULLs — timestamps are a "
+                "non-null contract (NULL epoch math degrades to float NaN)"
+            )
         ts_s = (
             pc.cast(block.column(ts_col), pa.int64())
             .to_numpy(zero_copy_only=False) // 1_000_000
         )
         vcol = block.column(value_col)
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
         vals = pc.fill_null(pc.cast(vcol, pa.int64()), 0).to_numpy(
             zero_copy_only=False
         )
@@ -305,6 +316,11 @@ def grouped_twap(
         dt[:-1] = ts_s[1:] - ts_s[:-1]
         dt[ends - 1] = 0  # last row of every key: no next row
         num = np.add.reduceat(vals * dt, starts)
+        # a SUM term v·(lead(ts)−ts) is non-null iff v is non-null AND the
+        # row has a successor in its key — count those (exact SQL parity)
+        term_valid = valid.copy()
+        term_valid[ends - 1] = False
+        nonnull = np.add.reduceat(term_valid.astype(np.int64), starts)
         span = ts_s[ends - 1] - ts_s[starts]
         twap = pa.array(
             num.astype(np.float64)
@@ -317,7 +333,8 @@ def grouped_twap(
                     pa.array(starts, pa.int64())
                 ),
                 out_col: pc.if_else(
-                    pa.array(span == 0), pa.scalar(None, pa.float64()), twap
+                    pa.array((span == 0) | (nonnull == 0)),
+                    pa.scalar(None, pa.float64()), twap,
                 ),
             },
             schema=out_schema,

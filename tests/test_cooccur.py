@@ -71,3 +71,27 @@ def test_cooccur_partition_invariance(blocks):
     out = cooccurrence_pairs(ds, group_col="g", item_col="item").take_all()
     got = sorted((r["item_a"], r["item_b"], r["n"]) for r in out)
     assert got == _brute(rows)
+
+
+def test_cooccur_uncapped_matches_bruteforce(ray_session):
+    # max_items_per_group=None: exact uncapped semantics on a group larger
+    # than the default 1024 cap (what the SQL self-join oracles assume).
+    import itertools
+
+    n_items = 1500
+    t = pa.table({
+        "g": pa.array([1] * n_items + [2, 2], pa.int64()),
+        "item": pa.array(list(range(n_items)) + [5, 7], pa.int64()),
+    })
+    out = (
+        cooccurrence_pairs(
+            rd.from_arrow(t), group_col="g", item_col="item",
+            out_a="a", out_b="b", count_col="n",
+            max_items_per_group=None, num_partitions=4,
+        )
+        .to_pandas()
+    )
+    assert len(out) == n_items * (n_items - 1) // 2
+    # pair (5,7) appears in both groups
+    assert int(out.set_index(["a", "b"]).loc[(5, 7), "n"]) == 2
+    assert (out.drop(out.index[(out.a == 5) & (out.b == 7)])["n"] == 1).all()

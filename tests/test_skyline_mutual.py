@@ -97,3 +97,22 @@ def test_mutual_nn_matches_bruteforce(ray_session, block_rows):
     for (ia, ib), cr in by_pair.items():
         c = float(S[ia // 3, (ib - 1) // 3])
         assert cr == np.floor(c * 10000.0) / 10000.0
+
+
+def test_skyline_int64_above_2_53_exact(ray_session):
+    # ADVICE r3: max_col comparisons must stay in native int64 — a float64
+    # cast collapses 2**53 and 2**53+1 and can flip dominance.
+    from knowledgegraph_ray.stages.aggregates import skyline_2d
+
+    big = 2**53
+    t = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "mn": pa.array([1, 2, 3], pa.int64()),
+        # id=1 strictly beats id=0's max by 1 ulp-below-float-resolution;
+        # id=2 ties id=1's max so it is dominated (mn larger, mx not greater)
+        "mx": pa.array([big, big + 1, big + 1], pa.int64()),
+    })
+    out = skyline_2d(
+        rd.from_arrow(t), min_col="mn", max_col="mx", id_cols=["id"]
+    ).to_pandas()
+    assert sorted(out["id"].tolist()) == [0, 1]

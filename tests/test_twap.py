@@ -85,3 +85,42 @@ def test_twap_single_event_and_zero_span_are_null(ray_session):
     assert got["twap"].isna().tolist() == [True, True, False]
     # user 3: 40 * (9-1) / (9-1) = 40.0
     assert got["twap"].iloc[2] == 40.0
+
+def test_twap_all_null_values_yield_null(ray_session):
+    # ADVICE r3: a key whose values are ALL NULL (nonzero span) must emit
+    # NULL (SQL SUM over zero non-null terms), not 0.0; NULLs inside a
+    # mixed key contribute 0 to the numerator (SUM skips null terms).
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ts": pa.array(
+            [1_000_000, 3_000_000, 5_000_000,
+             1_000_000, 2_000_000, 5_000_000],
+            pa.timestamp("us"),
+        ),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([None, None, None, 10, None, 99], pa.int64()),
+    })
+    got = (
+        grouped_twap(
+            rd.from_arrow(t), key_col="user_id", ts_col="ts",
+            order_cols=["ts", "event_id"], value_col="v",
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert got["twap"].isna().tolist() == [True, False]
+    # user 2: 10*(2-1) + NULL-term-skipped + (last row no term) over span 4
+    assert got["twap"].iloc[1] == 10.0 / 4.0
+
+
+def test_twap_null_timestamp_rejected(ray_session):
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1_000_000, None], pa.timestamp("us")),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "v": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="non-null"):
+        grouped_twap(
+            rd.from_arrow(t), key_col="user_id", ts_col="ts",
+            order_cols=["ts", "event_id"], value_col="v",
+        ).materialize()
