@@ -166,6 +166,7 @@ def test_no_duplicate_query_defs_or_dict_keys():
     "q_quota_sample", "q_keyness_chi2", "q_twap",
     "q_source_overlap", "q_mad", "q_mad_by_type", "q_lm_perplexity",
     "q_lexical_diversity",
+    "q_kg_nodes_by_type", "q_kg_edges_by_type",
 ])
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
