@@ -10,7 +10,10 @@ Ray Data:
 * ``export_by_column``   — grouped-by-doc_type export (:716-814) → one
                            subdirectory per column value
 * ``export_graph_json``  — full export with a metadata envelope (:627-714):
-                           driver-side single file, intended for small graphs
+                           streamed JSONL parts + small envelope; rows are
+                           inlined in the envelope only under an explicit
+                           row-count guard (the reference's single-file form
+                           is O(graph) driver memory)
 * ``load_jsonl`` / ``load_json_documents`` — loaders (:1168-1228)
 * ``graph_status`` / ``clean_graph`` / ``backup_schema`` — the Kuzu admin ops
   (kuzu_init.py:139-328) mapped onto the Parquet output layout
@@ -56,24 +59,69 @@ def export_by_column(ds: rd.Dataset, path: str, column: str) -> dict[str, str]:
     return out
 
 
+def _jsonl_part_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".json") or f.endswith(".jsonl")
+    )
+
+
+def _count_jsonl_rows(d: str) -> int:
+    """Row count by streaming the written part files line-by-line — O(bytes)
+    IO, O(1) driver memory; avoids re-executing the dataset for a count."""
+    n = 0
+    for p in _jsonl_part_files(d):
+        with open(p) as f:
+            n += sum(1 for line in f if line.strip())
+    return n
+
+
 def export_graph_json(
-    nodes: rd.Dataset, edges: rd.Dataset, path: str, run_stamp: str = ""
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    path: str,
+    run_stamp: str = "",
+    inline_max_rows: int = 10_000,
 ) -> str:
-    """Full-graph export with a metadata envelope (small graphs; the driver
-    materializes both sides).  ``run_stamp`` is caller-injected — no wall
-    clock inside the engine (determinism)."""
-    nodes_rows = nodes.take_all()
-    edges_rows = edges.take_all()
-    doc = {
+    """Full-graph export with a metadata envelope (vespa_integration.py:
+    627-714), STREAMED: nodes and edges are written as JSONL part
+    directories by the workers (``Dataset.write_json`` — the driver never
+    materializes either side), and ``path`` gets a small envelope JSON with
+    the counts and part locations.
+
+    The reference's single-file form (nodes/edges inline in the envelope) is
+    O(graph) driver memory, so it sits behind an explicit row-count guard:
+    only when nodes+edges ≤ ``inline_max_rows`` are the rows inlined (read
+    back from the just-written parts, bounded by the guard).  ``run_stamp``
+    is caller-injected — no wall clock inside the engine (determinism)."""
+    parts = path + ".parts"
+    nodes_dir = os.path.join(parts, "nodes")
+    edges_dir = os.path.join(parts, "edges")
+    for d in (nodes_dir, edges_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    nodes.write_json(nodes_dir)
+    edges.write_json(edges_dir)
+    n_nodes = _count_jsonl_rows(nodes_dir)
+    n_edges = _count_jsonl_rows(edges_dir)
+    doc: dict[str, Any] = {
         "metadata": {
             "export_stamp": run_stamp,
-            "total_nodes": len(nodes_rows),
-            "total_edges": len(edges_rows),
-            "format_version": "1.0",
+            "total_nodes": n_nodes,
+            "total_edges": n_edges,
+            "format_version": "1.1",
         },
-        "nodes": nodes_rows,
-        "edges": edges_rows,
+        "nodes_dir": nodes_dir,
+        "edges_dir": edges_dir,
     }
+    if n_nodes + n_edges <= inline_max_rows:
+        for key, d in (("nodes", nodes_dir), ("edges", edges_dir)):
+            rows = []
+            for p in _jsonl_part_files(d):
+                with open(p) as f:
+                    rows += [json.loads(line) for line in f if line.strip()]
+            doc[key] = rows
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -67,6 +67,8 @@ def test_export_graph_json_and_admin(tmp_path):
     doc = json.load(open(p))
     assert doc["metadata"]["total_nodes"] == 1
     assert doc["nodes"][0]["name"] == "A"
+    # the streamed JSONL parts exist regardless of the inline guard
+    assert load_jsonl(doc["nodes_dir"]).take_all()[0]["name"] == "A"
 
     status = graph_status(graph_dir)
     assert status["tables"]["nodes"]["rows"] == 1
@@ -104,3 +106,32 @@ def test_compact_parquet_preserves_rows(ray_session, tmp_path):
     assert res["files_out"] < 40
     back = rd.read_parquet(str(out)).take_all()
     assert sorted(r["a"] for r in back) == list(range(total))
+
+
+def test_export_graph_json_streams_past_guard(ray_session, tmp_path):
+    """Over the inline row-count guard: envelope stays small (no inline
+    rows), parts carry everything, counts exact."""
+    n = 500
+    nodes = rd.from_arrow(
+        pa.table({"name": [f"n{i}" for i in range(n)], "type": ["Person"] * n})
+    ).repartition(4)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "relation_id": [f"r{i}" for i in range(n)],
+                "src": [f"n{i}" for i in range(n)],
+                "dst": [f"n{(i + 1) % n}" for i in range(n)],
+                "type": ["KNOWS"] * n,
+            }
+        )
+    ).repartition(4)
+    p = str(tmp_path / "big.json")
+    export_graph_json(nodes, edges, p, inline_max_rows=100)
+    assert os.path.getsize(p) < 2000  # envelope only, never O(graph)
+    doc = json.load(open(p))
+    assert "nodes" not in doc and "edges" not in doc
+    assert doc["metadata"]["total_nodes"] == n
+    assert doc["metadata"]["total_edges"] == n
+    back = load_jsonl(doc["edges_dir"])
+    assert back.count() == n
+    assert sorted(back.take_all()[0].keys()) == ["dst", "relation_id", "src", "type"]
