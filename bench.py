@@ -125,8 +125,12 @@ def run_kg(sf_dir: str, num_cpus: int) -> dict:
         # default extraction path is a stateless task fn fused with the read
         concurrency=max(2, num_cpus // 2),
         num_partitions=max(8, num_cpus),
-        wave_size=64,
+        # overlap A/B knobs (measured campaign recorded in BASELINE.md):
+        # KGRAY_OVERLAP=1 pipelines per-wave explode under the next wave's
+        # extraction; KGRAY_WAVE_SIZE shrinks waves so overlap has >1 wave
+        wave_size=int(os.environ.get("KGRAY_WAVE_SIZE", "64")),
         resume=False,
+        overlap=os.environ.get("KGRAY_OVERLAP", "0") == "1",
     )
     wall = time.monotonic() - t0
     ext = res.metrics["extraction"]

@@ -109,6 +109,72 @@ def _input_rows(path: str) -> int:
         return -1
 
 
+def _pre_explode_wave(
+    work_dir: str, extract_dir: str, shards: list[str]
+) -> None:
+    """Overlap worker: explode one completed extraction wave into the
+    pre-exploded mention/triple checkpoints (column-pruned reads of the
+    just-written shard dirs).  Runs on a background driver thread WHILE the
+    next wave extracts — Ray Data drives the two streaming topologies
+    concurrently and the scheduler interleaves their tasks.  The marker JSON
+    (shard list) is written only after both writes complete, so a kill
+    mid-explode leaves no half-covered wave visible."""
+    import hashlib
+    import json as _json
+
+    tag = hashlib.sha256("|".join(sorted(shards)).encode()).hexdigest()[:12]
+    # read_parquet on a PATH LIST expects files, not dirs — expand explicitly
+    shard_dirs = [
+        os.path.join(extract_dir, f"shard={sh}", f)
+        for sh in shards
+        for f in sorted(os.listdir(os.path.join(extract_dir, f"shard={sh}")))
+        if f.endswith(".parquet")
+    ]
+    jobs = (
+        ("pre_mentions", ["url", "ord", "permissions", "entities"], explode_mentions),
+        ("pre_triples", ["url", "ord", "permissions", "relationships"], explode_triples),
+    )
+    for sub, cols, fn in jobs:
+        out = os.path.join(work_dir, sub, tag)
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(shard_dirs, columns=cols).map_batches(
+            fn, batch_format="pyarrow"
+        ).write_parquet(out)
+    marker = os.path.join(work_dir, "pre_mentions", f"{tag}.done.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"shards": sorted(shards)}, f)
+    os.replace(tmp, marker)
+
+
+def _pre_explode_markers(work_dir: str) -> dict[str, list[str]]:
+    """tag → covered shards, from completed overlap markers."""
+    import json as _json
+
+    d = os.path.join(work_dir, "pre_mentions")
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(d):
+        return out
+    for fn in os.listdir(d):
+        if fn.endswith(".done.json"):
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[: -len(".done.json")]] = list(_json.load(f)["shards"])
+            except Exception:
+                pass
+    return out
+
+
+def _invalidate_pre_explode(work_dir: str, shards: set[str]) -> None:
+    """Drop any pre-exploded wave that covers a shard about to be
+    re-extracted (its rows would otherwise appear twice)."""
+    for tag, covered in _pre_explode_markers(work_dir).items():
+        if shards.intersection(covered):
+            os.remove(os.path.join(work_dir, "pre_mentions", f"{tag}.done.json"))
+            for sub in ("pre_mentions", "pre_triples"):
+                shutil.rmtree(os.path.join(work_dir, sub, tag), ignore_errors=True)
+
+
 def run_extraction(
     input_paths: list[str],
     work_dir: str,
@@ -118,13 +184,24 @@ def run_extraction(
     wave_size: int = 64,
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
+    overlap: bool = False,
 ) -> dict[str, Any]:
     """Stage 1. Returns summary metrics; outputs + manifests land under
-    work_dir/extracted and work_dir/manifests."""
+    work_dir/extracted and work_dir/manifests.
+
+    ``overlap=True`` pipelines stage 2's explode into stage 1: as each wave
+    checkpoints, a background driver thread explodes it into pre-exploded
+    mention/triple parquet while the NEXT wave extracts; run_graph_build
+    consumes the pre-exploded checkpoints when (and only when) they exactly
+    cover the extraction output, else falls back to exploding inline."""
+    import threading
+
     extract_dir = os.path.join(work_dir, "extracted")
     manifest_dir = os.path.join(work_dir, "manifests")
     if not resume:
         shutil.rmtree(extract_dir, ignore_errors=True)
+        for sub in ("pre_mentions", "pre_triples"):
+            shutil.rmtree(os.path.join(work_dir, sub), ignore_errors=True)
         for sh in completed_shards(manifest_dir, EXTRACT_STAGE):
             try:
                 os.remove(os.path.join(manifest_dir, f"{EXTRACT_STAGE}--{sh}.json"))
@@ -135,6 +212,9 @@ def run_extraction(
     done = completed_shards(manifest_dir, EXTRACT_STAGE) if resume else set()
     todo = [p for p in input_paths if shard_name(p) not in done]
     skipped = len(input_paths) - len(todo)
+    # shards being re-extracted make any prior pre-explosion of them stale
+    _invalidate_pre_explode(work_dir, {shard_name(p) for p in todo})
+    explode_thread: "threading.Thread | None" = None
 
     fn_kwargs = {}
     if backend_factory is not None:
@@ -199,6 +279,22 @@ def run_extraction(
                 ),
             )
         processed += len(wave)
+
+        if overlap:
+            # one explode in flight: wait for the previous wave's explode,
+            # then launch this wave's — it runs under the NEXT wave's
+            # extraction (or drains after the loop for the last wave)
+            if explode_thread is not None:
+                explode_thread.join()
+            explode_thread = threading.Thread(
+                target=_pre_explode_wave,
+                args=(work_dir, extract_dir, [shard_name(p) for p in wave]),
+                daemon=True,
+            )
+            explode_thread.start()
+
+    if explode_thread is not None:
+        explode_thread.join()
 
     return {
         "shards_total": len(input_paths),
@@ -298,6 +394,8 @@ def run_retry_failed(
     ):
         by_shard.setdefault(sh, set()).add(url)
     path_by_shard = {shard_name(p): p for p in input_paths}
+    # rewritten shards make any pre-explosion of them stale
+    _invalidate_pre_explode(work_dir, set(by_shard))
 
     fn_kwargs = {}
     if backend_factory is not None:
@@ -369,6 +467,36 @@ def run_retry_failed(
     }
 
 
+def _usable_pre_explode(work_dir: str, extract_dir: str) -> "list[str] | None":
+    """Tags of pre-exploded waves iff they exactly cover the extraction
+    checkpoint (every shard once, none missing, every dir has files);
+    anything off → None and the graph build explodes inline.  The check is
+    O(#shards) directory metadata — never reads data."""
+    markers = _pre_explode_markers(work_dir)
+    if not markers:
+        return None
+    covered: list[str] = []
+    for shards in markers.values():
+        covered.extend(shards)
+    if len(covered) != len(set(covered)):
+        return None
+    present = {
+        d[len("shard="):]
+        for d in os.listdir(extract_dir)
+        if d.startswith("shard=")
+    }
+    if set(covered) != present:
+        return None
+    for sub in ("pre_mentions", "pre_triples"):
+        for tag in markers:
+            d = os.path.join(work_dir, sub, tag)
+            if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)
+            ):
+                return None
+    return sorted(markers)
+
+
 def run_graph_build(
     work_dir: str,
     *,
@@ -402,11 +530,28 @@ def run_graph_build(
         return now
 
     extracted = rd.read_parquet(extract_dir)
-    # mentions feed two consumers (pair generation + component attach):
-    # materialize once instead of re-reading + re-exploding the checkpoint.
-    mentions = extracted.map_batches(
-        explode_mentions, batch_format="pyarrow"
-    ).materialize()
+    pre = _usable_pre_explode(work_dir, extract_dir)
+    if pre is not None:
+        # overlap ran during extraction: the explode work is already on disk
+        # as parquet (itself a checkpoint, so no materialize needed — both
+        # mention consumers re-read it column-pruned)
+        def _files(sub: str) -> list[str]:
+            return [
+                os.path.join(work_dir, sub, tag, f)
+                for tag in pre
+                for f in sorted(os.listdir(os.path.join(work_dir, sub, tag)))
+                if f.endswith(".parquet")
+            ]
+
+        mentions = rd.read_parquet(_files("pre_mentions"))
+        triples = rd.read_parquet(_files("pre_triples"))
+    else:
+        # mentions feed two consumers (pair generation + component attach):
+        # materialize once instead of re-reading + re-exploding the checkpoint.
+        mentions = extracted.map_batches(
+            explode_mentions, batch_format="pyarrow"
+        ).materialize()
+        triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
     t = _tick("explode_mentions", t0)
 
     nodes, with_comp = canonicalize(
@@ -421,7 +566,6 @@ def run_graph_build(
 
     for _k, _v in _canon_t.items():
         stage_s[f"canon.{_k}"] = _v
-    triples = extracted.map_batches(explode_triples, batch_format="pyarrow")
     edges = materialize_edges(triples, with_comp, nodes, num_partitions=num_partitions)
     from ..stages.edges import LAST_TIMINGS as _edge_t
 
@@ -487,6 +631,7 @@ def kg_build(
     embed: bool = False,
     embed_dim: int = 1024,
     linking=None,
+    overlap: bool = False,
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(
@@ -497,6 +642,7 @@ def kg_build(
         wave_size=wave_size,
         resume=resume,
         backend_factory=backend_factory,
+        overlap=overlap,
     )
     graph = run_graph_build(
         work_dir,

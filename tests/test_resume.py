@@ -105,3 +105,48 @@ def test_retry_failed_rows_recovers_clean_graph(tmp_path):
                      num_partitions=2, resume=False)
     assert graph["nodes"] == clean.metrics["graph"]["nodes"]
     assert graph["edges"] == clean.metrics["graph"]["edges"]
+
+
+def test_overlap_matches_serial_and_invalidates(pages_small, tmp_path_factory):
+    """overlap=True (per-wave background explode into pre-exploded
+    checkpoints) must yield the byte-identical graph, survive resume, and
+    invalidate stale pre-explosions when a shard is re-extracted."""
+    from knowledgegraph_ray.pipelines.kg_build import (
+        _pre_explode_markers,
+        _usable_pre_explode,
+    )
+
+    paths = pages_small["paths"]
+    work_s = str(tmp_path_factory.mktemp("ovl_serial"))
+    work_o = str(tmp_path_factory.mktemp("ovl_overlap"))
+
+    serial = kg_build(paths, work_s, batch_size=64, concurrency=2,
+                      num_partitions=2, wave_size=2, resume=False)
+    ovl = kg_build(paths, work_o, batch_size=64, concurrency=2,
+                   num_partitions=2, wave_size=2, resume=False, overlap=True)
+    assert _graph_fingerprint(serial) == _graph_fingerprint(ovl)
+
+    # the graph build actually consumed the pre-exploded checkpoints
+    markers = _pre_explode_markers(work_o)
+    assert sorted(s for v in markers.values() for s in v) == [
+        f"pages-{i:05d}" for i in range(len(paths))
+    ]
+    assert _usable_pre_explode(work_o, os.path.join(work_o, "extracted")) is not None
+
+    # deleting one manifest forces re-extraction of that shard on resume;
+    # its pre-explosion must be invalidated and rebuilt, graph unchanged
+    os.remove(manifest_path(os.path.join(work_o, "manifests"),
+                            "extract", "pages-00001"))
+    again = kg_build(paths, work_o, batch_size=64, concurrency=2,
+                     num_partitions=2, wave_size=2, resume=True, overlap=True)
+    assert again.metrics["extraction"]["shards_processed"] == 1
+    assert _graph_fingerprint(again) == _graph_fingerprint(serial)
+
+    # overlap run resumed WITHOUT overlap: stale coverage (none for the
+    # re-extracted shard) must fall back to inline explode, graph unchanged
+    os.remove(manifest_path(os.path.join(work_o, "manifests"),
+                            "extract", "pages-00002"))
+    plain = kg_build(paths, work_o, batch_size=64, concurrency=2,
+                     num_partitions=2, wave_size=2, resume=True, overlap=False)
+    assert _usable_pre_explode(work_o, os.path.join(work_o, "extracted")) is None
+    assert _graph_fingerprint(plain) == _graph_fingerprint(serial)
