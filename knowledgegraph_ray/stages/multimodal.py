@@ -5,11 +5,12 @@ The engine treats media as ``payload: binary`` plus typed metadata columns
 actor-pool ``map_batches`` stages — the same warm-state pattern as the triple
 extractor and embedder.  Decode backends:
 
-* ``backend="raw"`` — a REAL pure-numpy decode path for uncompressed
-  formats: PPM (P6) and 24-bit BMP images (``decode_ppm``/``decode_bmp`` +
-  nearest-neighbor ``resize_nearest``) and PCM-16 WAV audio
-  (``decode_wav_pcm16``) — headers + raw samples, no codec library needed;
-* ``backend="strict"`` — compressed formats (JPEG/PNG/MP3/H.264) require
+* ``backend="raw"`` — a REAL pure-numpy decode path: PPM (P6) and 24-bit
+  BMP images (``decode_ppm``/``decode_bmp`` + nearest-neighbor
+  ``resize_nearest``), PNG via stdlib zlib (``decode_png`` — 8-bit
+  gray/RGB/palette/alpha, all five scanline filters) and PCM-16 WAV audio
+  (``decode_wav_pcm16``) — no codec library needed;
+* ``backend="strict"`` — entropy-coded formats (JPEG/MP3/H.264) require
   codec libraries NOT in this container: the clearly-marked
   ``NotImplementedError`` stub;
 * ``backend="fake"`` — deterministic payload-derived pixels/samples, so the
@@ -61,7 +62,8 @@ def _fake_pixels(payload: bytes, width: int = 32, height: int = 32) -> np.ndarra
 # PPM (P6), BMP (24-bit BI_RGB) and WAV (PCM16) need no codec library — the
 # container lacks imaging/audio libs, but these formats are just headers +
 # raw samples, so the `raw` backend is a REAL decode path; compressed
-# formats (JPEG/PNG/MP3/H.264) remain behind the documented strict stubs.
+# formats: PNG gets a REAL stdlib-zlib decoder (decode_png below);
+# entropy-coded JPEG/MP3/H.264 remain behind the documented strict stubs.
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -109,6 +111,165 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h > 0:  # bottom-up storage
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with stdlib zlib + numpy — no codec library.
+
+    Supports the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced; all
+    five scanline filters (None/Sub/Up/Average/Paeth).  Filters 0 and 2 are
+    fully vectorized; Sub/Average/Paeth carry a per-byte dependency along
+    the scanline, so those rows pay a Python inner loop — fine inside the
+    actor pool where decode is the intended per-item work.  Returns
+    (h, w, 3) uint8 RGB (alpha dropped, gray broadcast)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    i = 8
+    idat: list[bytes] = []
+    plte = None
+    w = h = channels = None
+    ct = 0
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        cid = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if cid == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ct, comp, filt, interlace = body[8:13]
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if comp or filt or interlace:
+                raise ValueError("unsupported PNG (interlaced or nonzero method)")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {ct}")
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + ln  # len + id + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, data = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    for r in range(h):
+        f = int(ftypes[r])
+        prev = out[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        row = data[r]
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = (row + prev) & 255
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    pr = a
+                elif f == 3:
+                    pr = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pr = _paeth_predict(a, b, c)
+                rec[x] = (int(row[x]) + pr) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]].copy()
+    if ct == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if ct == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    if ct == 6:
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
+def png_bytes(px: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit RGB, non-interlaced), stdlib zlib.
+
+    ``filter_type`` applies one filter to every scanline (0/1/2/3/4) — the
+    encoder side is vectorized for all five since prediction uses the
+    ORIGINAL bytes, not reconstructed ones.  Used by tests to exercise every
+    decoder filter path and by the synthetic-corpus generators."""
+    import zlib
+
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("png_bytes encodes RGB only")
+    rows = px.reshape(h, w * 3).astype(np.int64)
+    left = np.zeros_like(rows)
+    left[:, 3:] = rows[:, :-3]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    upleft = np.zeros_like(rows)
+    upleft[1:, 3:] = rows[:-1, :-3]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - up
+    elif filter_type == 3:
+        filt = rows - ((left + up) >> 1)
+    elif filter_type == 4:
+        p = left + up - upleft
+        pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, upleft)
+        )
+        filt = rows - pred
+    else:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), (filt & 255).astype(np.uint8)],
+        axis=1,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
@@ -212,14 +373,17 @@ class ImageDecoder:
             w, h = self.resize
             return _fake_pixels(payload, w, h)
         if self.backend == "raw":
-            # REAL decode for uncompressed formats, by magic bytes
+            # REAL decode by magic bytes: uncompressed PPM/BMP, plus PNG
+            # (deflate via stdlib zlib — no codec library)
             if payload.startswith(b"P6"):
                 px = decode_ppm(payload)
             elif payload.startswith(b"BM"):
                 px = decode_bmp(payload)
+            elif payload.startswith(_PNG_MAGIC):
+                px = decode_png(payload)
             else:
                 raise ValueError(
-                    "raw backend decodes uncompressed PPM/BMP; compressed "
+                    "raw backend decodes PPM/BMP/PNG; other compressed "
                     "formats need a codec backend"
                 )
             w, h = self.resize

@@ -135,3 +135,98 @@ def test_wav_roundtrip_and_audio_fingerprint_neardup(ray_session):
         ).take_all()
         got_pairs = {(r["a"], r["b"], r["hamming"]) for r in out}
         assert got_pairs == want, parts
+
+
+def test_png_roundtrip_all_filters():
+    """Encode with each of the five scanline filters; decode must recover
+    the exact pixels (every unfilter path exercised)."""
+    import zlib
+
+    from knowledgegraph_ray.stages.multimodal import (
+        decode_png,
+        png_bytes,
+        synth_smooth_image,
+    )
+
+    px = synth_smooth_image(11, size=24)
+    sizes = {}
+    for f in range(5):
+        payload = png_bytes(px, filter_type=f)
+        back = decode_png(payload)
+        np.testing.assert_array_equal(back, px, err_msg=f"filter {f}")
+        sizes[f] = len(payload)
+    # filtering exists to help deflate: predictive filters must beat None
+    # on a smooth image (sanity that the filters actually ran)
+    assert min(sizes[1], sizes[2], sizes[3], sizes[4]) < sizes[0]
+    # zlib stream is well-formed (decompressible by a third party)
+    idat_off = payload.index(b"IDAT") + 4
+    ln = int.from_bytes(payload[idat_off - 8 : idat_off - 4], "big")
+    assert len(zlib.decompress(payload[idat_off : idat_off + ln])) == 24 * (24 * 3 + 1)
+
+
+def test_png_color_types():
+    """Gray / palette / gray+alpha / RGBA decode paths (hand-built chunks)."""
+    import zlib
+
+    from knowledgegraph_ray.stages.multimodal import _PNG_MAGIC, decode_png
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    def png(w, h, ct, raw, plte=b""):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ct, 0, 0, 0])
+        out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # gray 2x2: scanlines = filter0 + values
+    g = png(2, 2, 0, bytes([0, 10, 20, 0, 30, 40]))
+    np.testing.assert_array_equal(
+        decode_png(g), np.array([[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]], np.uint8)
+    )
+    # palette 2x1: indices 1, 0 into [(255,0,0), (0,255,0)]
+    p = png(2, 1, 3, bytes([0, 1, 0]), plte=bytes([255, 0, 0, 0, 255, 0]))
+    np.testing.assert_array_equal(
+        decode_png(p), np.array([[[0, 255, 0], [255, 0, 0]]], np.uint8)
+    )
+    # gray+alpha 1x1 (alpha dropped) and RGBA 1x1
+    ga = png(1, 1, 4, bytes([0, 77, 200]))
+    np.testing.assert_array_equal(decode_png(ga), np.full((1, 1, 3), 77, np.uint8))
+    rgba = png(1, 1, 6, bytes([0, 1, 2, 3, 99]))
+    np.testing.assert_array_equal(
+        decode_png(rgba), np.array([[[1, 2, 3]]], np.uint8)
+    )
+
+
+def test_png_phash_matches_bmp(ray_session):
+    """Same pixels through PNG and BMP payloads → identical pHashes →
+    identical near-dup pairs (decoder-agnostic dedup)."""
+    from knowledgegraph_ray.stages.multimodal import (
+        bmp_bytes,
+        compute_phashes,
+        png_bytes,
+        synth_smooth_image,
+    )
+
+    imgs = [synth_smooth_image(s) for s in range(40)]
+
+    def media(encoder, tag):
+        return pa.table({
+            "media_id": [f"{tag}-{i:03d}" for i in range(len(imgs))],
+            "media_type": ["image"] * len(imgs),
+            "payload": pa.array([encoder(px) for px in imgs], pa.binary()),
+            "meta_json": ["{}"] * len(imgs),
+        })
+
+    hb = compute_phashes(rd.from_arrow(media(bmp_bytes, "x")), backend="raw",
+                         concurrency=2).take_all()
+    hp = compute_phashes(
+        rd.from_arrow(media(lambda px: png_bytes(px, filter_type=4), "x")),
+        backend="raw", concurrency=2).take_all()
+    assert sorted((r["media_id"], r["phash"]) for r in hb) == sorted(
+        (r["media_id"], r["phash"]) for r in hp
+    )
