@@ -8,9 +8,10 @@ extractor and embedder.  Decode backends:
 * ``backend="raw"`` — a REAL pure-numpy decode path: PPM (P6) and 24-bit
   BMP images (``decode_ppm``/``decode_bmp`` + nearest-neighbor
   ``resize_nearest``), PNG via stdlib zlib (``decode_png`` — 8-bit
-  gray/RGB/palette/alpha, all five scanline filters) and PCM-16 WAV audio
-  (``decode_wav_pcm16``) — no codec library needed;
-* ``backend="strict"`` — entropy-coded formats (JPEG/MP3/H.264) require
+  gray/RGB/palette/alpha, all five scanline filters), GIF with a full
+  LZW codec (``decode_gif`` — 87a/89a, interlacing, local tables) and
+  PCM-16 WAV audio (``decode_wav_pcm16``) — no codec library needed;
+* ``backend="strict"`` — transform-coded formats (JPEG/MP3/H.264) require
   codec libraries NOT in this container: the clearly-marked
   ``NotImplementedError`` stub;
 * ``backend="fake"`` — deterministic payload-derived pixels/samples, so the
@@ -272,6 +273,197 @@ def png_bytes(px: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decode (variable 3–12-bit codes, LSB-first bit
+    packing, CLEAR/END codes, dictionary capped at 4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    dict_ = list(base)
+    code_size = min_code_size + 1
+    bits = nbits = pos = 0
+    prev: "bytes | None" = None
+    out = bytearray()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # stream ended without END code — tolerate
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << code_size) - 1)
+        bits >>= code_size
+        nbits -= code_size
+        if code == clear:
+            dict_ = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(dict_) and (code < clear or code > end):
+            entry = dict_[code]
+        elif code == len(dict_) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(dict_) < 4096:
+            dict_.append(prev + entry[:1])
+            if len(dict_) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — the exact inverse of ``_lzw_decode``
+    (emits CLEAR up front and on dictionary overflow, END at the end)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bits = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder widens its read AFTER appending the matching entry,
+            # i.e. one code later than the add — hence "strictly greater"
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode (87a/89a) in pure Python/numpy — LZW, global/local
+    color tables, interlacing, extension skipping.  Returns the FIRST
+    frame as (h, w, 3) uint8 RGB (frame sampling belongs to the video
+    stage; GIF-as-image is the corpus-dedup case)."""
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[i + 1 : i + 3], "little")
+            top = int.from_bytes(payload[i + 3 : i + 5], "little")
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[i]
+            i += 1
+            blocks = bytearray()
+            while payload[i]:
+                ln = payload[i]
+                blocks += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(blocks), mcs), np.uint8, count=w * h
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder rows into place
+                rows = np.empty(h, np.int64)
+                r = 0
+                for off, step in _GIF_INTERLACE:
+                    for y in range(off, h, step):
+                        rows[y] = r
+                        r += 1
+                idx = idx[rows]
+            if (w, h) != (sw, sh):  # frame smaller than the logical screen
+                full = np.zeros((sh, sw), np.uint8)
+                full[top : top + h, left : left + w] = idx
+                idx = full
+            return ct[idx].copy()
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def gif_bytes(px: np.ndarray, *, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤256 distinct colors → GIF89a (the exact
+    inverse of ``decode_gif``; round-trip tested, interlace optional)."""
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"gif_bytes needs ≤256 distinct colors, got {len(palette)}")
+    exp = max(1, (len(palette) - 1).bit_length())  # table size 2^exp ≥ 2
+    table = np.zeros((1 << exp, 3), np.uint8)
+    table[: len(palette)] = palette
+    indices = idx.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [y for off, step in _GIF_INTERLACE for y in range(off, h, step)]
+        indices = indices[order]
+    mcs = max(2, exp)
+    lzw = _lzw_encode(indices.tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((exp - 1) & 0x07) | 0x70, 0, 0])  # GCT flag + size
+    out += table.tobytes()
+    out += b"\x2c" + b"\0\0\0\0" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00, mcs])
+    for j in range(0, len(lzw), 255):
+        part = lzw[j : j + 255]
+        out += bytes([len(part)]) + part
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM 16-bit → (mono float32 samples in [-1, 1], sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -381,9 +573,11 @@ class ImageDecoder:
                 px = decode_bmp(payload)
             elif payload.startswith(_PNG_MAGIC):
                 px = decode_png(payload)
+            elif payload.startswith(b"GIF8"):
+                px = decode_gif(payload)
             else:
                 raise ValueError(
-                    "raw backend decodes PPM/BMP/PNG; other compressed "
+                    "raw backend decodes PPM/BMP/PNG/GIF; other compressed "
                     "formats need a codec backend"
                 )
             w, h = self.resize

@@ -230,3 +230,59 @@ def test_png_phash_matches_bmp(ray_session):
     assert sorted((r["media_id"], r["phash"]) for r in hb) == sorted(
         (r["media_id"], r["phash"]) for r in hp
     )
+
+
+def test_gif_roundtrip_and_lzw():
+    """GIF encode→decode recovers exact pixels (plain + interlaced); LZW
+    round-trips streams long enough to force dictionary growth through
+    several code-size widenings and an overflow reset."""
+    from knowledgegraph_ray.stages.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        gif_bytes,
+        synth_smooth_image,
+    )
+
+    # paletted image: posterize the smooth image to ≤256 distinct colors
+    px = (synth_smooth_image(3) // 48 * 48).astype(np.uint8)
+    assert len(np.unique(px.reshape(-1, 3), axis=0)) <= 256
+    for interlace in (False, True):
+        back = decode_gif(gif_bytes(px, interlace=interlace))
+        np.testing.assert_array_equal(back, px, err_msg=f"interlace={interlace}")
+
+    # LZW property: deterministic pseudo-random index streams with heavy
+    # repetition (dictionary grows fast), several min code sizes
+    rng = np.random.default_rng(9)
+    for mcs in (2, 4, 8):
+        alphabet = 1 << mcs
+        runs = rng.integers(1, 40, 4000)
+        vals = rng.integers(0, alphabet, 4000)
+        data = np.repeat(vals, runs).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_phash_matches_bmp(ray_session):
+    """Posterized corpus through GIF and BMP payloads → identical pHashes
+    (the dedup pipeline is decoder-agnostic across all four image codecs)."""
+    from knowledgegraph_ray.stages.multimodal import (
+        bmp_bytes,
+        compute_phashes,
+        gif_bytes,
+        synth_smooth_image,
+    )
+
+    imgs = [(synth_smooth_image(s) // 48 * 48).astype(np.uint8) for s in range(20)]
+
+    def hashes(encoder):
+        t = pa.table({
+            "media_id": [f"m{i:03d}" for i in range(len(imgs))],
+            "media_type": ["image"] * len(imgs),
+            "payload": pa.array([encoder(p) for p in imgs], pa.binary()),
+            "meta_json": ["{}"] * len(imgs),
+        })
+        rows = compute_phashes(rd.from_arrow(t), backend="raw",
+                               concurrency=2).take_all()
+        return sorted((r["media_id"], r["phash"]) for r in rows)
+
+    assert hashes(bmp_bytes) == hashes(gif_bytes)
