@@ -44,6 +44,39 @@ def _linking_cfg(args: argparse.Namespace):
     return LinkingConfig(threshold=args.linking_threshold)
 
 
+def _backend_factory(args: argparse.Namespace):
+    """--llm-backend → a TripleExtractor backend factory (None = hermetic
+    rule-based default).  'openai' is the reference's production extractor
+    (entity_extractor.py:12-41): OpenAI-compatible chat completion driven by
+    $OPENAI_API_KEY / $OPENAI_API_BASE_URL / $LLM_MODEL_NAME."""
+    choice = getattr(args, "llm_backend", "rule")
+    if choice == "rule":
+        return None
+    if choice == "openai":
+        from .stages.backends import OpenAIChatBackend
+
+        return lambda: OpenAIChatBackend()
+    raise SystemExit(f"unknown --llm-backend {choice!r}")
+
+
+def _embed_backend(args: argparse.Namespace):
+    """--embed-backend → an Embedder backend ('hash' default; 'transformer'
+    = warm AutoModel mean pooling via $EMBEDDING_MODEL, 'ollama' = HTTP via
+    $OLLAMA_BASE_URL/$OLLAMA_EMBEDDING_MODEL)."""
+    choice = getattr(args, "embed_backend", "hash")
+    if choice == "hash":
+        return None
+    if choice == "transformer":
+        from .stages.backends import TransformerBackend
+
+        return TransformerBackend()
+    if choice == "ollama":
+        from .stages.backends import OllamaHTTPBackend
+
+        return OllamaHTTPBackend()
+    raise SystemExit(f"unknown --embed-backend {choice!r}")
+
+
 def cmd_build(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines import kg_build
@@ -63,6 +96,8 @@ def cmd_build(args: argparse.Namespace) -> int:
         embed=args.embed,
         embed_dim=args.embed_dim,
         linking=_linking_cfg(args),
+        backend_factory=_backend_factory(args),
+        embed_backend=_embed_backend(args),
     )
     print(json.dumps(res.metrics, default=str))
     return 0
@@ -273,6 +308,13 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--embed", action="store_true")
     b.add_argument("--embed-dim", type=int, default=1024)
+    b.add_argument("--llm-backend", choices=["rule", "openai"], default="rule",
+                   help="extraction backend: hermetic rules (default) or the "
+                        "OpenAI-compatible chat backend ($OPENAI_API_KEY etc.)")
+    b.add_argument("--embed-backend", choices=["hash", "transformer", "ollama"],
+                   default="hash",
+                   help="embedding backend (with --embed): deterministic hash "
+                        "(default), warm transformer, or Ollama HTTP")
     b.add_argument("--linking", action="store_true",
                    help="enable the fuzzy entity-linking candidate stage")
     b.add_argument("--linking-threshold", type=float, default=0.6)

@@ -507,6 +507,7 @@ def run_graph_build(
     embed: bool = False,
     embed_dim: int = 1024,
     embed_concurrency: int = 2,
+    embed_backend=None,
     linking=None,
 ) -> dict[str, Any]:
     """Stage 2: extracted/ → nodes/ + edges/ (+ a global graph manifest).
@@ -578,10 +579,12 @@ def run_graph_build(
         from ..stages.embedder import embed_edges, embed_nodes
 
         nodes_out = embed_nodes(
-            nodes, dim=embed_dim, concurrency=embed_concurrency
+            nodes, dim=embed_dim, concurrency=embed_concurrency,
+            backend=embed_backend,
         )
         edges_mat = embed_edges(
-            edges, dim=embed_dim, concurrency=embed_concurrency
+            edges, dim=embed_dim, concurrency=embed_concurrency,
+            backend=embed_backend,
         ).materialize()
     else:
         nodes_out = nodes
@@ -630,6 +633,7 @@ def kg_build(
     cc_driver_threshold: int = 3_000_000,
     embed: bool = False,
     embed_dim: int = 1024,
+    embed_backend=None,
     linking=None,
     overlap: bool = False,
 ) -> KGBuildResult:
@@ -650,6 +654,7 @@ def kg_build(
         cc_driver_threshold=cc_driver_threshold,
         embed=embed,
         embed_dim=embed_dim,
+        embed_backend=embed_backend,
         linking=linking,
     )
     return KGBuildResult(

@@ -245,15 +245,19 @@ def reembed_changed_nodes(
 
 
 def embed_edges(edges, *, dim: int = DEFAULT_DIM, concurrency: int = 2,
-                batch_size: int = 256, num_gpus: float | None = None):
+                batch_size: int = 256, num_gpus: float | None = None,
+                backend: Callable[[list[str]], np.ndarray] | None = None):
     kwargs: dict[str, Any] = {}
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
+    ctor: dict[str, Any] = {"dim": dim, "mode": "edge"}
+    if backend is not None:
+        ctor["backend"] = backend
     return edges.map_batches(
         Embedder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "mode": "edge"},
+        fn_constructor_kwargs=ctor,
         **kwargs,
     )

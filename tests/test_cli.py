@@ -86,3 +86,30 @@ def test_repl_commands(tmp_path):
     results = [json.loads(l) for l in out if l.startswith("[")]
     assert results and len(results[-1]) <= 3
     assert set(results[-1][0]) == {"name"}
+
+
+def test_cli_backend_selection():
+    """--llm-backend/--embed-backend resolve correctly: hermetic defaults are
+    None (rule/hash paths), real backends fail fast with a clear ImportError
+    when their libraries are absent (this container has no openai or
+    transformers)."""
+    import argparse
+
+    import pytest
+
+    from knowledgegraph_ray.cli import _backend_factory, _embed_backend
+
+    ns = argparse.Namespace(llm_backend="rule", embed_backend="hash")
+    assert _backend_factory(ns) is None
+    assert _embed_backend(ns) is None
+
+    try:
+        import openai  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="openai"):
+            _backend_factory(argparse.Namespace(llm_backend="openai"))()
+    try:
+        import transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="transformers"):
+            _embed_backend(argparse.Namespace(embed_backend="transformer"))
