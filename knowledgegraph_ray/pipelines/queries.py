@@ -2995,6 +2995,25 @@ def q_ngram_jaccard_1k(sf_dir: str):
     return ngram_jaccard_join(docs, threshold=0.8, k=5, num_partitions=4)
 
 
+def q_editdist_names(sf_dir: str):
+    """Edit-distance-bounded fuzzy self-join: all customer-name pairs within
+    Levenshtein ≤ 2 on a bounded slice (c_custkey ≤ 300 — zero-padded serial
+    names make the slice pair-dense, the worst case for the blocking).
+    FastSS ≤2-deletion neighborhoods → hash exchange → per-bucket length
+    prefilter + banded-DP verify; EXACT vs the O(n²) levenshtein oracle."""
+    from ..stages.dedup import edit_distance_pairs
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey") <= 300,
+    )
+    return edit_distance_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        max_dist=2, num_partitions=4,
+    ).sort(["a", "b"])
+
+
 def q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -5395,6 +5414,18 @@ ORACLE_SQL: dict[str, str] = {
     # exact 5-gram Jaccard ≥ 0.8 pairs: the engine's prefix-filter join vs a
     # full O(n²) shingle self-join (char shingles == byte shingles on this
     # ASCII corpus; docs shorter than 5 chars have no shingles on either side)
+    # exact Levenshtein ≤ 2 fuzzy self-join on the bounded name slice: the
+    # engine's FastSS deletion-neighborhood blocking vs the O(n²) oracle
+    "q_editdist_names": """
+        WITH s AS (
+          SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300
+        )
+        SELECT x.c_custkey AS a, y.c_custkey AS b,
+               CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+        FROM s x JOIN s y ON x.c_custkey < y.c_custkey
+        WHERE levenshtein(x.c_name, y.c_name) <= 2
+        ORDER BY a, b
+    """,
     "q_ngram_jaccard_1k": """
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
@@ -5945,6 +5976,7 @@ QUERIES = {
     "q_feature_hash": q_feature_hash,
     "q_bpe_tokens": q_bpe_tokens,
     "q_quality": q_quality,
+    "q_editdist_names": q_editdist_names,
     "q_exact_dedup": q_exact_dedup,
     "q_domain_cap": q_domain_cap,
     "q_passage_dedup": q_passage_dedup,

@@ -1723,3 +1723,182 @@ def boilerplate_strip(
         })
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-bounded fuzzy join (FastSS deletion-neighborhood blocking).
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_bounded(a: str, b: str, k: int) -> int:
+    """Banded Levenshtein DP (Ukkonen): exact distance if ≤ k, else k+1.
+    O(k·min(len)) — the verify kernel for ``edit_distance_pairs``."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return k + 1
+    prev = list(range(la + 1))
+    cur = [0] * (la + 1)
+    for j in range(1, lb + 1):
+        cur[0] = j
+        lo = max(1, j - k)
+        hi = min(la, j + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1  # outside the band
+        bj = b[j - 1]
+        best = k + 1 if lo > 1 else cur[0]
+        for i in range(lo, hi + 1):
+            if a[i - 1] == bj:
+                c = prev[i - 1]
+            else:
+                c = 1 + min(prev[i - 1], prev[i], cur[i - 1])
+            cur[i] = c
+            if c < best:
+                best = c
+        if hi < la:
+            cur[hi + 1 :] = [k + 1] * (la - hi)
+        if best > k:
+            return k + 1
+        prev, cur = cur, prev
+    return prev[la] if prev[la] <= k else k + 1
+
+
+def _deletion_variants(s: str, k: int) -> set[str]:
+    """All strings reachable by deleting ≤ k characters (FastSS
+    neighborhood).  |N(s)| = 1 + L + L(L−1)/2 at k=2."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_pairs(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    num_partitions: int = 16,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """All pairs within Levenshtein distance ``max_dist`` — EXACT, via FastSS
+    (Bocek et al. 2007): ed(a, b) ≤ k ⟹ their ≤k-deletion neighborhoods
+    intersect, so grouping rows by hashed deletion variants yields a
+    complete candidate set; a banded DP verify inside each bucket makes it
+    exact.  Returns (a, b, dist) with a < b by id.
+
+    Scale shape: each row fans out to |N(s)| (hash, id, string) rows —
+    O(L²) per string at k=2, bounded for the name/title/key columns this
+    targets — through the hash map/reduce exchange; per bucket, pairs are
+    length-prefiltered then DP-verified (strings travel WITH the rows, no
+    broadcast side); cross-bucket duplicates collapse in one distinct pass.
+    ``max_bucket`` caps degenerate buckets (the LSH hot-bucket guard) —
+    leave large when exactness vs an oracle is required."""
+    from ..functions.hashing import hash_string_array
+    from .aggregates import distinct_keys
+    from .canonicalize import grouped_apply
+
+    schema = pa.schema(
+        [(f.name, f.type)
+         for f in ds.schema(fetch_if_missing=True).base_schema]
+    )
+    id_type = schema.field(id_col).type
+    k = int(max_dist)
+
+    def variant_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        out_id: list = []
+        out_s: list[str] = []
+        variants: list[str] = []
+        for i, s in zip(ids, texts):
+            s = s or ""
+            vs = _deletion_variants(s, k)
+            variants.extend(vs)
+            out_id.extend([i] * len(vs))
+            out_s.extend([s] * len(vs))
+        key = hash_string_array(pa.array(variants, pa.string())).view(np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            id_col: pa.array(out_id, id_type),
+            text_col: pa.array(out_s, pa.string()),
+        })
+
+    banded = ds.map_batches(variant_rows, batch_format="pyarrow")
+    pair_schema = pa.schema([
+        pa.field("a", id_type), pa.field("b", id_type),
+        pa.field("sa", pa.string()), pa.field("sb", pa.string()),
+    ])
+
+    def bucket_pairs(block: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = block.num_rows
+        lens = np.diff(np.r_[starts, n])
+        ids = block.column(id_col).to_pylist()
+        txt = block.column(text_col).to_pylist()
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            if ln < 2 or ln > max_bucket:
+                continue
+            seen = set()
+            for i in range(s, s + ln):
+                for j in range(i + 1, s + ln):
+                    ia, ib = ids[i], ids[j]
+                    if ia == ib:
+                        continue  # the same row in several variants
+                    if ia > ib:
+                        ia, ib = ib, ia
+                        wa, wb = txt[j], txt[i]
+                    else:
+                        wa, wb = txt[i], txt[j]
+                    if (ia, ib) in seen or abs(len(wa) - len(wb)) > k:
+                        continue
+                    seen.add((ia, ib))
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_sa.append(wa)
+                    out_sb.append(wb)
+        return pa.table({
+            "a": pa.array(out_a, id_type), "b": pa.array(out_b, id_type),
+            "sa": pa.array(out_sa, pa.string()),
+            "sb": pa.array(out_sb, pa.string()),
+        }, schema=pair_schema)
+
+    candidates = grouped_apply(
+        banded, ["key"], None, pair_schema,
+        num_partitions=num_partitions, hash_sort=True,
+        block_fn=bucket_pairs, exchange="hash",
+    )
+    candidates = distinct_keys(candidates, ["a", "b", "sa", "sb"])
+
+    out_schema = pa.schema([
+        pa.field("a", id_type), pa.field("b", id_type),
+        pa.field("dist", pa.int64()),
+    ])
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        sa = b.column("sa").to_pylist()
+        sb = b.column("sb").to_pylist()
+        dist = np.fromiter(
+            (levenshtein_bounded(x, y, k) for x, y in zip(sa, sb)),
+            np.int64, count=len(sa),
+        )
+        keep = dist <= k
+        return pa.table({
+            "a": b.column("a").filter(pa.array(keep)),
+            "b": b.column("b").filter(pa.array(keep)),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }, schema=out_schema)
+
+    return candidates.map_batches(verify, batch_format="pyarrow")

@@ -693,3 +693,63 @@ def test_ngram_containment_matches_brute():
     # asymmetry: the long host is NOT contained in the short quote
     host = next(b for a, b in got if a == 40)
     assert (host, 40) not in got
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(ray_session):
+    """FastSS blocking + banded verify is EXACT: random words with planted
+    substitutions, insertions, deletions and transposition-like edits, vs a
+    brute-force full-DP all-pairs oracle."""
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from knowledgegraph_ray.stages.dedup import (
+        edit_distance_pairs,
+        levenshtein_bounded,
+    )
+
+    def full_dp(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(la + 1))
+        for j in range(1, lb + 1):
+            prev, d[0] = d[0], j
+            for i in range(1, la + 1):
+                cur = d[i]
+                d[i] = prev if a[i - 1] == b[j - 1] else 1 + min(prev, d[i], d[i - 1])
+                prev = cur
+        return d[la]
+
+    rng = random.Random(77)
+    alpha = "abcdefg"
+    base = ["".join(rng.choices(alpha, k=rng.randint(3, 12))) for _ in range(60)]
+    words = list(base)
+    for w in base[:30]:  # planted near neighbors of every edit kind
+        i = rng.randrange(len(w))
+        words.append(w[:i] + rng.choice(alpha) + w[i:])          # insertion
+        if len(w) > 3:
+            words.append(w[:i] + w[i + 1:])                       # deletion
+        words.append(w[:i] + rng.choice(alpha) + w[i + 1:])       # substitution
+        if len(w) > 4 and i < len(w) - 1:
+            words.append(w[:i] + w[i + 1] + w[i] + w[i + 2:])     # transposition
+    ds = rd.from_items(
+        [{"id": n, "s": w} for n, w in enumerate(words)]
+    ).repartition(5)
+    for k in (1, 2):
+        got = sorted(
+            (r["a"], r["b"], r["dist"])
+            for r in edit_distance_pairs(
+                ds, id_col="id", text_col="s", max_dist=k, num_partitions=4
+            ).take_all()
+        )
+        want = sorted(
+            (i, j, full_dp(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if full_dp(words[i], words[j]) <= k
+        )
+        assert got == want, f"k={k}: {len(got)} vs {len(want)} pairs"
+    # the banded kernel agrees with full DP and clamps above the bound
+    for a, b in itertools.combinations(words[:25], 2):
+        d = full_dp(a, b)
+        for k in (1, 2, 3):
+            assert levenshtein_bounded(a, b, k) == (d if d <= k else k + 1)
