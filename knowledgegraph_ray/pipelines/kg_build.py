@@ -109,6 +109,42 @@ def _input_rows(path: str) -> int:
         return -1
 
 
+def _quarantine_fsspec_http() -> None:
+    """Make concurrent Ray Data jobs thread-safe on hosts without aiohttp.
+
+    Ray's path resolver re-imports ``fsspec.implementations.http`` on EVERY
+    read (path_util._is_http_filesystem); with aiohttp absent that import
+    fails with ModuleNotFoundError (caught by Ray) and is evicted from
+    sys.modules, so it re-executes per read — and when two driver threads
+    import it CONCURRENTLY (the overlap explode thread + the next wave's
+    read) one can observe the other's half-initialized module, raising
+    ``ImportError: cannot import name 'HTTPFileSystem'`` which escapes
+    Ray's ModuleNotFoundError guard and kills the wave.  Pin a stub module
+    once so every later import is a stable sys.modules hit; the stub class
+    preserves failure semantics on actual use."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        pass
+    if "fsspec.implementations.http" in sys.modules:
+        return
+
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 - mirrors the real class name
+        def __init__(self, *a: Any, **k: Any) -> None:
+            raise ModuleNotFoundError("No module named 'aiohttp'")
+
+    stub.HTTPFileSystem = HTTPFileSystem  # type: ignore[attr-defined]
+    sys.modules["fsspec.implementations.http"] = stub
+
+
 def _pre_explode_wave(
     work_dir: str, extract_dir: str, shards: list[str]
 ) -> None:
@@ -196,6 +232,8 @@ def run_extraction(
     cover the extraction output, else falls back to exploding inline."""
     import threading
 
+    if overlap:
+        _quarantine_fsspec_http()
     extract_dir = os.path.join(work_dir, "extracted")
     manifest_dir = os.path.join(work_dir, "manifests")
     if not resume:
