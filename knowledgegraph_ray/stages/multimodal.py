@@ -9,9 +9,10 @@ extractor and embedder.  Decode backends:
   BMP images (``decode_ppm``/``decode_bmp`` + nearest-neighbor
   ``resize_nearest``), PNG via stdlib zlib (``decode_png`` — 8-bit
   gray/RGB/palette/alpha, all five scanline filters), GIF with a full
-  LZW codec (``decode_gif`` — 87a/89a, interlacing, local tables) and
+  LZW codec (``decode_gif`` — 87a/89a, interlacing, local tables),
+  baseline JPEG (``stages/jpeg.py`` — Huffman + IDCT, any sampling) and
   PCM-16 WAV audio (``decode_wav_pcm16``) — no codec library needed;
-* ``backend="strict"`` — transform-coded formats (JPEG/MP3/H.264) require
+* ``backend="strict"`` — perceptual audio/video codecs (MP3/H.264) require
   codec libraries NOT in this container: the clearly-marked
   ``NotImplementedError`` stub;
 * ``backend="fake"`` — deterministic payload-derived pixels/samples, so the
@@ -575,10 +576,14 @@ class ImageDecoder:
                 px = decode_png(payload)
             elif payload.startswith(b"GIF8"):
                 px = decode_gif(payload)
+            elif payload.startswith(b"\xff\xd8"):
+                from .jpeg import decode_jpeg
+
+                px = decode_jpeg(payload)
             else:
                 raise ValueError(
-                    "raw backend decodes PPM/BMP/PNG/GIF; other compressed "
-                    "formats need a codec backend"
+                    "raw backend decodes PPM/BMP/PNG/GIF/JPEG; other "
+                    "compressed formats need a codec backend"
                 )
             w, h = self.resize
             return resize_nearest(px, w, h)
