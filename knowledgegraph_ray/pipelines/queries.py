@@ -2681,6 +2681,71 @@ def q_twap(sf_dir: str):
     )
 
 
+def q_gini(sf_dir: str):
+    """Per-event-type Gini coefficient of non-negative value cents — the
+    concentration/inequality audit (who holds the mass: users, domains,
+    sources).  G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending; tie
+    order is immaterial (equal values commute in Σ i·xᵢ), so the result is
+    deterministic under any sort.  Key-only range sort colocates each type
+    (grouped_twap's shape); per block one in-block C sort + two reduceats
+    give exact int64 (n, Σx, Σ i·x); the division is ONE float op per key
+    from exact Python ints; floor4 for layout-stable bits."""
+    key = "event_type"
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "v").drop_columns(["value"])
+        keep = pc.and_(
+            pc.is_valid(b.column("v")), pc.greater_equal(b.column("v"), 0)
+        )
+        return b.filter(pc.fill_null(keep, False))
+
+    s = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=[key, "value"]
+    ).map_batches(to_cents, batch_format="pyarrow").sort([key])
+    out_schema = pa.schema([(key, pa.string()), ("gini_r", pa.float64())])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[(key, "ascending"), ("v", "ascending")]
+        )
+        block = block.take(order)
+        keys_np = block.column(key).to_numpy(zero_copy_only=False)
+        v = block.column("v").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys_np[1:] != keys_np[:-1]])
+        ends = np.r_[starts[1:], n]
+        cnt = ends - starts
+        # per-key ascending rank 1..n_k; Σ rank·v must stay exact in int64
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, cnt) + 1
+        vmax = int(v.max()) if n else 0
+        assert vmax == 0 or int(cnt.max()) ** 2 * vmax < 2**63
+        six = np.add.reduceat(rank * v, starts)
+        sx = np.add.reduceat(v, starts)
+        keep_idx: list[int] = []
+        gini: list[float] = []
+        for pos, (Six, S, nk) in enumerate(
+            zip(six.tolist(), sx.tolist(), cnt.tolist())
+        ):
+            if S == 0:
+                continue  # all-zero mass: Gini undefined (SQL mirror: s > 0)
+            g = float(2 * Six - (nk + 1) * S) / float(nk * S)
+            keep_idx.append(int(starts[pos]))
+            gini.append(np.floor(g * 10000.0) / 10000.0)
+        return pa.Table.from_pydict(
+            {
+                key: block.column(key).take(pa.array(keep_idx, pa.int64())),
+                "gini_r": pa.array(gini, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).sort(key)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: exact 5-token-window Jaccard for
     every source pair — the corpus-audit op quantifying train/eval or
@@ -4546,6 +4611,31 @@ ORACLE_SQL: dict[str, str] = {
                  * 10000.0) / 10000.0 AS chi2_r
         FROM st JOIN s USING (source) JOIN t USING (term) CROSS JOIN n
     """,
+    # Gini: ranks from the same ascending sort (tie order immaterial); both
+    # sides keep the numerator/denominator as exact ints and divide ONCE in
+    # double, then floor4 — bit-identical floats
+    "q_gini": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events
+          WHERE value IS NOT NULL
+            AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 0
+        ),
+        r AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS i
+          FROM e
+        ),
+        a AS (
+          SELECT event_type, count(*) AS n, sum(v) AS s, sum(i * v) AS six
+          FROM r GROUP BY event_type
+        )
+        SELECT event_type,
+               floor(CAST(2 * six - (n + 1) * s AS DOUBLE)
+                     / CAST(n * s AS DOUBLE) * 10000.0) / 10000.0 AS gini_r
+        FROM a WHERE s > 0 ORDER BY event_type
+    """,
     "q_twap": """
         WITH w AS (
           SELECT user_id,
@@ -5945,6 +6035,7 @@ QUERIES = {
     "q_quota_sample": q_quota_sample,
     "q_keyness_chi2": q_keyness_chi2,
     "q_twap": q_twap,
+    "q_gini": q_gini,
     "q_source_overlap": q_source_overlap,
     "q_mad_by_type": q_mad_by_type,
     "q_lm_perplexity": q_lm_perplexity,

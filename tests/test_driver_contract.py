@@ -104,9 +104,10 @@ def test_no_duplicate_query_defs_or_dict_keys():
             assert not dups, f"duplicate dict keys at line {node.lineno}: {dups}"
 
 
-@pytest.mark.parametrize("name", [
+REHEARSED_ORACLE_QUERIES = [
     # previously rehearsed only by the driver itself — every oracle-backed
     # query must appear here so drift is caught before the driver run
+    # (test_rehearsal_list_is_complete enforces the 1:1 match)
     "q_asof_forward", "q_bloom_semi_join", "q_boilerplate_strip",
     "q_cumulative_distinct", "q_domain_cap", "q_inverted_index",
     "q_knn_pq", "q_knn_sq8", "q_link_predict_ra", "q_outliers_iqr",
@@ -163,11 +164,21 @@ def test_no_duplicate_query_defs_or_dict_keys():
     "q_case_bucket", "q_revenue_by_nation", "q_distinct_users",
     "q_order_priority", "q_status_pivot", "q_above_avg",
     "q_sssp", "q_harmonic_parts", "q_skyline", "q_mutual_nn",
-    "q_quota_sample", "q_keyness_chi2", "q_twap",
+    "q_quota_sample", "q_keyness_chi2", "q_twap", "q_gini",
+    "q_editdist_names",
     "q_source_overlap", "q_mad", "q_mad_by_type", "q_lm_perplexity",
     "q_lexical_diversity",
     "q_kg_nodes_by_type", "q_kg_edges_by_type",
-])
+]
+
+
+def test_rehearsal_list_is_complete(entry_mod):
+    """Every oracle-backed query is rehearsed here and vice versa — a new
+    ORACLE_SQL entry without a rehearsal row (or a stale row) fails fast."""
+    assert set(REHEARSED_ORACLE_QUERIES) == set(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", REHEARSED_ORACLE_QUERIES)
 def test_query_matches_oracle(entry_mod, duck, name):
     q = entry_mod.queries()
     sql = entry_mod.oracle_sql()[name]
