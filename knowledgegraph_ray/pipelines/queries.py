@@ -3711,11 +3711,21 @@ def _synth_media_cached(sf_dir: str, kind: str, synth_fn) -> "rd.Dataset":
     marker = f"{base}/_SUCCESS"
     data = f"{base}/data"
     if not os.path.isfile(marker):
+        # write to a pid-private dir, then one atomic rename: a concurrent
+        # process either wins the rename or discards its copy — the cache
+        # can never hold two writers' mixed (doubled) files
+        tmp = f"{base}/data.tmp.{os.getpid()}"
         rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id"]
         ).map_batches(
             synth_fn, batch_format="pyarrow", batch_size=256
-        ).write_parquet(data)
+        ).write_parquet(tmp)
+        try:
+            os.rename(tmp, data)
+        except OSError:  # another process won
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         with open(marker, "w") as f:
             f.write("ok")
     return rd.read_parquet(data)
