@@ -491,6 +491,23 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return (mono.astype(np.float32) / 32768.0), rate
 
 
+def decode_audio_raw(payload: bytes) -> tuple[np.ndarray, int]:
+    """Raw-backend audio dispatch by magic bytes: RIFF/WAVE PCM16 or FLAC
+    (stages/flac.py, lossless — identical samples to the source PCM).
+    Returns (mono float32 in [-1, 1], sample_rate)."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        pcm, rate = decode_flac(payload)
+        mono = (
+            pcm.astype(np.float64).mean(axis=1)
+            if pcm.ndim == 2 and pcm.shape[1] > 1
+            else pcm.reshape(-1).astype(np.float64)
+        )
+        return (mono / 32768.0).astype(np.float32), rate
+    return decode_wav_pcm16(payload)
+
+
 def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize via two index gathers — no imaging library."""
     ys = (np.arange(height) * px.shape[0] // height).clip(max=px.shape[0] - 1)
@@ -635,7 +652,7 @@ class AudioFeaturizer:
             rng = np.random.default_rng(seed)
             return rng.standard_normal(self.sample_rate).astype(np.float32)
         if self.backend == "raw":
-            samples, rate = decode_wav_pcm16(payload)
+            samples, rate = decode_audio_raw(payload)
             self.sample_rate = rate  # report the container's true rate
             return samples
         raise NotImplementedError(
@@ -1049,7 +1066,7 @@ class AudioFingerprinter:
         out = np.empty(len(payloads), np.uint64)
         for i, payload in enumerate(payloads):
             if self.backend == "raw":
-                samples, _ = decode_wav_pcm16(payload or b"")
+                samples, _ = decode_audio_raw(payload or b"")
             elif self.backend == "fake":
                 samples = _fake_samples(payload or b"")
             else:
