@@ -97,3 +97,97 @@ def test_raw_backend_fingerprint_parity_with_wav(ray_session):
     wav = fingerprints(lambda x: wav_bytes(x, 8000), "w")
     flac = fingerprints(lambda x: encode_flac(x, 8000), "f")
     assert wav == flac
+
+
+def test_decoder_paths_encoder_never_emits():
+    """Hand-built single-frame streams exercise the decode paths the
+    repo's encoder doesn't produce: LPC subframes, VERBATIM, Rice escape
+    partitions, partition order > 0, and wasted bits."""
+    from knowledgegraph_ray.stages.flac import (
+        _BitsW,
+        _crc8,
+        _crc16,
+        _utf8_number,
+    )
+
+    def streaminfo(n: int) -> bytes:
+        w = _BitsW()
+        w.write(16, 16); w.write(16, 16); w.write(0, 24); w.write(0, 24)
+        w.write(44100, 20); w.write(0, 3); w.write(15, 5); w.write(n, 36)
+        w.align()
+        body = bytes(w.out) + b"\x00" * 16
+        return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    def frame(n: int, subframe_bits) -> bytes:
+        w = _BitsW()
+        w.write(0b11111111111110, 14); w.write(0, 1); w.write(0, 1)
+        w.write(6, 4)      # 8-bit blocksize-1 follows
+        w.write(9, 4)      # 44100
+        w.write(0, 4)      # mono
+        w.write(4, 3)      # 16 bps
+        w.write(0, 1)
+        for b in _utf8_number(0):
+            w.write(b, 8)
+        w.write(n - 1, 8)
+        w.align()
+        hdr = bytes(w.out)
+        w2 = _BitsW()
+        subframe_bits(w2)
+        w2.align()
+        f = hdr + bytes([_crc8(hdr)]) + bytes(w2.out)
+        return f + _crc16(f).to_bytes(2, "big")
+
+    def rice_write(w, v, param):
+        u = (v << 1) if v >= 0 else (((-v) << 1) - 1)
+        w.write(1, (u >> param) + 1)
+        if param:
+            w.write(u & ((1 << param) - 1), param)
+
+    # --- LPC order 2, shift 5, two Rice partitions (order 1) -------------
+    n = 16
+    x = [100, -200, 150, 300, -50, 0, 75, -125, 30, 60, -90, 180, 22, -7, 8, 1]
+    c1, c2, shift = 40, -13, 5
+    res = []
+    for k in range(2, n):
+        pred = (c1 * x[k - 1] + c2 * x[k - 2]) >> shift
+        res.append(x[k] - pred)
+
+    def lpc_sub(w):
+        w.write(0, 1)
+        w.write(32 + 1, 6)  # LPC, order 2 (type = 32 + order - 1)
+        w.write(0, 1)       # no wasted bits
+        for v in x[:2]:
+            w.write(v & 0xFFFF, 16)
+        w.write(14, 4)      # precision-1 → 15-bit coefs
+        w.write(shift & 0x1F, 5)
+        for c in (c1, c2):
+            w.write(c & 0x7FFF, 15)
+        w.write(0, 2)       # 4-bit rice params
+        w.write(1, 4)       # partition order 1 → two partitions
+        w.write(6, 4)       # param for partition 0 (16/2 - 2 = 6 samples)
+        for v in res[:6]:
+            rice_write(w, v, 6)
+        w.write(15, 4)      # ESCAPE partition: raw bit count follows
+        w.write(12, 5)      # 12-bit raw residuals
+        for v in res[6:]:
+            w.write(v & 0xFFF, 12)
+
+    from knowledgegraph_ray.stages.flac import decode_flac
+
+    back, rate = decode_flac(streaminfo(n) + frame(n, lpc_sub))
+    assert rate == 44100
+    np.testing.assert_array_equal(back[:, 0], np.array(x, np.int16))
+
+    # --- VERBATIM with 1 wasted bit ---------------------------------------
+    y = [2 * v for v in (-5, 7, 100, -300, 0, 12, -1, 9)]  # all even
+
+    def verb_sub(w):
+        w.write(0, 1)
+        w.write(1, 6)   # VERBATIM
+        w.write(1, 1)   # wasted-bits flag
+        w.write(1, 1)   # unary 0 → wasted = 1 (a single terminating 1-bit)
+        for v in y:
+            w.write((v >> 1) & 0x7FFF, 15)  # bps - wasted = 15
+
+    back2, _ = decode_flac(streaminfo(len(y)) + frame(len(y), verb_sub))
+    np.testing.assert_array_equal(back2[:, 0], np.array(y, np.int16))
