@@ -3610,6 +3610,57 @@ def q_kg_search(sf_dir: str):
     )
 
 
+def q_quality_classifier(sf_dir: str):
+    """Distributed linear quality classifier (the fastText-style lexical
+    filter a corpus pipeline trains before any expensive model): labels from
+    a deterministic lexical rule (#'join' tokens > #'scan' tokens), hashed
+    L2-normalized count features, FULL-BATCH gradient descent (stages/ml.py
+    — per-iteration O(dim)-per-block gradient partials, never the corpus);
+    returns the 16 largest-|weight| hash buckets.  Rows-only to the driver;
+    accuracy/invariance are pytest-oracled (tests/test_ml.py)."""
+    from ..stages.ml import dense_hash_features, logreg_fit
+
+    dim = 512
+
+    def add_label(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.coalesce(col, ""), " ")
+        flat = pc.list_flatten(toks)
+        rows = np.repeat(
+            np.arange(b.num_rows, dtype=np.int64),
+            np.diff(np.asarray(toks.offsets).astype(np.int64)),
+        )
+        nj = np.zeros(b.num_rows, np.int64)
+        ns = np.zeros(b.num_rows, np.int64)
+        if len(flat):
+            jm = pc.equal(flat, "join").to_numpy(zero_copy_only=False)
+            sm = pc.equal(flat, "scan").to_numpy(zero_copy_only=False)
+            np.add.at(nj, rows[jm], 1)
+            np.add.at(ns, rows[sm], 1)
+        return b.append_column(
+            "label", pa.array((nj > ns).astype(np.int64), pa.int64())
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_label, batch_format="pyarrow"
+    )
+    model = logreg_fit(
+        docs, label_col="label",
+        features_fn=lambda t: dense_hash_features(t, text_col="text", dim=dim),
+        dim=dim, iters=400, lr=10.0, l2=1e-5,
+    )
+    w = np.asarray(model["w"])
+    top = np.argsort(-np.abs(w), kind="stable")[:16]
+    return pa.table({
+        "feature": pa.array(top.astype(np.int64), pa.int64()),
+        "weight_r": pa.array(
+            np.floor(w[top] * 10000.0) / 10000.0, pa.float64()
+        ),
+    })
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table → per-cluster
     sizes (iterative algorithm: fused assign+partial-sum passes, O(k×blocks)
@@ -6142,6 +6193,7 @@ QUERIES = {
     "q_ivf_knn": q_ivf_knn,
     "q_hnsw_knn": q_hnsw_knn,
     "q_kmeans": q_kmeans,
+    "q_quality_classifier": q_quality_classifier,
     "q_pca": q_pca,
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
@@ -6201,6 +6253,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
         "tests/test_nsw.py::test_nsw_index_build_query_and_recall",
         "tests/test_nsw.py::test_beam_search_full_pool_is_exact",
         "tests/test_nsw.py::test_q_hnsw_knn_matches_exact_at_small_scale",
+    ],
+    "q_quality_classifier": [
+        "tests/test_ml.py::test_logreg_learns_separable_data",
+        "tests/test_ml.py::test_logreg_partition_and_regime_invariance",
+        "tests/test_ml.py::test_quality_classifier_query_learns_the_rule",
     ],
     "q_kmeans": [
         "tests/test_dedup_knn.py::test_kmeans_recovers_separated_blobs",
