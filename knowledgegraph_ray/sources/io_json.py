@@ -130,6 +130,80 @@ def export_graph_json(
     return path
 
 
+def export_jsonl_gz(
+    ds: rd.Dataset, path: str, *, level: int = 6,
+    batch_size: "int | None" = None,
+) -> dict[str, Any]:
+    """Gzipped-JSONL shard export — the de-facto training-data interchange
+    format.  Each block is compressed and written INSIDE its worker task
+    (distributed sink, driver never sees the data); file names are
+    content-addressed (sha1 of the gzip bytes, mtime pinned to 0 so the
+    bytes are deterministic), which makes the write idempotent — a retried
+    task rewrites the identical file instead of duplicating rows.  Returns
+    the manifest {files, rows, bytes} and writes it as ``_index.json``
+    (the resumable-output pattern: a consumer can verify shard completeness
+    without opening shards).  Per-row json.dumps is fine here: an export
+    sink is IO-bound by design."""
+    import gzip
+    import hashlib
+    import io
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(b) -> "Any":
+        import pyarrow as pa_
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(
+            fileobj=buf, mode="wb", compresslevel=level, mtime=0
+        ) as gz:
+            for row in b.to_pylist():
+                gz.write((json.dumps(row, default=str) + "\n").encode())
+        data = buf.getvalue()
+        name = hashlib.sha1(data).hexdigest()[:16] + ".jsonl.gz"
+        tmp = os.path.join(path, f"{name}.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(path, name))
+        return pa_.table({
+            "file": [name],
+            "rows": [b.num_rows],
+            "bytes": [len(data)],
+        })
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # O(#shards) rows — tiny
+    files = sorted(
+        ({"file": m["file"], "rows": m["rows"], "bytes": m["bytes"]}
+         for m in manifest),
+        key=lambda m: m["file"],
+    )
+    index = {
+        "files": files,
+        "total_rows": sum(m["rows"] for m in files),
+        "total_bytes": sum(m["bytes"] for m in files),
+        "format": "jsonl.gz",
+    }
+    tmp = os.path.join(path, "_index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "_index.json"))
+    return index
+
+
+def load_jsonl_gz(path: str) -> rd.Dataset:
+    """Read back a ``export_jsonl_gz`` directory (or any *.jsonl.gz set)."""
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".jsonl.gz")
+    )
+    return rd.read_json(
+        files, arrow_open_stream_args={"compression": "gzip"}
+    )
+
+
 def load_jsonl(path: str) -> rd.Dataset:
     return rd.read_json(path)
 

@@ -135,3 +135,28 @@ def test_export_graph_json_streams_past_guard(ray_session, tmp_path):
     back = load_jsonl(doc["edges_dir"])
     assert back.count() == n
     assert sorted(back.take_all()[0].keys()) == ["dst", "relation_id", "src", "type"]
+
+
+def test_export_jsonl_gz_roundtrip_and_idempotent(ray_session, tmp_path):
+    """Distributed gz shard export: exact row round-trip, deterministic
+    content-addressed files (re-export writes the identical set), honest
+    _index.json manifest."""
+    from knowledgegraph_ray.sources.io_json import export_jsonl_gz, load_jsonl_gz
+
+    n = 1000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [f"doc {i} body" for i in range(n)],
+    })).repartition(4)
+    p = str(tmp_path / "shards")
+    idx = export_jsonl_gz(ds, p, batch_size=None)
+    assert idx["total_rows"] == n and len(idx["files"]) >= 2
+    names1 = {f["file"] for f in idx["files"]}
+    assert all(name.endswith(".jsonl.gz") for name in names1)
+    back = load_jsonl_gz(p).take_all()
+    assert sorted(r["doc_id"] for r in back) == list(range(n))
+    assert json.load(open(os.path.join(p, "_index.json")))["total_rows"] == n
+    # idempotence: re-export lands on the identical content-addressed files
+    idx2 = export_jsonl_gz(ds, p, batch_size=None)
+    assert {f["file"] for f in idx2["files"]} == names1
+    assert len([f for f in os.listdir(p) if f.endswith(".jsonl.gz")]) == len(names1)
