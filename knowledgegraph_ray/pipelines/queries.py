@@ -3610,6 +3610,27 @@ def q_kg_search(sf_dir: str):
     )
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016) over the documents
+    table: ONE map-side-combined word-frequency exchange (the corpus-scale
+    work), then the exact greedy merge loop on the vocabulary-sized
+    dictionary — returns the first 30 merges with their counts.  Rows-only;
+    the exact-greedy property is pytest-oracled against an independent
+    recount-from-scratch reference (tests/test_bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    model = bpe_train(
+        _docs(sf_dir, ["doc_id", "text"]), n_merges=30, text_col="text"
+    )
+    return pa.table({
+        "rank": pa.array(range(len(model["merges"])), pa.int64()),
+        "pair": pa.array(
+            [f"{a}+{b}" for a, b in model["merges"]], pa.string()
+        ),
+        "n": pa.array(model["merge_counts"], pa.int64()),
+    })
+
+
 def q_quality_classifier(sf_dir: str):
     """Distributed linear quality classifier (the fastText-style lexical
     filter a corpus pipeline trains before any expensive model): labels from
@@ -6194,6 +6215,7 @@ QUERIES = {
     "q_hnsw_knn": q_hnsw_knn,
     "q_kmeans": q_kmeans,
     "q_quality_classifier": q_quality_classifier,
+    "q_bpe_train": q_bpe_train,
     "q_pca": q_pca,
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
@@ -6253,6 +6275,11 @@ PYTEST_ORACLES: dict[str, list[str]] = {
         "tests/test_nsw.py::test_nsw_index_build_query_and_recall",
         "tests/test_nsw.py::test_beam_search_full_pool_is_exact",
         "tests/test_nsw.py::test_q_hnsw_knn_matches_exact_at_small_scale",
+    ],
+    "q_bpe_train": [
+        "tests/test_bpe.py::test_bpe_matches_bruteforce_reference",
+        "tests/test_bpe.py::test_word_frequencies_partition_invariant",
+        "tests/test_bpe.py::test_bpe_encode_roundtrip",
     ],
     "q_quality_classifier": [
         "tests/test_ml.py::test_logreg_learns_separable_data",
