@@ -1,0 +1,89 @@
+"""WARC source (sources/warc.py): format round-trip, record-type skipping,
+and the cross-source north-rule invariant — byte-identical extracted text
+per url whether pages arrive as Parquet or WARC."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.sources.warc import parse_warc, read_warc, warc_bytes
+
+
+def _pages(n=120, seed=11):
+    from knowledgegraph_ray.sources.pages import generate_pages
+
+    table, _meta = generate_pages(n, seed=seed)
+    return table
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    rows = [
+        {"url": f"http://ex.com/{i}", "html": f"<html><body>doc {i}</body></html>"}
+        for i in range(10)
+    ]
+    for compress in (False, True):
+        data = warc_bytes(rows, compress=compress)
+        recs = list(parse_warc(data))
+        assert len(recs) == 10  # warcinfo skipped
+        assert [r["url"] for r in recs] == [p["url"] for p in rows]
+        assert recs[0]["html"] == rows[0]["html"].encode()
+        assert recs[0]["http_status"].startswith("HTTP/1.1 200")
+        assert recs[0]["warc_date"].endswith("Z")
+
+
+def test_parse_warc_rejects_garbage_and_skips_non_responses():
+    with pytest.raises(ValueError, match="WARC"):
+        list(parse_warc(b"NOT A WARC FILE\r\n\r\n"))
+    # hand-add a request record between responses: must be skipped
+    body = b"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:x>\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode() + body + b"\r\n\r\n"
+    )
+    resp = warc_bytes([{"url": "http://a", "html": "<p>hi</p>"}], compress=False,
+                      warcinfo=False)
+    recs = list(parse_warc(req + resp))
+    assert len(recs) == 1 and recs[0]["url"] == "http://a"
+
+
+def test_read_warc_matches_parquet_source_byte_identical(ray_session, tmp_path):
+    """The north-rule per-row invariant holds ACROSS SOURCES: the same page
+    delivered via WARC or Parquet yields the identical extracted text."""
+    import pyarrow.parquet as pq
+
+    from knowledgegraph_ray.pipelines.kg_build import prepare_pages
+
+    table = _pages(120)
+    rows = table.to_pylist()
+    # two WARC shards, one gzipped, one plain
+    half = len(rows) // 2
+    w1 = tmp_path / "crawl-00000.warc.gz"
+    w2 = tmp_path / "crawl-00001.warc"
+    w1.write_bytes(warc_bytes(
+        [{"url": r["url"], "html": r["html"] or b""} for r in rows[:half]],
+        compress=True,
+    ))
+    w2.write_bytes(warc_bytes(
+        [{"url": r["url"], "html": r["html"] or b""} for r in rows[half:]],
+        compress=False,
+    ))
+    pdir = tmp_path / "pages.parquet"
+    pq.write_table(table, pdir)
+
+    warc_pages = read_warc([str(w1), str(w2)]).map_batches(
+        prepare_pages, batch_format="pyarrow"
+    )
+    parq_pages = rd.read_parquet(str(pdir), include_paths=True).map_batches(
+        prepare_pages, batch_format="pyarrow"
+    )
+    wt = {r["url"]: r["text"] for r in warc_pages.take_all()}
+    pt = {r["url"]: r["text"] for r in parq_pages.take_all()}
+    assert set(wt) == set(pt)
+    diff = [u for u in pt if wt[u] != pt[u]]
+    assert not diff, f"text drift for {len(diff)} urls, e.g. {diff[:3]}"
+    # lineage shard column derived from the warc file name
+    shards = {r["shard"] for r in warc_pages.take_all()}
+    assert shards == {"crawl-00000", "crawl-00001"}
