@@ -81,10 +81,12 @@ def cmd_build(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines import kg_build
 
+    fmt = getattr(args, "input_format", "parquet")
+    exts = (".warc", ".warc.gz") if fmt == "warc" else (".parquet",)
     paths = sorted(
         os.path.join(args.input, f)
         for f in os.listdir(args.input)
-        if f.endswith(".parquet")
+        if f.endswith(exts)
     )
     res = kg_build(
         paths,
@@ -98,6 +100,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         linking=_linking_cfg(args),
         backend_factory=_backend_factory(args),
         embed_backend=_embed_backend(args),
+        input_format=fmt,
     )
     print(json.dumps(res.metrics, default=str))
     return 0
@@ -108,13 +111,16 @@ def cmd_retry(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.kg_build import run_retry_failed
 
+    fmt = getattr(args, "input_format", "parquet")
+    exts = (".warc", ".warc.gz") if fmt == "warc" else (".parquet",)
     paths = sorted(
         os.path.join(args.input, f)
         for f in os.listdir(args.input)
-        if f.endswith(".parquet")
+        if f.endswith(exts)
     )
     out = run_retry_failed(
-        paths, args.work, batch_size=args.batch_size, concurrency=args.concurrency
+        paths, args.work, batch_size=args.batch_size,
+        concurrency=args.concurrency, input_format=fmt,
     )
     print(json.dumps(out))
     return 0
@@ -308,6 +314,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--embed", action="store_true")
     b.add_argument("--embed-dim", type=int, default=1024)
+    b.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="page source: parquet page table (default) or "
+                        "Common-Crawl WARC shards (.warc/.warc.gz)")
     b.add_argument("--llm-backend", choices=["rule", "openai"], default="rule",
                    help="extraction backend: hermetic rules (default) or the "
                         "OpenAI-compatible chat backend ($OPENAI_API_KEY etc.)")
@@ -325,6 +335,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--work", required=True)
     t.add_argument("--batch-size", type=int, default=256)
     t.add_argument("--concurrency", type=int, default=4)
+    t.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet")
     t.set_defaults(fn=cmd_retry)
 
     m = sub.add_parser("merge")

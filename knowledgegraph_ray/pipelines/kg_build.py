@@ -101,6 +101,32 @@ class KGBuildResult:
         return rd.read_parquet(self.edges_dir)
 
 
+def _shard_of(path: str, input_format: str) -> str:
+    """Lineage shard name per source format (warc strips .warc/.warc.gz so
+    manifests and partition dirs match sources/warc.py's shard column)."""
+    if input_format == "warc":
+        base = os.path.basename(path)
+        for suffix in (".warc.gz", ".warc"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+                break
+        return shard_name(base)
+    return shard_name(path)
+
+
+def _read_pages(paths: list[str], input_format: str, all_paths: list[str]):
+    """One wave of input shards → page Dataset (url/ord/html/...)."""
+    if input_format == "parquet":
+        return rd.read_parquet(paths, include_paths=True)
+    if input_format == "warc":
+        from ..sources.warc import read_warc
+
+        # ordinals must be globally unique ACROSS waves: sequence files by
+        # the full run's sorted input list, not this wave's slice
+        return read_warc(paths, file_seq_paths=all_paths)
+    raise ValueError(f"unknown input_format {input_format!r}")
+
+
 def _input_rows(path: str) -> int:
     """Row count from the Parquet footer — no data read."""
     try:
@@ -221,9 +247,12 @@ def run_extraction(
     resume: bool = True,
     backend_factory: Callable[[], Any] | None = None,
     overlap: bool = False,
+    input_format: str = "parquet",
 ) -> dict[str, Any]:
     """Stage 1. Returns summary metrics; outputs + manifests land under
-    work_dir/extracted and work_dir/manifests.
+    work_dir/extracted and work_dir/manifests.  ``input_format``:
+    "parquet" (the default page table) or "warc" (Common-Crawl shards via
+    sources/warc.py — same downstream schema).
 
     ``overlap=True`` pipelines stage 2's explode into stage 1: as each wave
     checkpoints, a background driver thread explodes it into pre-exploded
@@ -248,10 +277,12 @@ def run_extraction(
     os.makedirs(extract_dir, exist_ok=True)
 
     done = completed_shards(manifest_dir, EXTRACT_STAGE) if resume else set()
-    todo = [p for p in input_paths if shard_name(p) not in done]
+    todo = [p for p in input_paths if _shard_of(p, input_format) not in done]
     skipped = len(input_paths) - len(todo)
     # shards being re-extracted make any prior pre-explosion of them stale
-    _invalidate_pre_explode(work_dir, {shard_name(p) for p in todo})
+    _invalidate_pre_explode(
+        work_dir, {_shard_of(p, input_format) for p in todo}
+    )
     explode_thread: "threading.Thread | None" = None
 
     fn_kwargs = {}
@@ -267,9 +298,10 @@ def run_extraction(
         # written files without completing the manifest) — rerun is clean.
         for p in wave:
             shutil.rmtree(
-                os.path.join(extract_dir, f"shard={shard_name(p)}"), ignore_errors=True
+                os.path.join(extract_dir, f"shard={_shard_of(p, input_format)}"),
+                ignore_errors=True,
             )
-        ds = rd.read_parquet(wave, include_paths=True)
+        ds = _read_pages(wave, input_format, input_paths)
         ds = ds.map_batches(prepare_pages, batch_format="pyarrow")
         if backend_factory is None:
             # Default backend: stateless-task extraction — read→prepare→
@@ -298,9 +330,11 @@ def run_extraction(
 
         # Manifest metrics: column-pruned read-back of what was just written
         # (counts only — never recomputes extraction).
-        stats = _readback_stats(extract_dir, [shard_name(p) for p in wave])
+        stats = _readback_stats(
+            extract_dir, [_shard_of(p, input_format) for p in wave]
+        )
         for path in wave:
-            sh = shard_name(path)
+            sh = _shard_of(path, input_format)
             st = stats.get(sh, {})
             write_manifest(
                 manifest_dir,
@@ -388,6 +422,7 @@ def run_retry_failed(
     batch_size: int = 128,
     concurrency: int | tuple[int, int] = 2,
     backend_factory: Callable[[], Any] | None = None,
+    input_format: str = "parquet",
 ) -> dict[str, Any]:
     """Re-drive failed extraction rows (the reference's RETRY_FAILED_EMAILS
     path, vespa_email_pipeline.py:262-263): rows whose ``error`` column is
@@ -431,7 +466,7 @@ def run_retry_failed(
         failed_tbl.column("shard").to_pylist(), failed_tbl.column("url").to_pylist()
     ):
         by_shard.setdefault(sh, set()).add(url)
-    path_by_shard = {shard_name(p): p for p in input_paths}
+    path_by_shard = {_shard_of(p, input_format): p for p in input_paths}
     # rewritten shards make any pre-explosion of them stale
     _invalidate_pre_explode(work_dir, set(by_shard))
 
@@ -445,7 +480,7 @@ def run_retry_failed(
         if src is None:
             continue
         url_set = pa.array(sorted(urls), pa.string())
-        pages = rd_.read_parquet([src], include_paths=True).map_batches(
+        pages = _read_pages([src], input_format, input_paths).map_batches(
             prepare_pages, batch_format="pyarrow"
         ).map_batches(
             lambda b, _u=url_set: b.filter(pc_.is_in(b.column("url"), value_set=_u)),
@@ -674,6 +709,7 @@ def kg_build(
     embed_backend=None,
     linking=None,
     overlap: bool = False,
+    input_format: str = "parquet",
 ) -> KGBuildResult:
     """Full pipeline: extraction (resumable) then graph build."""
     ext = run_extraction(
@@ -685,6 +721,7 @@ def kg_build(
         resume=resume,
         backend_factory=backend_factory,
         overlap=overlap,
+        input_format=input_format,
     )
     graph = run_graph_build(
         work_dir,

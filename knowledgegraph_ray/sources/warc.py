@@ -77,10 +77,18 @@ def parse_warc(data: bytes) -> Iterable[dict[str, Any]]:
         }
 
 
-def read_warc(paths: "list[str] | str") -> rd.Dataset:
-    """WARC shard files → page Dataset `(url, warc_ts timestamp[us],
+def read_warc(
+    paths: "list[str] | str",
+    *,
+    file_seq_paths: "list[str] | None" = None,
+) -> rd.Dataset:
+    """WARC shard files → page Dataset `(url, ord, warc_ts timestamp[us],
     html binary, lang, shard)` — schema-compatible with the parquet page
-    reader, so `kg_build`'s prepare→extract→graph stages run unchanged."""
+    reader, so `kg_build`'s prepare→extract→graph stages run unchanged.
+
+    ``file_seq_paths``: the FULL run's input list when reading a subset
+    (kg_build waves) so file sequence numbers — and therefore page
+    ordinals — stay globally unique and layout-independent."""
     import os
 
     from ..state.manifests import shard_name
@@ -91,7 +99,8 @@ def read_warc(paths: "list[str] | str") -> rd.Dataset:
     # list × 2^32 + record position within the file — unique, layout-
     # independent, and < 2^50 so mid = ord·4096 + i stays in int64
     path_list = [paths] if isinstance(paths, str) else list(paths)
-    file_seq = {os.path.abspath(p): i for i, p in enumerate(sorted(path_list))}
+    seq_src = file_seq_paths if file_seq_paths is not None else path_list
+    file_seq = {os.path.abspath(p): i for i, p in enumerate(sorted(seq_src))}
 
     schema = pa.schema([
         ("url", pa.string()),
