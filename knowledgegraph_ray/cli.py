@@ -62,18 +62,22 @@ def _backend_factory(args: argparse.Namespace):
 def _embed_backend(args: argparse.Namespace):
     """--embed-backend → an Embedder backend ('hash' default; 'transformer'
     = warm AutoModel mean pooling via $EMBEDDING_MODEL, 'ollama' = HTTP via
-    $OLLAMA_BASE_URL/$OLLAMA_EMBEDDING_MODEL)."""
+    $OLLAMA_BASE_URL/$OLLAMA_EMBEDDING_MODEL).  Real backends are wrapped in
+    LazyBackend so the model loads ONCE PER ACTOR, never on the driver; and
+    nothing is built at all unless --embed is on."""
     choice = getattr(args, "embed_backend", "hash")
-    if choice == "hash":
+    if choice == "hash" or not getattr(args, "embed", False):
         return None
+    from .stages.backends import LazyBackend
+
     if choice == "transformer":
         from .stages.backends import TransformerBackend
 
-        return TransformerBackend()
+        return LazyBackend(TransformerBackend)
     if choice == "ollama":
         from .stages.backends import OllamaHTTPBackend
 
-        return OllamaHTTPBackend()
+        return LazyBackend(OllamaHTTPBackend)
     raise SystemExit(f"unknown --embed-backend {choice!r}")
 
 

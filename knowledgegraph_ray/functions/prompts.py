@@ -126,8 +126,7 @@ class PromptFactory:
                 return DataType(dt.lower())
             except ValueError:
                 pass
-        if any(
-            f in data for f in ("from", "to", "subject", "sender", "recipient")
-        ):
-            return DataType.EMAIL
+        # every reachable non-explicit path in the reference resolves to
+        # EMAIL (the email-marker check and the default agree), so the
+        # marker tuple would be dead code here
         return DataType.EMAIL

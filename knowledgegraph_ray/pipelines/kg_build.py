@@ -102,15 +102,13 @@ class KGBuildResult:
 
 
 def _shard_of(path: str, input_format: str) -> str:
-    """Lineage shard name per source format (warc strips .warc/.warc.gz so
-    manifests and partition dirs match sources/warc.py's shard column)."""
+    """Lineage shard name per source format (warc delegates to the single
+    rule in sources/warc.py so manifests, partition dirs and the source's
+    shard column can never drift)."""
     if input_format == "warc":
-        base = os.path.basename(path)
-        for suffix in (".warc.gz", ".warc"):
-            if base.endswith(suffix):
-                base = base[: -len(suffix)]
-                break
-        return shard_name(base)
+        from ..sources.warc import warc_shard_name
+
+        return warc_shard_name(path)
     return shard_name(path)
 
 
@@ -360,7 +358,8 @@ def run_extraction(
                 explode_thread.join()
             explode_thread = threading.Thread(
                 target=_pre_explode_wave,
-                args=(work_dir, extract_dir, [shard_name(p) for p in wave]),
+                args=(work_dir, extract_dir,
+                      [_shard_of(p, input_format) for p in wave]),
                 daemon=True,
             )
             explode_thread.start()

@@ -174,9 +174,13 @@ def export_jsonl_gz(
     manifest = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=batch_size
     ).take_all()  # O(#shards) rows — tiny
+    # content addressing means byte-identical blocks COALESCE into one file
+    # (shard-level dedup); the manifest lists each stored file once so its
+    # totals always equal what load_jsonl_gz reads back
+    by_name = {m["file"]: m for m in manifest}
     files = sorted(
         ({"file": m["file"], "rows": m["rows"], "bytes": m["bytes"]}
-         for m in manifest),
+         for m in by_name.values()),
         key=lambda m: m["file"],
     )
     index = {
@@ -185,6 +189,13 @@ def export_jsonl_gz(
         "total_bytes": sum(m["bytes"] for m in files),
         "format": "jsonl.gz",
     }
+    # drop shards from PREVIOUS exports into this directory — without this
+    # a re-export with different data leaves stale files that a glob-based
+    # reader would union into the result
+    keep = {m["file"] for m in files}
+    for fn in os.listdir(path):
+        if fn.endswith(".jsonl.gz") and fn not in keep:
+            os.remove(os.path.join(path, fn))
     tmp = os.path.join(path, "_index.json.tmp")
     with open(tmp, "w") as f:
         json.dump(index, f, indent=1, sort_keys=True)
@@ -193,12 +204,20 @@ def export_jsonl_gz(
 
 
 def load_jsonl_gz(path: str) -> rd.Dataset:
-    """Read back a ``export_jsonl_gz`` directory (or any *.jsonl.gz set)."""
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".jsonl.gz")
-    )
+    """Read back an ``export_jsonl_gz`` directory: the ``_index.json``
+    manifest is authoritative when present (exactly the exported shard set),
+    else fall back to globbing *.jsonl.gz."""
+    idx = os.path.join(path, "_index.json")
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            names = [m["file"] for m in json.load(f)["files"]]
+        files = [os.path.join(path, n) for n in sorted(names)]
+    else:
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".jsonl.gz")
+        )
     return rd.read_json(
         files, arrow_open_stream_args={"compression": "gzip"}
     )

@@ -27,6 +27,21 @@ import ray.data as rd
 _CRLF2 = b"\r\n\r\n"
 
 
+def warc_shard_name(path: str) -> str:
+    """Lineage shard name for a WARC file: basename minus .warc/.warc.gz
+    (the ONE place this rule lives — kg_build and to_pages both call it)."""
+    import os as _os
+
+    from ..state.manifests import shard_name
+
+    base = _os.path.basename(path)
+    for suffix in (".warc.gz", ".warc"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+            break
+    return shard_name(base)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     for line in block.split(b"\r\n")[1:]:  # first line = version / status
@@ -91,8 +106,6 @@ def read_warc(
     ordinals — stay globally unique and layout-independent."""
     import os
 
-    from ..state.manifests import shard_name
-
     files = rd.read_binary_files(paths, include_paths=True)
     # deterministic global page ordinal (the "first item wins" tiebreaker
     # the parquet pages carry as `ord`): file sequence in the sorted input
@@ -116,13 +129,16 @@ def read_warc(
         for path, data in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            base = os.path.basename(path)
-            for suffix in (".warc.gz", ".warc"):
-                if base.endswith(suffix):
-                    base = base[: -len(suffix)]
-                    break
-            sh = shard_name(base)
-            seq = file_seq.get(os.path.abspath(path), 0)
+            sh = warc_shard_name(path)
+            seq = file_seq.get(os.path.abspath(path))
+            if seq is None:
+                # ord uniqueness is a correctness invariant — a silent
+                # default would make mention ids collide across files
+                raise ValueError(
+                    f"read_warc: worker path {path!r} not in the driver's "
+                    f"input list ({len(file_seq)} files) — ordinal "
+                    "sequencing would be ambiguous"
+                )
             for pos, rec in enumerate(parse_warc(data or b"")):
                 rows["url"].append(rec["url"])
                 rows["ord"].append((seq << 32) | pos)

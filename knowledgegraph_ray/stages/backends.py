@@ -244,3 +244,23 @@ class OllamaHTTPBackend:
             return len(self.embed_text("test")) > 0
         except Exception:
             return False
+
+
+class LazyBackend:
+    """Defer heavy backend construction into the ACTOR (``__call__`` site).
+
+    Passing a constructed ``TransformerBackend`` through
+    ``fn_constructor_kwargs`` would load the model on the DRIVER and ship
+    the pickled weights to every actor; wrapping the class in LazyBackend
+    ships only the class reference + kwargs, and each actor constructs its
+    own instance on first use — the warm-model-per-actor contract."""
+
+    def __init__(self, factory: Any, **kwargs: Any) -> None:
+        self.factory = factory
+        self.kwargs = kwargs
+        self._backend: Any = None
+
+    def __call__(self, *args: Any, **kw: Any) -> Any:
+        if self._backend is None:
+            self._backend = self.factory(**self.kwargs)
+        return self._backend(*args, **kw)

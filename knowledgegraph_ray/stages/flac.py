@@ -212,10 +212,12 @@ def _decode_frame(data: bytes, pos: int, channels: int) -> tuple[np.ndarray, int
     if chan_code < 8:
         nch = chan_code + 1
         extra = [0] * nch
-    else:
+    elif chan_code <= 10:
         nch = 2
         # side channel carries one extra bit
         extra = {8: [0, 1], 9: [1, 0], 10: [0, 1]}[chan_code]
+    else:
+        raise ValueError(f"reserved FLAC channel assignment {chan_code}")
     if chan_code < 8 and nch != channels:
         raise ValueError("frame/stream channel mismatch")
     subs = [

@@ -338,3 +338,22 @@ def test_ollama_backend_all_failed_raises():
     )
     with pytest.raises(RuntimeError, match="every call"):
         be(["a", "b"])
+
+
+def test_lazy_backend_constructs_once_at_call_time():
+    from knowledgegraph_ray.stages.backends import LazyBackend
+
+    built = []
+
+    class Fake:
+        def __init__(self, tag="x"):
+            built.append(tag)
+
+        def __call__(self, xs):
+            return [len(x) for x in xs]
+
+    lb = LazyBackend(Fake, tag="t1")
+    assert built == []  # nothing constructed at wrap time (driver side)
+    assert lb(["ab", "c"]) == [2, 1]
+    assert lb(["d"]) == [1]
+    assert built == ["t1"]  # exactly one construction, at first call

@@ -103,6 +103,11 @@ def test_cli_backend_selection():
     assert _backend_factory(ns) is None
     assert _embed_backend(ns) is None
 
+    # without --embed the embed backend is never built at all
+    assert _embed_backend(
+        argparse.Namespace(embed_backend="transformer", embed=False)
+    ) is None
+
     try:
         import openai  # noqa: F401
     except ImportError:
@@ -111,5 +116,10 @@ def test_cli_backend_selection():
     try:
         import transformers  # noqa: F401
     except ImportError:
+        # LazyBackend defers construction to first call (actor side)
+        lb = _embed_backend(
+            argparse.Namespace(embed_backend="transformer", embed=True)
+        )
+        assert lb is not None
         with pytest.raises(ImportError, match="transformers"):
-            _embed_backend(argparse.Namespace(embed_backend="transformer"))
+            lb(["text"])

@@ -191,3 +191,16 @@ def test_decoder_paths_encoder_never_emits():
 
     back2, _ = decode_flac(streaminfo(len(y)) + frame(len(y), verb_sub))
     np.testing.assert_array_equal(back2[:, 0], np.array(y, np.int16))
+
+
+def test_reserved_channel_assignment_raises_valueerror():
+    from knowledgegraph_ray.stages.flac import encode_flac
+
+    data = bytearray(encode_flac(_sig(5, 5000), 16000))
+    # frame header starts right after metadata; chan bits live in byte 3 of
+    # the frame — instead of bit surgery, scan for the sync and patch the
+    # channel nibble (upper 4 bits of the 4th header byte) to 11 (reserved)
+    i = data.index(b"\xff\xf8", 4)
+    data[i + 3] = (0xB << 4) | (data[i + 3] & 0x0F)
+    with pytest.raises(ValueError, match="(channel|CRC)"):
+        decode_flac(bytes(data))

@@ -160,3 +160,30 @@ def test_export_jsonl_gz_roundtrip_and_idempotent(ray_session, tmp_path):
     idx2 = export_jsonl_gz(ds, p, batch_size=None)
     assert {f["file"] for f in idx2["files"]} == names1
     assert len([f for f in os.listdir(p) if f.endswith(".jsonl.gz")]) == len(names1)
+
+
+def test_export_jsonl_gz_stale_cleanup_and_coalescing(ray_session, tmp_path):
+    """Re-export with DIFFERENT data removes the previous export's shards
+    (the manifest is the directory's single source of truth), and
+    byte-identical blocks coalesce with honest totals."""
+    from knowledgegraph_ray.sources.io_json import export_jsonl_gz, load_jsonl_gz
+
+    p = str(tmp_path / "s")
+    ds1 = rd.from_arrow(pa.table({"a": list(range(100))})).repartition(2)
+    export_jsonl_gz(ds1, p)
+    ds2 = rd.from_arrow(pa.table({"a": list(range(100, 160))})).repartition(2)
+    idx2 = export_jsonl_gz(ds2, p)
+    back = sorted(r["a"] for r in load_jsonl_gz(p).take_all())
+    assert back == list(range(100, 160))  # no union with the stale export
+    on_disk = {f for f in os.listdir(p) if f.endswith(".jsonl.gz")}
+    assert on_disk == {f["file"] for f in idx2["files"]}
+    # identical blocks coalesce into one stored file, totals match read-back
+    dup = rd.from_arrow(pa.table({"a": [1, 2, 3]})).union(
+        rd.from_arrow(pa.table({"a": [1, 2, 3]}))
+    ).repartition(2)
+    # force two identical single-row-set blocks via explicit batch_size
+    p2 = str(tmp_path / "dup")
+    idx3 = export_jsonl_gz(
+        rd.from_items([{"a": 1}, {"a": 1}]).repartition(2), p2, batch_size=1
+    )
+    assert idx3["total_rows"] == load_jsonl_gz(p2).count()
