@@ -561,9 +561,11 @@ def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], int, int]:
 class ImageDecoder:
     """Actor-pool stage: binary payload → decoded pixels → pooled feature.
 
-    A real deployment passes ``backend="pillow"``-style decoders; this
-    container has no imaging libraries, so "strict" raises the documented
-    NotImplementedError and "fake" produces deterministic pixels.
+    ``backend="raw"`` is a REAL decode path with no codec library — PPM,
+    BMP, PNG, GIF and baseline JPEG by magic bytes; ``backend="pillow"``
+    delegates to PIL when installed (the production escape hatch);
+    ``backend="fake"`` produces deterministic payload-derived pixels for
+    plumbing tests.
     """
 
     def __init__(self, backend: str = "fake", resize: tuple[int, int] = (32, 32)) -> None:
