@@ -3610,6 +3610,35 @@ def q_kg_search(sf_dir: str):
     )
 
 
+def q_data_audit(sf_dir: str):
+    """Data-quality contract checks over the customer table (the gate an
+    ingest pipeline runs before spending GPU-hours downstream): null /
+    uniqueness / range / set-membership / regex rules evaluated in ONE
+    streaming pass of integer partials (+ one distinct exchange for the
+    uniqueness rule).  The negative-balance rule has real violations in
+    TPC-H data, so the machinery is exercised on a non-zero count."""
+    from ..stages.audit import table_audit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    return table_audit(ds, [
+        {"name": "custkey_not_null", "column": "c_custkey", "kind": "not_null"},
+        {"name": "custkey_unique", "column": "c_custkey", "kind": "unique"},
+        {"name": "acctbal_non_negative", "column": "c_acctbal",
+         "kind": "non_negative"},
+        {"name": "mktsegment_in_set", "column": "c_mktsegment",
+         "kind": "in_set",
+         "values": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                    "MACHINERY"]},
+        {"name": "name_format", "column": "c_name", "kind": "regex",
+         "pattern": "Customer#[0-9]{9}"},
+        {"name": "acctbal_range", "column": "c_acctbal", "kind": "range",
+         "lo": -1000.0, "hi": 10000.0},
+    ])
+
+
 def q_bpe_train(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich 2016) over the documents
     table: ONE map-side-combined word-frequency exchange (the corpus-scale
@@ -4717,6 +4746,43 @@ ORACLE_SQL: dict[str, str] = {
                floor(CAST(2 * six - (n + 1) * s AS DOUBLE)
                      / CAST(n * s AS DOUBLE) * 10000.0) / 10000.0 AS gini_r
         FROM a WHERE s > 0 ORDER BY event_type
+    """,
+    # each rule is one filtered count; regexp_matches is RE2 on both sides
+    "q_data_audit": """
+        WITH c AS (SELECT * FROM customer),
+        n AS (SELECT count(*) AS rows_ FROM c)
+        SELECT * FROM (
+          SELECT 'acctbal_non_negative' AS "check",
+                 (SELECT count(*) FROM c WHERE c_acctbal < 0) AS violations,
+                 rows_ AS rows FROM n
+          UNION ALL
+          SELECT 'acctbal_range',
+                 (SELECT count(*) FROM c
+                  WHERE c_acctbal < -1000.0 OR c_acctbal > 10000.0),
+                 rows_ FROM n
+          UNION ALL
+          SELECT 'custkey_not_null',
+                 (SELECT count(*) FROM c WHERE c_custkey IS NULL),
+                 rows_ FROM n
+          UNION ALL
+          SELECT 'custkey_unique',
+                 (SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM c),
+                 rows_ FROM n
+          UNION ALL
+          SELECT 'mktsegment_in_set',
+                 (SELECT count(*) FROM c
+                  WHERE c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                     'MACHINERY')),
+                 rows_ FROM n
+          UNION ALL
+          SELECT 'name_format',
+                 (SELECT count(*) FROM c
+                  WHERE c_name IS NOT NULL
+                    AND NOT regexp_matches(c_name,
+                          '^(?:Customer#[0-9]{9})$')),
+                 rows_ FROM n
+        ) ORDER BY "check"
     """,
     "q_twap": """
         WITH w AS (
@@ -6216,6 +6282,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_train": q_bpe_train,
+    "q_data_audit": q_data_audit,
     "q_pca": q_pca,
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,

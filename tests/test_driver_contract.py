@@ -165,6 +165,7 @@ REHEARSED_ORACLE_QUERIES = [
     "q_order_priority", "q_status_pivot", "q_above_avg",
     "q_sssp", "q_harmonic_parts", "q_skyline", "q_mutual_nn",
     "q_quota_sample", "q_keyness_chi2", "q_twap", "q_gini",
+    "q_data_audit",
     "q_editdist_names",
     "q_source_overlap", "q_mad", "q_mad_by_type", "q_lm_perplexity",
     "q_lexical_diversity",
