@@ -3610,6 +3610,29 @@ def q_kg_search(sf_dir: str):
     )
 
 
+def q_curate_corpus(sf_dir: str):
+    """The composed end-to-end curation pass (pipelines/corpus.py): quality
+    gate → exact dedup → near-dup keep-best → decontamination → gz-JSONL
+    export, over the documents table; returns the per-stage row ledger.
+    On THIS synthetic corpus (31-word vocabulary) nearly every document is a
+    legitimate near-duplicate, so the keep-best stage collapses hard — the
+    honest outcome, same caveat as q_ngram_jaccard_1k.  Rows-only; stage
+    semantics are pytest-oracled on a planted corpus (tests/test_corpus.py)."""
+    import os
+
+    from .corpus import curate_corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = f"/tmp/kgray_cache/curated-{os.path.basename(os.path.normpath(sf_dir))}"
+    res = curate_corpus(docs, out, min_tokens=5, quality_floor=0.02,
+                        num_partitions=8)
+    led = res["ledger"]
+    return pa.table({
+        "stage": pa.array(list(led.keys()), pa.string()),
+        "rows": pa.array([int(v) for v in led.values()], pa.int64()),
+    })
+
+
 def q_data_audit(sf_dir: str):
     """Data-quality contract checks over the customer table (the gate an
     ingest pipeline runs before spending GPU-hours downstream): null /
@@ -6283,6 +6306,7 @@ QUERIES = {
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_train": q_bpe_train,
     "q_data_audit": q_data_audit,
+    "q_curate_corpus": q_curate_corpus,
     "q_pca": q_pca,
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
@@ -6342,6 +6366,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
         "tests/test_nsw.py::test_nsw_index_build_query_and_recall",
         "tests/test_nsw.py::test_beam_search_full_pool_is_exact",
         "tests/test_nsw.py::test_q_hnsw_knn_matches_exact_at_small_scale",
+    ],
+    "q_curate_corpus": [
+        "tests/test_corpus.py::test_curate_corpus_ledger_and_export",
     ],
     "q_bpe_train": [
         "tests/test_bpe.py::test_bpe_matches_bruteforce_reference",

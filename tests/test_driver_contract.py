@@ -194,7 +194,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
     "q_hnsw_knn",
     "q_kg_nodes_by_type", "q_kg_edges_by_type", "q_kg_linking",
     "q_kg_khop", "q_kg_communities", "q_kg_walks", "q_kg_ego",
-    "q_quality_classifier", "q_bpe_train",
+    "q_quality_classifier", "q_bpe_train", "q_curate_corpus",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     got = _to_pandas(entry_mod.queries()[name](SF_DIR))
