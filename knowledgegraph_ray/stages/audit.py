@@ -54,6 +54,11 @@ def _block_violations(b: pa.Table, check: dict[str, Any]) -> int:
             bad = pc.or_(bad, pc.less(col, check["lo"]))
         if "hi" in check:
             bad = pc.or_(bad, pc.greater(col, check["hi"]))
+        if "hi" in check and pa.types.is_floating(col.type):
+            # SQL total order puts NaN above every value (DuckDB counts it
+            # as > hi, but NOT as < lo); Arrow comparisons return false on
+            # NaN — align so the oracle equivalence holds on NaN data
+            bad = pc.or_(bad, pc.is_nan(col))
         bad = pc.and_(pc.fill_null(bad, False), pc.is_valid(col))
         return int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
     raise ValueError(f"unknown audit rule kind {kind!r}")
@@ -70,18 +75,24 @@ def table_audit(
     cols = sorted({c["column"] for c in checks})
     pruned = ds.select_columns(cols)
 
+    # ONE streaming pass computes every scalar rule's violations AND each
+    # unique rule's non-null count (idx past the scalar rules) — only the
+    # distinct exchange per unique rule remains as extra work
+    n_counters = len(scalar) + len(uniques)
+
     def partials(b: pa.Table) -> pa.Table:
+        vals = [_block_violations(b, c) for c in scalar] + [
+            b.num_rows - b.column(c["column"]).null_count for c in uniques
+        ]
         return pa.table({
-            "idx": pa.array(range(len(scalar)), pa.int64()),
-            "v": pa.array(
-                [_block_violations(b, c) for c in scalar], pa.int64()
-            ),
-            "n": pa.array([b.num_rows] * len(scalar), pa.int64()),
+            "idx": pa.array(range(n_counters), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+            "n": pa.array([b.num_rows] * n_counters, pa.int64()),
         })
 
-    totals = [0] * len(scalar)
+    totals = [0] * n_counters
     rows_total = 0
-    if scalar:
+    if n_counters:
         for r in pruned.map_batches(
             partials, batch_format="pyarrow"
         ).take_all():
@@ -96,12 +107,12 @@ def table_audit(
     for c, v in zip(scalar, totals):
         out_names.append(c["name"])
         out_viol.append(v)
-    for c in uniques:
+    for u, c in enumerate(uniques):
         col_ds = pruned.select_columns([c["column"]]).map_batches(
             lambda b, _col=c["column"]: b.filter(pc.is_valid(b.column(_col))),
             batch_format="pyarrow",
         )
-        n_nonnull = col_ds.count()
+        n_nonnull = totals[len(scalar) + u]
         n_distinct = distinct_keys(col_ds, [c["column"]]).count()
         out_names.append(c["name"])
         out_viol.append(n_nonnull - n_distinct)

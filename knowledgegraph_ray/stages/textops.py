@@ -782,7 +782,9 @@ def ngram_decontaminate(
             b.column(text_col), n
         )
         hits = np.zeros(b.num_rows, np.int64)
-        if wh.size:
+        # hashes can be EMPTY (bench shorter than n tokens): pos==0 would
+        # index into a zero-length array — nothing can be contaminated
+        if wh.size and hashes.size:
             pos = np.searchsorted(hashes, wh)
             pos[pos == hashes.size] = 0
             cand = np.nonzero(hashes[pos] == wh)[0]

@@ -65,3 +65,18 @@ def test_curate_corpus_ledger_and_export(ray_session, tmp_path):
     assert 101 not in back and 102 not in back and 103 not in back
     assert 104 not in back
     assert (0 in back) != (100 in back)  # exactly one of the near-dup pair
+
+
+def test_curate_corpus_short_bench_is_harmless(ray_session, tmp_path):
+    """A decontamination bench with no 13-token n-grams must be a no-op,
+    not a crash (empty bench index short-circuit)."""
+    res = curate_corpus(
+        rd.from_arrow(_corpus()).repartition(2),
+        str(tmp_path / "out2"),
+        min_tokens=10,
+        quality_floor=0.1,
+        decontam_bench=pa.table({"text": ["short benchmark prompt"]}),
+        num_partitions=4,
+    )
+    led = res["ledger"]
+    assert led["after_decontamination"] == led["after_neardup_dedup"]
