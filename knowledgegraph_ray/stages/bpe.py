@@ -30,11 +30,24 @@ import ray.data as rd
 END = "</w>"  # end-of-word sentinel (the original BPE formulation)
 
 
-def word_frequencies(
-    ds: rd.Dataset, *, text_col: str = "text"
-) -> list[tuple[str, int]]:
-    """Corpus → (word, count) pairs, sorted by (count desc, word).
-    One streaming pass with map-side combine; the result is O(vocabulary)."""
+def word_frequency_dataset(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> rd.Dataset:
+    """Corpus → DISTRIBUTED (word, n) dictionary, hapax-pruned.
+
+    One streaming pass with map-side combine; the combined dictionary is
+    then frequency-floored (``n >= min_count``) WHILE STILL A DATASET, so
+    words below the floor never reach the driver.  On web text the
+    distinct-token set is 10⁸–10⁹ rows of mostly count-1 garbage
+    (typos, ids, hashes); the floor removes the long tail before any
+    materialization.  The prune is exact — it runs on globally combined
+    counts, not per-block partials — and BPE merge parity is unaffected
+    whenever no merged pair's count depends on sub-floor words (always
+    true for realistic corpora: a pair supported only by hapaxes can
+    never win a greedy round against pairs in repeated words)."""
     from .aggregates import partial_grouped_agg
 
     def explode_words(b: pa.Table) -> pa.Table:
@@ -46,9 +59,51 @@ def word_frequencies(
         return pa.table({"word": toks})
 
     words = ds.map_batches(explode_words, batch_format="pyarrow")
-    counted = partial_grouped_agg(words, ["word"], count_alias="n").take_all()
+    counted = partial_grouped_agg(words, ["word"], count_alias="n")
+    if min_count > 1:
+        floor = int(min_count)
+
+        def apply_floor(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b.column("n"), floor))
+
+        counted = counted.map_batches(apply_floor, batch_format="pyarrow")
+    return counted
+
+
+def word_frequencies(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = 2_000_000,
+    spill_dir: str | None = None,
+) -> list[tuple[str, int]]:
+    """Corpus → (word, count) pairs, sorted by (count desc, word).
+
+    The driver-side dictionary is BOUNDED twice: ``min_count`` floors the
+    frequency (hapax prune, see `word_frequency_dataset`), and
+    ``max_words`` caps the rows the driver will ever hold.  When the
+    floored vocabulary still exceeds the cap, the FULL dictionary spills
+    to parquet (``spill_dir`` or a fresh /tmp directory) for offline
+    inspection/resume and only the top ``max_words`` by (count desc,
+    word) — a distributed sort+limit, not a driver sort — are returned.
+    Pass ``min_count=1, max_words=None`` for the exact unbounded
+    behaviour on small corpora."""
+    counted = word_frequency_dataset(
+        ds, text_col=text_col, min_count=min_count
+    ).materialize()  # vocabulary-sized; lives in the object store, not the driver
+    if max_words is not None and counted.count() > max_words:
+        import tempfile
+
+        out = spill_dir or tempfile.mkdtemp(prefix="bpe_vocab_", dir="/tmp")
+        counted.write_parquet(out)
+        counted = (
+            counted.sort(["n", "word"], descending=[True, False])
+            .limit(max_words)
+        )
+    rows = counted.take_all()
     return sorted(
-        ((r["word"], int(r["n"])) for r in counted),
+        ((r["word"], int(r["n"])) for r in rows),
         key=lambda t: (-t[1], t[0]),
     )
 
@@ -58,11 +113,19 @@ def bpe_train(
     *,
     n_merges: int = 100,
     text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = 2_000_000,
+    spill_dir: str | None = None,
 ) -> dict[str, Any]:
     """Learn a BPE merge table → {"merges": [(a, b)], "merge_counts": [int],
     "vocab": [str]}.  Exact greedy BPE over the distributed word-frequency
-    dictionary (see module docstring)."""
-    freqs = word_frequencies(ds, text_col=text_col)
+    dictionary (see module docstring); the dictionary the driver holds is
+    bounded by ``min_count`` (hapax floor) and ``max_words`` (cap with
+    parquet spill) — see `word_frequencies`."""
+    freqs = word_frequencies(
+        ds, text_col=text_col, min_count=min_count,
+        max_words=max_words, spill_dir=spill_dir,
+    )
     return bpe_train_from_frequencies(freqs, n_merges=n_merges)
 
 

@@ -13,6 +13,7 @@ from knowledgegraph_ray.stages.bpe import (
     bpe_train,
     bpe_train_from_frequencies,
     word_frequencies,
+    word_frequency_dataset,
 )
 
 
@@ -95,6 +96,56 @@ def test_bpe_encode_roundtrip(ray_session):
     n_tokens = len(enc)
     n_chars = sum(len(x) for x in t.column("text").to_pylist())
     assert n_tokens < n_chars
+
+
+def test_hapax_flood_never_reaches_driver(ray_session):
+    """A planted flood of unique (count-1) words is pruned by the default
+    min_count=2 floor WHILE STILL A DATASET: the bounded dictionary's row
+    count equals the repeated vocabulary only, so the driver's take_all
+    never sees the flood.  On web text this is the 10⁸⁺-hapax long tail."""
+    n_docs = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        # 10 unique hapax "ids" per doc + 3 repeated real words
+        "text": [
+            " ".join(f"hapax{i}x{j}" for j in range(10))
+            + " alpha beta beta"
+            for i in range(n_docs)
+        ],
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    bounded = word_frequency_dataset(ds, min_count=2)
+    # the bound is asserted on the DATASET, before any driver materialization
+    assert bounded.count() == 2  # alpha, beta — 4000 hapaxes gone
+    freqs = word_frequencies(ds)
+    assert freqs == [("beta", 2 * n_docs), ("alpha", n_docs)]
+    # min_count=1 restores the exact unbounded behaviour
+    full = word_frequencies(ds, min_count=1, max_words=None)
+    assert len(full) == 2 + 10 * n_docs
+
+
+def test_max_words_cap_spills_and_returns_top(ray_session, tmp_path):
+    """When the floored vocabulary exceeds max_words the FULL dictionary
+    spills to parquet and only the top max_words by (count desc, word)
+    come back — a distributed sort+limit, never a driver-side cut."""
+    words = []
+    for i in range(50):
+        words.extend([f"w{i:03d}"] * (100 - i))  # distinct counts: 100..51
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": [" ".join(words)],
+    })
+    spill = str(tmp_path / "vocab_spill")
+    got = word_frequencies(
+        rd.from_arrow(t).repartition(4),
+        min_count=2, max_words=10, spill_dir=spill,
+    )
+    assert got == [(f"w{i:03d}", 100 - i) for i in range(10)]
+    spilled = rd.read_parquet(spill).take_all()
+    assert len(spilled) == 50  # the full dictionary survives on disk
+    # capped training still runs and agrees with training on the top slice
+    m_cap = bpe_train_from_frequencies(got, n_merges=5)
+    assert len(m_cap["merges"]) == 5
 
 
 def test_bpe_tiny_known_corpus():
