@@ -156,6 +156,8 @@ def pagerank(
     iters: int = 20,
     small_graph_edges: int = 5_000_000,
     personalization: "list[tuple[str, str]] | None" = None,
+    shard_size: int | None = None,
+    large_graph_nodes: int = 50_000_000,
 ) -> rd.Dataset:
     """Distributed PageRank over the built KG → (name, type, rank_r).
 
@@ -184,21 +186,33 @@ def pagerank(
     endpoint is absent from the nodes table are dropped (searchsorted alone
     would silently misattribute their mass to the insertion-point node).
 
-    At graphs past broadcastable node counts (~10^8), swap the broadcast
-    rank vector for (dst, mass) rows through the partial_grouped_agg
-    combiner — the same map-side-combine shape as every wide aggregate
-    here."""
+    THREE regimes (the CC precedent): below ``small_graph_edges`` the loop
+    runs driver-side (bit-identical to the distributed-broadcast path, see
+    below); above it the node vector broadcasts whole; and past
+    ``large_graph_nodes`` (or whenever ``shard_size`` is passed) the rank
+    vector itself is HASH-SHARDED — a vertex-cut where no process, driver
+    included, ever holds the full O(nodes) vector (see
+    `_pagerank_sharded`).  The sharded path floors identically and agrees
+    with the dense path to float-summation order (regime-equality
+    tested)."""
     import pyarrow as pa
     import ray
 
     from ..functions.hashing import hash_key_columns
 
     nodes_ds, edges_ds = _ds(nodes), _ds(edges)
+    nodes_mat = nodes_ds.select_columns(["name", "type"]).materialize()
+    if shard_size is not None or nodes_mat.count() > large_graph_nodes:
+        return _pagerank_sharded(
+            nodes_mat, edges_ds, damping=damping, iters=iters,
+            shard_size=shard_size or 4_000_000,
+            personalization=personalization,
+        )
 
     # sorted node-key index (one bounded task; broadcast by ref)
     key_tbls = [
         t.select(["name", "type"])
-        for t in ray.get(nodes_ds.select_columns(["name", "type"]).materialize().to_arrow_refs())
+        for t in ray.get(nodes_mat.to_arrow_refs())
         if t.num_rows
     ]
     keys_tbl = pa.concat_tables(key_tbls).combine_chunks()
@@ -304,6 +318,322 @@ def pagerank(
         "rank_r": pa.array(np.floor(ranks_for_rows * 1e8) / 1e8, pa.float64()),
     })
     return rd.from_arrow(tbl)
+
+
+_PR_OUT_SCHEMA = pa.schema(
+    [("name", pa.string()), ("type", pa.string()), ("rank_r", pa.float64())]
+)
+
+
+def _pagerank_sharded(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    *,
+    damping: float,
+    iters: int,
+    shard_size: int,
+    personalization: "list[tuple[str, str]] | None" = None,
+) -> rd.Dataset:
+    """Vertex-cut PageRank: the rank vector is HASH-SHARDED, so no process —
+    driver included — ever holds the full O(nodes) vector.
+
+    Layout (built once):
+      * NODE shards: (name, type) rows exchanged by ``keyhash % S`` (the
+        canonicalize split/reduce idiom), each shard sorted by key hash and
+        kept in the object store; the driver holds S refs + S sizes.
+      * EDGE blocks: two exchanges — by src shard (source index + membership
+        against that shard's sorted hashes), then by dst shard — into
+        per-(src shard, dst shard) (si, di) blocks pre-sorted by di, the
+        exact input shape `_pr_scatter_fn` already consumes.  Edges with an
+        endpoint absent from the nodes table are dropped, same as the dense
+        path.
+      * Out-degree: per-src-shard dense int64 vectors combined from the
+        (s, ·) blocks' sparse partials — O(shard) each, by ref.
+
+    Per iteration the driver launches O(S + nonempty (s,d) pairs) tasks and
+    receives S dangling SCALARS; every vector (w_s, contrib_d, r_d) lives
+    shard-sized in the object store.  Update formula, dangling handling,
+    personalization semantics and the 1e-8 floor are identical to the dense
+    path; only float summation order differs (contrib sums per shard rather
+    than globally), which the regime-equality test bounds at one 1e-8
+    quantum."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash_key_columns
+
+    nodes_mat = nodes_ds.select_columns(["name", "type"]).materialize()
+    n = nodes_mat.count()
+    if n == 0:
+        return rd.from_arrow(_PR_OUT_SCHEMA.empty_table())
+    S = max(1, -(-n // int(shard_size)))
+    uS = np.uint64(S)
+
+    # ---- node exchange: (name, type, keyhash) rows → S sorted shards ----
+    @ray.remote
+    def _split_by_hash(block: pa.Table, hash_cols: tuple, out_cols: tuple):
+        """One block → S slices keyed by hash(hash_cols) % S; each slice is
+        ``block.select(out_cols)`` plus the hash as column ``_kh``."""
+        h = hash_key_columns(
+            block.select(list(hash_cols)).rename_columns(["name", "type"]),
+            ["name", "type"],
+        )
+        t = block.select(list(out_cols)).append_column(
+            "_kh", pa.array(h, pa.uint64())
+        )
+        if S == 1:
+            return t
+        part = (h % uS).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(S + 1))
+        return tuple(
+            t.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
+            if bounds[i + 1] > bounds[i] else None
+            for i in range(S)
+        )
+
+    @ray.remote(num_returns=2)
+    def _build_node_shard(*slices):
+        """→ (shard payload = keys table sorted by _kh, its size).  The
+        sorted-hash membership index is the payload's _kh column."""
+        tabs = [t for t in slices if t is not None and t.num_rows]
+        if not tabs:
+            return _PR_OUT_SCHEMA.empty_table().select([]), 0
+        t = pa.concat_tables(tabs).combine_chunks()
+        kh = t.column("_kh").to_numpy(zero_copy_only=False)
+        t = t.take(pa.array(np.argsort(kh, kind="stable"), pa.int64()))
+        return t, t.num_rows
+
+    def _exchange(mat, hash_cols, out_cols):
+        refs = [r for r in mat.to_arrow_refs()]
+        opts = (
+            _split_by_hash.options(num_returns=S) if S > 1 else _split_by_hash
+        )
+        splits = [opts.remote(r, tuple(hash_cols), tuple(out_cols)) for r in refs]
+        if S == 1:
+            splits = [[s] for s in splits]
+        return splits
+
+    node_splits = _exchange(nodes_mat, ("name", "type"), ("name", "type"))
+    shard_refs, size_refs = [], []
+    for p in range(S):
+        sref, zref = _build_node_shard.remote(*[sp[p] for sp in node_splits])
+        shard_refs.append(sref)
+        size_refs.append(zref)
+    sizes = ray.get(size_refs)  # S ints — the only per-shard driver state
+
+    # ---- edge exchange 1: (src hash, dst hash) rows → src shards ----
+    def edge_hashes(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        sh = hash_key_columns(
+            b.select(["src", "src_type"]).rename_columns(["name", "type"]),
+            ["name", "type"],
+        )
+        dh = hash_key_columns(
+            b.select(["dst", "dst_type"]).rename_columns(["name", "type"]),
+            ["name", "type"],
+        )
+        return pa.table({"sh": pa.array(sh, pa.uint64()),
+                         "dh": pa.array(dh, pa.uint64())})
+
+    emat = edges_ds.map_batches(edge_hashes, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _split_edges(block: pa.Table):
+        if block.num_rows == 0:
+            return None if S == 1 else tuple(None for _ in range(S))
+        if S == 1:
+            return block
+        sh = block.column("sh").to_numpy(zero_copy_only=False)
+        part = (sh % uS).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(S + 1))
+        return tuple(
+            block.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
+            if bounds[i + 1] > bounds[i] else None
+            for i in range(S)
+        )
+
+    @ray.remote
+    def _index_src(shard_tbl: pa.Table, *slices):
+        """Source-shard pass: resolve si against shard_tbl's sorted hashes,
+        drop non-members, re-split survivors by dst shard → tuple of S
+        (si, dh) tables (None where empty)."""
+        empty = tuple(None for _ in range(S)) if S > 1 else None
+        tabs = [t for t in slices if t is not None and t.num_rows]
+        if not tabs or shard_tbl.num_rows == 0:
+            return empty
+        t = pa.concat_tables(tabs).combine_chunks()
+        khs = shard_tbl.column("_kh").to_numpy(zero_copy_only=False)
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        si = np.minimum(np.searchsorted(khs, sh), len(khs) - 1)
+        keep = khs[si] == sh
+        si = si[keep]
+        dh = t.column("dh").to_numpy(zero_copy_only=False)[keep]
+        if si.size == 0:
+            return empty
+        out = pa.table({"si": pa.array(si, pa.int64()),
+                        "dh": pa.array(dh, pa.uint64())})
+        if S == 1:
+            return out
+        part = (dh % uS).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(S + 1))
+        return tuple(
+            out.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
+            if bounds[i + 1] > bounds[i] else None
+            for i in range(S)
+        )
+
+    edge_splits = [
+        (_split_edges.options(num_returns=S) if S > 1 else _split_edges).remote(r)
+        for r in emat.to_arrow_refs()
+    ]
+    if S == 1:
+        edge_splits = [[s] for s in edge_splits]
+    src_opts = _index_src.options(num_returns=S) if S > 1 else _index_src
+    sd_slices = []  # sd_slices[s][d] → (si, dh) slice ref
+    for s in range(S):
+        res = src_opts.remote(shard_refs[s], *[sp[s] for sp in edge_splits])
+        sd_slices.append(list(res) if S > 1 else [res])
+
+    @ray.remote(num_returns=3)
+    def _finalize_sd(shard_tbl: pa.Table, sl):
+        """Dst-shard pass for one (s, d) pair: resolve di, drop non-members,
+        pre-sort by di → ((si, di) block, src-degree sparse partial, rows)."""
+        none_part = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if sl is None or sl.num_rows == 0 or shard_tbl.num_rows == 0:
+            return None, none_part, 0
+        khs = shard_tbl.column("_kh").to_numpy(zero_copy_only=False)
+        dh = sl.column("dh").to_numpy(zero_copy_only=False)
+        di = np.minimum(np.searchsorted(khs, dh), len(khs) - 1)
+        keep = khs[di] == dh
+        di = di[keep]
+        si = sl.column("si").to_numpy(zero_copy_only=False)[keep]
+        if di.size == 0:
+            return None, none_part, 0
+        order = np.argsort(di, kind="stable")
+        blk = pa.table({"si": pa.array(si[order], pa.int64()),
+                        "di": pa.array(di[order], pa.int64())})
+        u, c = np.unique(si, return_counts=True)
+        return blk, (u, c.astype(np.int64)), int(di.size)
+
+    edge_blocks: dict[tuple[int, int], "ray.ObjectRef"] = {}
+    deg_parts: list[list] = [[] for _ in range(S)]
+    row_refs = []
+    for s in range(S):
+        for d in range(S):
+            blk, dp, nr = _finalize_sd.remote(shard_refs[d], sd_slices[s][d])
+            edge_blocks[(s, d)] = blk
+            deg_parts[s].append(dp)
+            row_refs.append(((s, d), nr))
+    # prune empty (s,d) pairs so iterations skip them entirely
+    nrows = ray.get([r for _, r in row_refs])
+    live = {sd for (sd, _), nr in zip(row_refs, nrows) if nr > 0}
+    edge_blocks = {sd: b for sd, b in edge_blocks.items() if sd in live}
+
+    @ray.remote
+    def _deg_shard(size: int, *parts):
+        deg = np.zeros(size, np.int64)
+        for u, c in parts:
+            if len(u):
+                deg[u] += c  # indices unique within one partial
+        return deg
+
+    deg_refs = [_deg_shard.remote(sizes[s], *deg_parts[s]) for s in range(S)]
+
+    # ---- personalization: seed hashes routed to their shards ----
+    p_refs: "list | None" = None
+    if personalization is not None:
+        seeds = pa.table({
+            "name": pa.array([s for s, _ in personalization], pa.string()),
+            "type": pa.array([t for _, t in personalization], pa.string()),
+        })
+        sh_all = hash_key_columns(seeds, ["name", "type"])
+        by_shard = [sh_all[(sh_all % uS).astype(np.int64) == s] for s in range(S)]
+
+        @ray.remote(num_returns=2)
+        def _seed_pos(shard_tbl: pa.Table, seed_h: np.ndarray):
+            if shard_tbl.num_rows == 0 or seed_h.size == 0:
+                return np.empty(0, np.int64), 0
+            khs = shard_tbl.column("_kh").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(khs, seed_h), len(khs) - 1)
+            pos = pos[khs[pos] == seed_h]
+            return pos, int(pos.size)
+
+        pos_refs, cnt_refs = [], []
+        for s in range(S):
+            pr, cr = _seed_pos.remote(shard_refs[s], by_shard[s])
+            pos_refs.append(pr)
+            cnt_refs.append(cr)
+        matched = sum(ray.get(cnt_refs))
+        if matched == 0:
+            raise ValueError("pagerank: no personalization seed is in the node table")
+
+        @ray.remote
+        def _build_p(size: int, pos, total: int):
+            p = np.zeros(size, np.float64)
+            np.add.at(p, pos, 1.0 / total)
+            return p
+
+        p_refs = [_build_p.remote(sizes[s], pos_refs[s], matched) for s in range(S)]
+
+    # ---- iterate: only shard-sized vectors + S scalars move ----
+    @ray.remote(num_returns=2)
+    def _w_and_dangling(r_s: np.ndarray, deg_s: np.ndarray):
+        return r_s / np.maximum(deg_s, 1), float(r_s[deg_s == 0].sum())
+
+    @ray.remote(num_cpus=0)
+    def _shard_update(size: int, dangling: float, p_s, *parts):
+        contrib = np.zeros(size, np.float64)
+        for part in parts:
+            if part is not None:
+                idx, mass = part
+                contrib[idx] += mass
+        if p_s is None:
+            return (1.0 - damping) / n + damping * (contrib + dangling / n)
+        return (1.0 - damping) * p_s + damping * (contrib + dangling * p_s)
+
+    @ray.remote
+    def _init_r(size: int, p_s):
+        return np.full(size, 1.0 / n) if p_s is None else p_s.copy()
+
+    r_refs = [
+        _init_r.remote(sizes[s], p_refs[s] if p_refs is not None else None)
+        for s in range(S)
+    ]
+    for _ in range(iters):
+        w_refs, d_refs = [], []
+        for s in range(S):
+            wr, dr = _w_and_dangling.remote(r_refs[s], deg_refs[s])
+            w_refs.append(wr)
+            d_refs.append(dr)
+        dangling = float(sum(ray.get(d_refs)))
+        parts_by_d: list[list] = [[] for _ in range(S)]
+        for (s, d), blk in edge_blocks.items():
+            parts_by_d[d].append(_pr_scatter.remote(blk, w_refs[s]))
+        r_refs = [
+            _shard_update.remote(
+                sizes[d], dangling,
+                p_refs[d] if p_refs is not None else None,
+                *parts_by_d[d],
+            )
+            for d in range(S)
+        ]
+
+    @ray.remote
+    def _emit(shard_tbl: pa.Table, r_s: np.ndarray) -> pa.Table:
+        if shard_tbl.num_rows == 0:
+            return _PR_OUT_SCHEMA.empty_table()
+        return pa.table({
+            "name": shard_tbl.column("name"),
+            "type": shard_tbl.column("type"),
+            "rank_r": pa.array(np.floor(r_s * 1e8) / 1e8, pa.float64()),
+        })
+
+    return rd.from_arrow_refs(
+        [_emit.remote(shard_refs[s], r_refs[s]) for s in range(S)]
+    )
 
 
 def hits(

@@ -1,0 +1,94 @@
+"""Vertex-cut (hash-sharded rank vector) pagerank regime equality.
+
+The sharded path (`graph_query._pagerank_sharded`) must agree with the
+dense/broadcast path on every graph shape: same update formula, dangling
+handling, personalization, endpoint-membership dropping, and the 1e-8
+floor — only float summation order differs (per-shard contrib sums), so
+comparisons allow at most one 1e-8 quantum.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledgegraph_ray.stages.graph_query import pagerank
+
+
+def _rand_graph(rng, n_nodes=40, n_edges=160):
+    names = [f"n{i:03d}" for i in range(n_nodes)]
+    types = [("person", "org", "place")[i % 3] for i in range(n_nodes)]
+    si = rng.integers(0, n_nodes, n_edges)
+    di = rng.integers(0, n_nodes, n_edges)
+    nodes = pa.table({"name": names, "type": types})
+    edges = pa.table({
+        "src": [names[i] for i in si], "src_type": [types[i] for i in si],
+        "dst": [names[i] for i in di], "dst_type": [types[i] for i in di],
+    })
+    return nodes, edges
+
+
+def _ranks(ds):
+    df = ds.to_pandas()
+    return df.set_index(df["name"] + "|" + df["type"])["rank_r"].sort_index()
+
+
+@pytest.mark.parametrize("shard_size", [3, 7, 1_000_000])
+def test_sharded_matches_dense(ray_session, shard_size):
+    rng = np.random.default_rng(7)
+    nodes, edges = _rand_graph(rng)
+    nd = rd.from_arrow(nodes).repartition(3)
+    ed = rd.from_arrow(edges).repartition(4)
+    dense = _ranks(pagerank(nd, ed, damping=0.85, iters=25))
+    shard = _ranks(pagerank(nd, ed, damping=0.85, iters=25, shard_size=shard_size))
+    assert list(dense.index) == list(shard.index)
+    # identical math, different summation order: at most one 1e-8 quantum
+    assert np.max(np.abs(dense.values - shard.values)) <= 1.0000001e-8
+    # shard count must follow the knob: at 40 nodes / shard_size=3 → 14 shards
+    assert shard.size == 40
+
+
+def test_sharded_personalization_matches_dense(ray_session):
+    rng = np.random.default_rng(11)
+    nodes, edges = _rand_graph(rng, n_nodes=30, n_edges=90)
+    nd, ed = rd.from_arrow(nodes), rd.from_arrow(edges).repartition(3)
+    seeds = [("n001", "org"), ("n004", "org"), ("zz_absent", "person")]
+    dense = _ranks(pagerank(nd, ed, iters=20, personalization=seeds))
+    shard = _ranks(pagerank(nd, ed, iters=20, personalization=seeds, shard_size=4))
+    assert list(dense.index) == list(shard.index)
+    assert np.max(np.abs(dense.values - shard.values)) <= 1.0000001e-8
+    # all-absent seeds raise on the sharded path too
+    with pytest.raises(ValueError):
+        pagerank(nd, ed, iters=2, personalization=[("zz", "person")], shard_size=4)
+
+
+def test_sharded_drops_unmatched_endpoints(ray_session):
+    nodes = pa.table({"name": ["a", "b"], "type": ["person"] * 2})
+    edges = pa.table({
+        "src": ["a", "ghost", "b"], "dst": ["b", "a", "ghost"],
+        "src_type": ["person"] * 3, "dst_type": ["person"] * 3,
+    })
+    nd, ed = rd.from_arrow(nodes), rd.from_arrow(edges)
+    dense = _ranks(pagerank(nd, ed, iters=10))
+    shard = _ranks(pagerank(nd, ed, iters=10, shard_size=1))
+    assert list(dense.index) == list(shard.index) == ["a|person", "b|person"]
+    assert np.max(np.abs(dense.values - shard.values)) <= 1.0000001e-8
+
+
+def test_sharded_empty_and_edgeless(ray_session):
+    empty_nodes = pa.table({"name": pa.array([], pa.string()),
+                            "type": pa.array([], pa.string())})
+    empty_edges = pa.table({
+        "src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+        "src_type": pa.array([], pa.string()), "dst_type": pa.array([], pa.string()),
+    })
+    out = pagerank(rd.from_arrow(empty_nodes), rd.from_arrow(empty_edges),
+                   shard_size=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"name", "type", "rank_r"}
+    # edgeless graph: every node is dangling; rank must be uniform 1/n
+    nodes = pa.table({"name": ["a", "b", "c"], "type": ["t"] * 3})
+    got = _ranks(pagerank(rd.from_arrow(nodes), rd.from_arrow(empty_edges),
+                          iters=5, shard_size=1))
+    assert np.allclose(got.values, np.floor(1e8 / 3) / 1e8)
