@@ -756,21 +756,28 @@ def hits(
 
 
 def khop(edges, seeds: list, k: int, direction: str = "both",
-         src: str = "src", dst: str = "dst"):
+         src: str = "src", dst: str = "dst",
+         frontier_limit: int = 1_000_000):
     """k-hop neighborhood expansion (the GraphRAG retrieval shape, the
-    multi-hop generalization of ``relations``): → Arrow table
-    (name, hop) for every node within k hops of the seed names, hop =
-    BFS distance (seeds are hop 0).  Endpoint columns and node dtype are
-    taken from ``src``/``dst`` — string names and integer ids both work.
+    multi-hop generalization of ``relations``): → (name, hop) for every
+    node within k hops of the seed names, hop = BFS distance (seeds are
+    hop 0).  Endpoint columns and node dtype are taken from ``src``/
+    ``dst`` — string names and integer ids both work.
 
-    Distributed BFS with a BROADCAST frontier: each round streams the edge
+    TWO regimes.  While the frontier stays at or below ``frontier_limit``
+    the BFS runs with a BROADCAST frontier: each round streams the edge
     table once through an ``is_in`` semi-join filter (the frontier ships
     with the task closure — it is the neighborhood, small by design) and
     emits per-block DISTINCT neighbors, so the exchange is
-    O(distinct neighbors × blocks) and edge rows never shuffle.  The
-    visited map is O(result) on the driver — the right trade for
-    neighborhood queries; a whole-graph traversal should use the
-    connected-components machinery (stages/canonicalize.py) instead."""
+    O(distinct neighbors × blocks) and edge rows never shuffle; the
+    visited map is O(result) on the driver and the return type is an
+    Arrow table.  The moment a round's frontier EXCEEDS the limit — a
+    hub-dense graph where the neighborhood approaches the graph — the
+    driver state (≤ limit + one round's growth by construction) hands off
+    to `_khop_dataset`: visited and frontier become Datasets, the
+    semi-join/anti-join/distinct run distributed, and the RESULT IS A
+    DATASET — the driver never holds O(graph).  Pass ``frontier_limit=0``
+    to force the dataset regime from hop 1 (regime-equality tested)."""
     import pyarrow as pa
 
     ds = _ds(edges).select_columns([src, dst])
@@ -781,6 +788,11 @@ def khop(edges, seeds: list, k: int, direction: str = "both",
     visited: dict = {s: 0 for s in seeds}
     frontier = set(seeds)
     for hop in range(1, int(k) + 1):
+        if len(frontier) > frontier_limit:
+            return _khop_dataset(
+                ds, visited, frontier, hop, k,
+                direction=direction, src=src, dst=dst, ntype=ntype,
+            )
         fr = pa.array(sorted(frontier), ntype)
 
         def neighbors(b: pa.Table, fr=fr) -> pa.Table:
@@ -810,6 +822,88 @@ def khop(edges, seeds: list, k: int, direction: str = "both",
         "name": pa.array(names, ntype),
         "hop": pa.array([visited[n] for n in names], pa.int64()),
     })
+
+
+def _khop_dataset(ds, visited: dict, frontier: set, hop_start: int, k: int,
+                  *, direction: str, src: str, dst: str, ntype) -> rd.Dataset:
+    """Dataset-state BFS continuation for hub-dense graphs: visited and
+    frontier live as Datasets, each round is
+
+        neighbors  = edges semi-joined to the frontier (adaptive_join:
+                     broadcast while small, hash shuffle past that),
+                     both directions unioned
+        distinct   = partial_grouped_agg on name (map-side combine — the
+                     exchange moves O(distinct × blocks), never edge rows)
+        fresh      = neighbors LEFT-joined to visited, hop-null kept
+                     (the anti-join)
+        visited   ∪= fresh at this hop
+
+    State materializes once per round (bounded object-store tables); the
+    driver holds refs and ONE count per round.  Returns the (name, hop)
+    Dataset sorted by name — same rows and dtypes as the driver regime,
+    different container (that is the point: the result may be the whole
+    graph)."""
+    import pyarrow as pa
+
+    from ..functions.joins import adaptive_join
+    from .aggregates import partial_grouped_agg
+
+    def name_tbl(names, hops=None) -> pa.Table:
+        cols = {"name": pa.array(sorted(names), ntype)}
+        if hops is not None:
+            cols["hop"] = pa.array([hops[n] for n in sorted(names)], pa.int64())
+        return pa.table(cols)
+
+    visited_ds = rd.from_arrow(name_tbl(visited.keys(), visited)).materialize()
+    frontier_ds = rd.from_arrow(name_tbl(frontier)).materialize()
+
+    for hop in range(hop_start, int(k) + 1):
+        def project(col):
+            # in-map projection: lookup_join blocks can carry a stale
+            # schema view that confuses select_columns/rename_columns
+            return lambda b: pa.table({"name": b.column(col)})
+
+        sides = []
+        if direction in ("out", "both"):
+            sides.append(
+                adaptive_join(
+                    ds, frontier_ds, left_keys=[src], right_keys=["name"],
+                    how="inner",
+                ).map_batches(project(dst), batch_format="pyarrow")
+            )
+        if direction in ("in", "both"):
+            sides.append(
+                adaptive_join(
+                    ds, frontier_ds, left_keys=[dst], right_keys=["name"],
+                    how="inner",
+                ).map_batches(project(src), batch_format="pyarrow")
+            )
+        neighbors = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
+        distinct = partial_grouped_agg(neighbors, ["name"], count_alias="_c")
+        distinct = distinct.map_batches(
+            lambda b: b.select(["name"]), batch_format="pyarrow"
+        )
+        fresh = (
+            adaptive_join(distinct, visited_ds, left_keys=["name"], how="left")
+            .map_batches(
+                lambda b: b.filter(pc.is_null(b.column("hop")))
+                           .select(["name"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if fresh.count() == 0:
+            break
+        frontier_ds = fresh
+        visited_ds = visited_ds.union(
+            fresh.map_batches(
+                lambda b, h=hop: b.append_column(
+                    "hop", pa.array(np.full(b.num_rows, h), pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    return visited_ds.sort("name")
 
 
 def harmonic_centrality(

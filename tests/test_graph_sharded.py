@@ -92,3 +92,72 @@ def test_sharded_empty_and_edgeless(ray_session):
     got = _ranks(pagerank(rd.from_arrow(nodes), rd.from_arrow(empty_edges),
                           iters=5, shard_size=1))
     assert np.allclose(got.values, np.floor(1e8 / 3) / 1e8)
+
+
+# ---------------------------------------------------------------------------
+# khop dataset-frontier regime (hub-dense graphs: frontier off the driver)
+# ---------------------------------------------------------------------------
+
+def _bfs_reference(e, seeds, k, directed):
+    import collections
+    adj = collections.defaultdict(set)
+    for s, d in e:
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    q = collections.deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] == k:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _khop_rows(out):
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+    return {r["name"]: r["hop"] for r in rows}
+
+
+def test_khop_dataset_regime_matches_driver(ray_session):
+    from knowledgegraph_ray.stages.graph_query import khop
+
+    rng = np.random.default_rng(13)
+    n = 60
+    e = {(f"n{int(a)}", f"n{int(b)}")
+         for a, b in rng.integers(0, n, (150, 2)) if a != b}
+    edges = pa.table({"src": [s for s, _ in sorted(e)],
+                      "dst": [d for _, d in sorted(e)]})
+    ds = rd.from_arrow(edges).repartition(5)
+    for k, direction, directed in ((2, "both", False), (3, "out", True),
+                                   (2, "in", None)):
+        driver = _khop_rows(khop(ds, ["n0", "n7"], k=k, direction=direction))
+        forced = khop(ds, ["n0", "n7"], k=k, direction=direction,
+                      frontier_limit=0)
+        assert isinstance(forced, rd.Dataset)  # dataset regime engaged
+        assert _khop_rows(forced) == driver, (k, direction)
+        if directed is not None:
+            assert driver == _bfs_reference(e, ["n0", "n7"], k, directed)
+
+
+def test_khop_midflight_handoff_on_hub_graph(ray_session):
+    """A hub graph whose hop-1 frontier explodes past the limit must hand
+    off mid-BFS (hop 0 state built driver-side, hop 2 computed as
+    datasets) and still match the all-driver result."""
+    from knowledgegraph_ray.stages.graph_query import khop
+
+    hub_edges = [("seed", f"h{i}") for i in range(50)]
+    hub_edges += [(f"h{i}", f"leaf{i}") for i in range(50)]
+    edges = pa.table({"src": [s for s, _ in hub_edges],
+                      "dst": [d for _, d in hub_edges]})
+    ds = rd.from_arrow(edges).repartition(3)
+    driver = _khop_rows(khop(ds, ["seed"], k=2, direction="out"))
+    handed = khop(ds, ["seed"], k=2, direction="out", frontier_limit=10)
+    assert isinstance(handed, rd.Dataset)
+    assert _khop_rows(handed) == driver
+    assert driver["seed"] == 0 and driver["h3"] == 1 and driver["leaf3"] == 2
+    assert len(driver) == 101
