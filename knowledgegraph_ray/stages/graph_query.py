@@ -325,19 +325,18 @@ _PR_OUT_SCHEMA = pa.schema(
 )
 
 
-def _pagerank_sharded(
+def _vertex_cut(
     nodes_ds: rd.Dataset,
     edges_ds: rd.Dataset,
-    *,
-    damping: float,
-    iters: int,
     shard_size: int,
-    personalization: "list[tuple[str, str]] | None" = None,
-) -> rd.Dataset:
-    """Vertex-cut PageRank: the rank vector is HASH-SHARDED, so no process —
-    driver included — ever holds the full O(nodes) vector.
+    *,
+    with_reverse: bool = False,
+) -> "dict | None":
+    """Shared vertex-cut layout for the iterative graph ops (pagerank,
+    hits): the node set is HASH-SHARDED so no process — driver included —
+    ever holds an O(nodes) structure.
 
-    Layout (built once):
+    Built once:
       * NODE shards: (name, type) rows exchanged by ``keyhash % S`` (the
         canonicalize split/reduce idiom), each shard sorted by key hash and
         kept in the object store; the driver holds S refs + S sizes.
@@ -346,17 +345,14 @@ def _pagerank_sharded(
         per-(src shard, dst shard) (si, di) blocks pre-sorted by di, the
         exact input shape `_pr_scatter_fn` already consumes.  Edges with an
         endpoint absent from the nodes table are dropped, same as the dense
-        path.
-      * Out-degree: per-src-shard dense int64 vectors combined from the
-        (s, ·) blocks' sparse partials — O(shard) each, by ref.
+        paths.  ``with_reverse`` also materializes the swapped orientation
+        (si=dst index, di=src index, sorted by di) per pair — the hub
+        half-step of HITS.
+      * Out-degree sparse partials per src shard (pagerank's divisor).
 
-    Per iteration the driver launches O(S + nonempty (s,d) pairs) tasks and
-    receives S dangling SCALARS; every vector (w_s, contrib_d, r_d) lives
-    shard-sized in the object store.  Update formula, dangling handling,
-    personalization semantics and the 1e-8 floor are identical to the dense
-    path; only float summation order differs (contrib sums per shard rather
-    than globally), which the regime-equality test bounds at one 1e-8
-    quantum."""
+    Returns None on an empty node set, else a dict:
+      S, n, sizes, shard_refs, fwd {(s,d): block ref}, rev (same keys, only
+      when with_reverse), deg_parts (list of per-src-shard partial refs)."""
     import pyarrow as pa
     import ray
 
@@ -365,7 +361,7 @@ def _pagerank_sharded(
     nodes_mat = nodes_ds.select_columns(["name", "type"]).materialize()
     n = nodes_mat.count()
     if n == 0:
-        return rd.from_arrow(_PR_OUT_SCHEMA.empty_table())
+        return None
     S = max(1, -(-n // int(shard_size)))
     uS = np.uint64(S)
 
@@ -497,13 +493,14 @@ def _pagerank_sharded(
         res = src_opts.remote(shard_refs[s], *[sp[s] for sp in edge_splits])
         sd_slices.append(list(res) if S > 1 else [res])
 
-    @ray.remote(num_returns=3)
+    @ray.remote(num_returns=4)
     def _finalize_sd(shard_tbl: pa.Table, sl):
         """Dst-shard pass for one (s, d) pair: resolve di, drop non-members,
-        pre-sort by di → ((si, di) block, src-degree sparse partial, rows)."""
+        pre-sort by di → ((si, di) block, swapped block or None,
+        src-degree sparse partial, rows)."""
         none_part = (np.empty(0, np.int64), np.empty(0, np.int64))
         if sl is None or sl.num_rows == 0 or shard_tbl.num_rows == 0:
-            return None, none_part, 0
+            return None, None, none_part, 0
         khs = shard_tbl.column("_kh").to_numpy(zero_copy_only=False)
         dh = sl.column("dh").to_numpy(zero_copy_only=False)
         di = np.minimum(np.searchsorted(khs, dh), len(khs) - 1)
@@ -511,26 +508,73 @@ def _pagerank_sharded(
         di = di[keep]
         si = sl.column("si").to_numpy(zero_copy_only=False)[keep]
         if di.size == 0:
-            return None, none_part, 0
+            return None, None, none_part, 0
         order = np.argsort(di, kind="stable")
         blk = pa.table({"si": pa.array(si[order], pa.int64()),
                         "di": pa.array(di[order], pa.int64())})
+        rev = None
+        if with_reverse:
+            # swapped orientation: lookup slot ← dst index, group slot ←
+            # src index, pre-sorted by the new group slot (dense
+            # reverse_idx's exact shape)
+            rorder = np.argsort(si, kind="stable")
+            rev = pa.table({"si": pa.array(di[rorder], pa.int64()),
+                            "di": pa.array(si[rorder], pa.int64())})
         u, c = np.unique(si, return_counts=True)
-        return blk, (u, c.astype(np.int64)), int(di.size)
+        return blk, rev, (u, c.astype(np.int64)), int(di.size)
 
-    edge_blocks: dict[tuple[int, int], "ray.ObjectRef"] = {}
+    fwd: dict[tuple[int, int], "ray.ObjectRef"] = {}
+    rev: dict[tuple[int, int], "ray.ObjectRef"] = {}
     deg_parts: list[list] = [[] for _ in range(S)]
     row_refs = []
     for s in range(S):
         for d in range(S):
-            blk, dp, nr = _finalize_sd.remote(shard_refs[d], sd_slices[s][d])
-            edge_blocks[(s, d)] = blk
+            blk, rblk, dp, nr = _finalize_sd.remote(shard_refs[d], sd_slices[s][d])
+            fwd[(s, d)] = blk
+            rev[(s, d)] = rblk
             deg_parts[s].append(dp)
             row_refs.append(((s, d), nr))
     # prune empty (s,d) pairs so iterations skip them entirely
     nrows = ray.get([r for _, r in row_refs])
     live = {sd for (sd, _), nr in zip(row_refs, nrows) if nr > 0}
-    edge_blocks = {sd: b for sd, b in edge_blocks.items() if sd in live}
+    return {
+        "S": S, "n": n, "sizes": sizes, "shard_refs": shard_refs,
+        "fwd": {sd: b for sd, b in fwd.items() if sd in live},
+        "rev": ({sd: b for sd, b in rev.items() if sd in live}
+                if with_reverse else None),
+        "deg_parts": deg_parts,
+    }
+
+
+def _pagerank_sharded(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    *,
+    damping: float,
+    iters: int,
+    shard_size: int,
+    personalization: "list[tuple[str, str]] | None" = None,
+) -> rd.Dataset:
+    """Vertex-cut PageRank over the `_vertex_cut` layout.
+
+    Per iteration the driver launches O(S + nonempty (s,d) pairs) tasks and
+    receives S dangling SCALARS; every vector (w_s, contrib_d, r_d) lives
+    shard-sized in the object store.  Update formula, dangling handling,
+    personalization semantics and the 1e-8 floor are identical to the dense
+    path; only float summation order differs (contrib sums per shard rather
+    than globally), which the regime-equality test bounds at one 1e-8
+    quantum."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash_key_columns
+
+    vc = _vertex_cut(nodes_ds, edges_ds, shard_size)
+    if vc is None:
+        return rd.from_arrow(_PR_OUT_SCHEMA.empty_table())
+    S, n, sizes = vc["S"], vc["n"], vc["sizes"]
+    shard_refs, edge_blocks, deg_parts = vc["shard_refs"], vc["fwd"], vc["deg_parts"]
+    uS = np.uint64(S)
 
     @ray.remote
     def _deg_shard(size: int, *parts):
@@ -636,12 +680,99 @@ def _pagerank_sharded(
     )
 
 
+_HITS_OUT_SCHEMA = pa.schema(
+    [("name", pa.string()), ("type", pa.string()),
+     ("hub_r", pa.float64()), ("auth_r", pa.float64())]
+)
+
+
+def _hits_sharded(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    *,
+    iters: int,
+    shard_size: int,
+) -> rd.Dataset:
+    """Vertex-cut HITS over the `_vertex_cut` layout (with_reverse=True):
+    both score vectors live hash-sharded; each half-step scatters one
+    orientation's (s,d) blocks, accumulates per shard, and L2-normalizes
+    with a GLOBAL norm combined from S per-shard sum-of-squares SCALARS —
+    the only thing the driver ever holds per half-step.  Same math as the
+    dense path to float-summation order (regime-equality tested)."""
+    import pyarrow as pa
+    import ray
+
+    vc = _vertex_cut(nodes_ds, edges_ds, shard_size, with_reverse=True)
+    if vc is None:
+        return rd.from_arrow(_HITS_OUT_SCHEMA.empty_table())
+    S, n, sizes = vc["S"], vc["n"], vc["sizes"]
+    shard_refs, fwd, rev = vc["shard_refs"], vc["fwd"], vc["rev"]
+
+    @ray.remote(num_cpus=0, num_returns=2)
+    def _accum(size: int, *parts):
+        v = np.zeros(size, np.float64)
+        for part in parts:
+            if part is not None:
+                idx, mass = part
+                v[idx] += mass
+        return v, float((v * v).sum())
+
+    @ray.remote(num_cpus=0)
+    def _scale(v: np.ndarray, norm: float):
+        return v / norm if norm > 0 else v
+
+    @ray.remote
+    def _init(size: int):
+        return np.full(size, 1.0 / np.sqrt(n))
+
+    def half_step(blocks, w_refs):
+        """One normalized scatter: blocks[(s,d)] keyed by source shard s,
+        emitting to shard d."""
+        parts_by_d: list[list] = [[] for _ in range(S)]
+        for (s, d), blk in blocks.items():
+            parts_by_d[d].append(_pr_scatter.remote(blk, w_refs[s]))
+        raw, sq = [], []
+        for d in range(S):
+            v, q = _accum.remote(sizes[d], *parts_by_d[d])
+            raw.append(v)
+            sq.append(q)
+        norm = float(np.sqrt(sum(ray.get(sq))))  # S scalars to the driver
+        return [_scale.remote(raw[d], norm) for d in range(S)]
+
+    h_refs = [_init.remote(sizes[s]) for s in range(S)]
+    a_refs = h_refs[:]
+    for _ in range(iters):
+        a_refs = half_step(fwd, h_refs)
+        # hub step reads a by dst index: rev blocks have si=dst, di=src,
+        # so the "source shard" of a rev (s,d) block is d (where a lives)
+        # and it emits to s — re-key the dict for half_step's convention
+        rev_keyed = {(d, s): blk for (s, d), blk in rev.items()}
+        h_refs = half_step(rev_keyed, a_refs)
+
+    @ray.remote
+    def _emit(shard_tbl: pa.Table, h_s: np.ndarray, a_s: np.ndarray) -> pa.Table:
+        if shard_tbl.num_rows == 0:
+            return _HITS_OUT_SCHEMA.empty_table()
+        return pa.table({
+            "name": shard_tbl.column("name"),
+            "type": shard_tbl.column("type"),
+            "hub_r": pa.array(np.floor(h_s * 1e8) / 1e8, pa.float64()),
+            "auth_r": pa.array(np.floor(a_s * 1e8) / 1e8, pa.float64()),
+        })
+
+    return rd.from_arrow_refs(
+        [_emit.remote(shard_refs[s], h_refs[s], a_refs[s]) for s in range(S)]
+    )
+
+
 def hits(
     nodes,
     edges,
     *,
     iters: int = 30,
     small_graph_edges: int = 5_000_000,
+    shard_size: int | None = None,
+    large_graph_nodes: int = 50_000_000,
 ) -> rd.Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over the built KG →
     (name, type, hub_r, auth_r), L2-normalized, floor-canonicalized at 1e-8.
@@ -656,23 +787,31 @@ def hits(
     runs driver-side over the same blocks in the same order, so the two
     regimes are bit-identical (pagerank's regime-equality precedent).
     Endpoint membership is validated like pagerank: edges referencing a
-    node absent from the nodes table are dropped."""
+    node absent from the nodes table are dropped.
+
+    Past ``large_graph_nodes`` (or whenever ``shard_size`` is passed) the
+    score vectors are HASH-SHARDED over the shared `_vertex_cut` layout —
+    see `_hits_sharded`; the driver then holds only S per-shard
+    sum-of-squares scalars per half-step."""
     import pyarrow as pa
     import ray
 
     from ..functions.hashing import hash_key_columns
 
     nodes_ds, edges_ds = _ds(nodes), _ds(edges)
+    nodes_mat = nodes_ds.select_columns(["name", "type"]).materialize()
+    if shard_size is not None or nodes_mat.count() > large_graph_nodes:
+        return _hits_sharded(
+            nodes_mat, edges_ds, iters=iters,
+            shard_size=shard_size or 4_000_000,
+        )
 
     key_tbls = [
         t.select(["name", "type"])
-        for t in ray.get(nodes_ds.select_columns(["name", "type"]).materialize().to_arrow_refs())
+        for t in ray.get(nodes_mat.to_arrow_refs())
         if t.num_rows
     ]
-    empty = rd.from_arrow(
-        pa.schema([("name", pa.string()), ("type", pa.string()),
-                   ("hub_r", pa.float64()), ("auth_r", pa.float64())]).empty_table()
-    )
+    empty = rd.from_arrow(_HITS_OUT_SCHEMA.empty_table())
     if not key_tbls:
         return empty
     keys_tbl = pa.concat_tables(key_tbls).combine_chunks()

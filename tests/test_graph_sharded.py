@@ -161,3 +161,42 @@ def test_khop_midflight_handoff_on_hub_graph(ray_session):
     assert _khop_rows(handed) == driver
     assert driver["seed"] == 0 and driver["h3"] == 1 and driver["leaf3"] == 2
     assert len(driver) == 101
+
+
+# ---------------------------------------------------------------------------
+# hits vertex-cut regime
+# ---------------------------------------------------------------------------
+
+def _hits_frame(ds):
+    df = ds.to_pandas()
+    return df.set_index(df["name"] + "|" + df["type"]).sort_index()
+
+
+@pytest.mark.parametrize("shard_size", [3, 1_000_000])
+def test_hits_sharded_matches_dense(ray_session, shard_size):
+    from knowledgegraph_ray.stages.graph_query import hits
+
+    rng = np.random.default_rng(23)
+    nodes, edges = _rand_graph(rng, n_nodes=35, n_edges=140)
+    nd = rd.from_arrow(nodes).repartition(2)
+    ed = rd.from_arrow(edges).repartition(3)
+    dense = _hits_frame(hits(nd, ed, iters=20))
+    shard = _hits_frame(hits(nd, ed, iters=20, shard_size=shard_size))
+    assert list(dense.index) == list(shard.index)
+    for col in ("hub_r", "auth_r"):
+        assert np.max(np.abs(dense[col].values - shard[col].values)) \
+            <= 1.0000001e-8, col
+
+
+def test_hits_sharded_empty(ray_session):
+    from knowledgegraph_ray.stages.graph_query import hits
+
+    empty_nodes = pa.table({"name": pa.array([], pa.string()),
+                            "type": pa.array([], pa.string())})
+    empty_edges = pa.table({
+        "src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+        "src_type": pa.array([], pa.string()), "dst_type": pa.array([], pa.string()),
+    })
+    out = hits(rd.from_arrow(empty_nodes), rd.from_arrow(empty_edges), shard_size=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"name", "type", "hub_r", "auth_r"}
