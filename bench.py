@@ -174,6 +174,41 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def kg_oracle_selfcheck(sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    """Run the flagship golden-oracle comparison INSIDE the bench so the
+    signal exists in every BENCH_r{N}.json regardless of which queries the
+    driver's 50-row sample picks (it skipped the q_kg_* family two rounds
+    running): each q_kg_* query at sf0.001 vs its ORACLE_SQL over the
+    committed golden parquet, compared the driver's way — columns sorted
+    by name, then row-sorted values, exact equality."""
+    import duckdb
+    import ray.data as rd
+
+    from knowledgegraph_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].sort_values(cols).reset_index(drop=True)
+        return df.astype(object)
+
+    out: dict[str, bool] = {}
+    for name in ("q_kg_nodes_by_type", "q_kg_edges_by_type"):
+        try:
+            res = QUERIES[name](sf_dir)
+            got = norm(res.to_pandas() if isinstance(res, rd.Dataset)
+                       else res.to_pandas())
+            want = norm(duckdb.sql(ORACLE_SQL[name]).df())
+            out[name] = bool(
+                got.shape == want.shape
+                and list(got.columns) == list(want.columns)
+                and (got.values == want.values).all()
+            )
+        except Exception as e:  # pragma: no cover - surfaced in the artifact
+            out[name] = False
+            out[f"{name}_err"] = repr(e)[:200]
+    return out
+
+
 def main_bench_inproc(num_cpus: int, with_queries: bool = True) -> dict:
     """KG build timed KGRAY_BENCH_RUNS times in THIS process, median reported
     (the --child entry point; scaling modes use it with one run per child)."""
@@ -253,12 +288,14 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
           if k not in ("metric", "value", "unit", "queries", "sf", "num_cpus",
                        "kg_runs_all_wall_s")}
     queries: dict = {}
+    selfcheck: dict = {}
     if with_queries:
         os.environ["POLARS_MAX_THREADS"] = str(num_cpus)
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=num_cpus,
                      include_dashboard=False, logging_level="ERROR")
         queries = run_queries(SF_DIR)
+        selfcheck = kg_oracle_selfcheck()
         ray.shutdown()
     # sub-stage timings (dotted keys) go to the file artifact; the final
     # line keeps only top-level stages so it stays within the driver's
@@ -278,6 +315,7 @@ def main_bench(num_cpus: int, with_queries: bool = True) -> dict:
         "value": kg["kg_wall_s"],
         "unit": "sec",
         **compact,
+        "kg_oracle_selfcheck": selfcheck,
         "sf": _sf_label(SF_DIR),
         "num_cpus": num_cpus,
         "kg_runs_all_wall_s": [r["kg_wall_s"] for r in kgs],
