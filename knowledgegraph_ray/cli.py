@@ -21,13 +21,20 @@ import sys
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    """Own the Ray session.  KGRAY_RAY_ADDRESS selects the target:
+    unset/"local" starts an in-process node (the test/bench default);
+    "auto" or a ray:// URL attaches to an existing cluster (the
+    `ray job submit` path, docs/CLUSTER.md) — num_cpus is a LOCAL-node
+    sizing knob and is ignored when attaching, the cluster's resources
+    are what they are."""
     import ray
 
     if not ray.is_initialized():
+        address = os.environ.get("KGRAY_RAY_ADDRESS", "local")
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        ray.init(address=address, **kwargs)
 
 
 def _graph_dirs(graph: str) -> tuple[str, str]:
