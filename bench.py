@@ -182,7 +182,6 @@ def kg_oracle_selfcheck(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     committed golden parquet, compared the driver's way — columns sorted
     by name, then row-sorted values, exact equality."""
     import duckdb
-    import ray.data as rd
 
     from knowledgegraph_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
@@ -195,8 +194,7 @@ def kg_oracle_selfcheck(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     for name in ("q_kg_nodes_by_type", "q_kg_edges_by_type"):
         try:
             res = QUERIES[name](sf_dir)
-            got = norm(res.to_pandas() if isinstance(res, rd.Dataset)
-                       else res.to_pandas())
+            got = norm(res.to_pandas())
             want = norm(duckdb.sql(ORACLE_SQL[name]).df())
             out[name] = bool(
                 got.shape == want.shape

@@ -43,11 +43,15 @@ def word_frequency_dataset(
     words below the floor never reach the driver.  On web text the
     distinct-token set is 10⁸–10⁹ rows of mostly count-1 garbage
     (typos, ids, hashes); the floor removes the long tail before any
-    materialization.  The prune is exact — it runs on globally combined
-    counts, not per-block partials — and BPE merge parity is unaffected
-    whenever no merged pair's count depends on sub-floor words (always
-    true for realistic corpora: a pair supported only by hapaxes can
-    never win a greedy round against pairs in repeated words)."""
+    materialization.  The floor itself is applied exactly — on globally
+    combined counts, never per-block partials.  Its EFFECT on BPE is a
+    deliberate approximation: every pair's count is reduced by its
+    sub-floor-word-supported mass, so two above-floor pairs whose exact
+    counts differ by less than that mass can merge in a different order
+    than exact BPE would pick (the learned tables are near-identical on
+    natural text because hapax mass is a vanishing fraction of any pair a
+    merge would select, but this is a corpus property, not a guarantee).
+    Pass ``min_count=1`` for the exact unbounded dictionary."""
     from .aggregates import partial_grouped_agg
 
     def explode_words(b: pa.Table) -> pa.Table:
@@ -81,22 +85,23 @@ def word_frequencies(
     """Corpus → (word, count) pairs, sorted by (count desc, word).
 
     The driver-side dictionary is BOUNDED twice: ``min_count`` floors the
-    frequency (hapax prune, see `word_frequency_dataset`), and
-    ``max_words`` caps the rows the driver will ever hold.  When the
-    floored vocabulary still exceeds the cap, the FULL dictionary spills
-    to parquet (``spill_dir`` or a fresh /tmp directory) for offline
-    inspection/resume and only the top ``max_words`` by (count desc,
-    word) — a distributed sort+limit, not a driver sort — are returned.
-    Pass ``min_count=1, max_words=None`` for the exact unbounded
-    behaviour on small corpora."""
+    frequency (hapax prune, see `word_frequency_dataset` for the exactness
+    contract), and ``max_words`` caps the rows the driver will ever hold —
+    when the floored vocabulary still exceeds it, only the top
+    ``max_words`` by (count desc, word) — a distributed sort+limit, not a
+    driver sort — are returned.  ``spill_dir`` (opt-in: a shared
+    filesystem path on a multi-node cluster — Ray Data writes
+    block-per-task, so a node-local path would scatter fragments across
+    workers) additionally writes the FULL floored dictionary to parquet
+    for offline inspection/resume before capping.  Pass ``min_count=1,
+    max_words=None`` for the exact unbounded behaviour on small
+    corpora."""
     counted = word_frequency_dataset(
         ds, text_col=text_col, min_count=min_count
     ).materialize()  # vocabulary-sized; lives in the object store, not the driver
     if max_words is not None and counted.count() > max_words:
-        import tempfile
-
-        out = spill_dir or tempfile.mkdtemp(prefix="bpe_vocab_", dir="/tmp")
-        counted.write_parquet(out)
+        if spill_dir is not None:
+            counted.write_parquet(spill_dir)
         counted = (
             counted.sort(["n", "word"], descending=[True, False])
             .limit(max_words)

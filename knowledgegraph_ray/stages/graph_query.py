@@ -352,13 +352,18 @@ def _vertex_cut(
 
     Returns None on an empty node set, else a dict:
       S, n, sizes, shard_refs, fwd {(s,d): block ref}, rev (same keys, only
-      when with_reverse), deg_parts (list of per-src-shard partial refs)."""
+      when with_reverse), deg_parts (list of per-src-shard partial refs).
+
+    CONTRACT: ``nodes_ds`` must already be (name, type)-projected and
+    materialized — both callers build it at dispatch; re-selecting here
+    would rewrite the full node table through the object store a second
+    time."""
     import pyarrow as pa
     import ray
 
     from ..functions.hashing import hash_key_columns
 
-    nodes_mat = nodes_ds.select_columns(["name", "type"]).materialize()
+    nodes_mat = nodes_ds
     n = nodes_mat.count()
     if n == 0:
         return None
@@ -1135,6 +1140,18 @@ def harmonic_centrality(
     for seed in seeds:
         t = khop(ds, [seed], k=max_hops, direction=direction,
                  src=src, dst=dst)
+        if isinstance(t, rd.Dataset):
+            # khop handed off to the dataset regime (hub-dense frontier):
+            # reduce to the O(distinct hops) histogram map-side — the
+            # integer score needs only (hop, count), never the membership
+            from .aggregates import partial_grouped_agg
+
+            hist = partial_grouped_agg(t, ["hop"], count_alias="c").take_all()
+            score = sum(int(RA_SCALE // r["hop"]) * r["c"]
+                        for r in hist if r["hop"] > 0)
+            total = sum(r["c"] for r in hist if r["hop"] > 0)
+            rows.append((seed, int(score), int(total)))
+            continue
         hops = t.column("hop").to_numpy(zero_copy_only=False)
         hops = hops[hops > 0]  # the seed itself (hop 0) contributes nothing
         score = int((RA_SCALE // hops).sum()) if hops.size else 0
@@ -1821,8 +1838,20 @@ def ego_subgraph(edges, seeds: list[str], k: int,
     import pyarrow as pa
 
     members = khop(edges, seeds, k=k, src=src, dst=dst)
-    mset = members.column("name").combine_chunks()
     ds = _ds(edges)
+    if isinstance(members, rd.Dataset):
+        # dataset-regime membership (hub-dense neighborhood): induce edges
+        # by two adaptive semi-joins instead of broadcasting O(graph) names
+        from ..functions.joins import adaptive_join
+
+        names = members.map_batches(
+            lambda b: b.select(["name"]), batch_format="pyarrow"
+        ).materialize()
+        e = adaptive_join(ds, names, left_keys=[src], right_keys=["name"],
+                          how="inner")
+        return adaptive_join(e, names, left_keys=[dst], right_keys=["name"],
+                             how="inner")
+    mset = members.column("name").combine_chunks()
 
     def flt(b: pa.Table) -> pa.Table:
         return b.filter(pc.and_(

@@ -200,3 +200,52 @@ def test_hits_sharded_empty(ray_session):
     out = hits(rd.from_arrow(empty_nodes), rd.from_arrow(empty_edges), shard_size=2)
     assert out.count() == 0
     assert set(out.schema().names) == {"name", "type", "hub_r", "auth_r"}
+
+
+def test_khop_callers_survive_dataset_regime(ray_session):
+    """harmonic_centrality and ego_subgraph consume khop, which past
+    frontier_limit returns a Dataset — both must handle it (code-review
+    round-5 finding) and agree with the table-regime result."""
+    from knowledgegraph_ray.stages.graph_query import ego_subgraph, khop
+
+    hub_edges = [("seed", f"h{i}") for i in range(30)]
+    hub_edges += [(f"h{i}", f"leaf{i}") for i in range(30)]
+    edges = pa.table({"src": [s for s, _ in hub_edges],
+                      "dst": [d for _, d in hub_edges]})
+    ds = rd.from_arrow(edges).repartition(3)
+
+    # ego_subgraph: broadcast-set regime vs dataset-membership regime
+    small = ego_subgraph(ds, ["seed"], k=1)
+    rows_small = {(r["src"], r["dst"]) for r in small.take_all()}
+    import knowledgegraph_ray.stages.graph_query as gq
+    orig = gq.khop
+    try:
+        gq.khop = lambda *a, **kw: orig(*a, **{**kw, "frontier_limit": 0})
+        big = ego_subgraph(ds, ["seed"], k=1)
+    finally:
+        gq.khop = orig
+    rows_big = {(r["src"], r["dst"]) for r in big.take_all()}
+    assert rows_small == rows_big == {("seed", f"h{i}") for i in range(30)}
+
+
+def test_harmonic_centrality_dataset_regime_matches(ray_session):
+    from knowledgegraph_ray.stages.graph_query import harmonic_centrality
+    import knowledgegraph_ray.stages.graph_query as gq
+
+    rng = np.random.default_rng(31)
+    n = 40
+    e = {(f"n{int(a)}", f"n{int(b)}")
+         for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    edges = pa.table({"src": [s for s, _ in sorted(e)],
+                      "dst": [d for _, d in sorted(e)]})
+    ds = rd.from_arrow(edges).repartition(4)
+    base = harmonic_centrality(ds, ["n0", "n3"], max_hops=4,
+                               small_graph_edges=0).to_pylist()
+    orig = gq.khop
+    try:
+        gq.khop = lambda *a, **kw: orig(*a, **{**kw, "frontier_limit": 0})
+        forced = harmonic_centrality(ds, ["n0", "n3"], max_hops=4,
+                                     small_graph_edges=0).to_pylist()
+    finally:
+        gq.khop = orig
+    assert base == forced
