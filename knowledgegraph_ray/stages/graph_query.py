@@ -1844,13 +1844,19 @@ def ego_subgraph(edges, seeds: list[str], k: int,
         # by two adaptive semi-joins instead of broadcasting O(graph) names
         from ..functions.joins import adaptive_join
 
+        edge_cols = list(ds.schema(fetch_if_missing=True).names)
         names = members.map_batches(
             lambda b: b.select(["name"]), batch_format="pyarrow"
         ).materialize()
         e = adaptive_join(ds, names, left_keys=[src], right_keys=["name"],
                           how="inner")
-        return adaptive_join(e, names, left_keys=[dst], right_keys=["name"],
-                             how="inner")
+        e = adaptive_join(e, names, left_keys=[dst], right_keys=["name"],
+                          how="inner")
+        # the shuffle-join regime keeps the right key column; project back
+        # to the input edge schema so both regimes return identical rows
+        return e.map_batches(
+            lambda b: b.select(edge_cols), batch_format="pyarrow"
+        )
     mset = members.column("name").combine_chunks()
 
     def flt(b: pa.Table) -> pa.Table:

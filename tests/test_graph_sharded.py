@@ -249,3 +249,25 @@ def test_harmonic_centrality_dataset_regime_matches(ray_session):
     finally:
         gq.khop = orig
     assert base == forced
+
+
+def test_ego_dataset_regime_schema_matches_input(ray_session):
+    """Both ego regimes must return exactly the input edge columns (the
+    shuffle-join path would otherwise leak the membership key column)."""
+    from knowledgegraph_ray.stages.graph_query import ego_subgraph
+    import knowledgegraph_ray.stages.graph_query as gq
+
+    edges = pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "a"],
+                      "w": [1, 2, 3]})
+    ds = rd.from_arrow(edges).repartition(2)
+    base = ego_subgraph(ds, ["a"], k=1)
+    assert base.schema().names == ["src", "dst", "w"]
+    orig = gq.khop
+    try:
+        gq.khop = lambda *a, **kw: orig(*a, **{**kw, "frontier_limit": 0})
+        forced = ego_subgraph(ds, ["a"], k=1)
+    finally:
+        gq.khop = orig
+    assert forced.schema().names == ["src", "dst", "w"]
+    key = lambda r: (r["src"], r["dst"], r["w"])
+    assert sorted(map(key, base.take_all())) == sorted(map(key, forced.take_all()))
