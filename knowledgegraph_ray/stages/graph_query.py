@@ -215,6 +215,8 @@ def pagerank(
         for t in ray.get(nodes_mat.to_arrow_refs())
         if t.num_rows
     ]
+    if not key_tbls:  # empty node table: concat_tables([]) would raise
+        return rd.from_arrow(_PR_OUT_SCHEMA.empty_table())
     keys_tbl = pa.concat_tables(key_tbls).combine_chunks()
     kh = np.sort(hash_key_columns(keys_tbl, ["name", "type"]))
     n = len(kh)
@@ -325,6 +327,19 @@ _PR_OUT_SCHEMA = pa.schema(
 )
 
 
+def _split_tbl_by_part(t: pa.Table, part: np.ndarray, S: int):
+    """One table → S slices by an int partition vector: stable argsort +
+    searchsorted bounds + compact per-slice take (None where empty) — the
+    single split idiom every `_vertex_cut` exchange uses."""
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(S + 1))
+    return tuple(
+        t.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
+        if bounds[i + 1] > bounds[i] else None
+        for i in range(S)
+    )
+
+
 def _vertex_cut(
     nodes_ds: rd.Dataset,
     edges_ds: rd.Dataset,
@@ -375,6 +390,11 @@ def _vertex_cut(
     def _split_by_hash(block: pa.Table, hash_cols: tuple, out_cols: tuple):
         """One block → S slices keyed by hash(hash_cols) % S; each slice is
         ``block.select(out_cols)`` plus the hash as column ``_kh``."""
+        if block.num_rows == 0:
+            # a zero-row block from a filter/repartition can carry a
+            # DEGENERATE EMPTY SCHEMA (no name/type columns) — guard
+            # before select, like the dense path's `if t.num_rows`
+            return None if S == 1 else tuple(None for _ in range(S))
         h = hash_key_columns(
             block.select(list(hash_cols)).rename_columns(["name", "type"]),
             ["name", "type"],
@@ -384,14 +404,7 @@ def _vertex_cut(
         )
         if S == 1:
             return t
-        part = (h % uS).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(S + 1))
-        return tuple(
-            t.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
-            if bounds[i + 1] > bounds[i] else None
-            for i in range(S)
-        )
+        return _split_tbl_by_part(t, (h % uS).astype(np.int64), S)
 
     @ray.remote(num_returns=2)
     def _build_node_shard(*slices):
@@ -446,14 +459,7 @@ def _vertex_cut(
         if S == 1:
             return block
         sh = block.column("sh").to_numpy(zero_copy_only=False)
-        part = (sh % uS).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(S + 1))
-        return tuple(
-            block.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
-            if bounds[i + 1] > bounds[i] else None
-            for i in range(S)
-        )
+        return _split_tbl_by_part(block, (sh % uS).astype(np.int64), S)
 
     @ray.remote
     def _index_src(shard_tbl: pa.Table, *slices):
@@ -477,14 +483,7 @@ def _vertex_cut(
                         "dh": pa.array(dh, pa.uint64())})
         if S == 1:
             return out
-        part = (dh % uS).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(S + 1))
-        return tuple(
-            out.take(pa.array(order[bounds[i]:bounds[i + 1]], pa.int64()))
-            if bounds[i + 1] > bounds[i] else None
-            for i in range(S)
-        )
+        return _split_tbl_by_part(out, (dh % uS).astype(np.int64), S)
 
     edge_splits = [
         (_split_edges.options(num_returns=S) if S > 1 else _split_edges).remote(r)
@@ -746,12 +745,12 @@ def _hits_sharded(
 
     h_refs = [_init.remote(sizes[s]) for s in range(S)]
     a_refs = h_refs[:]
+    # hub step reads a by dst index: rev blocks have si=dst, di=src, so the
+    # "source shard" of a rev (s,d) block is d (where a lives) and it emits
+    # to s — re-key the dict once for half_step's convention
+    rev_keyed = {(d, s): blk for (s, d), blk in rev.items()}
     for _ in range(iters):
         a_refs = half_step(fwd, h_refs)
-        # hub step reads a by dst index: rev blocks have si=dst, di=src,
-        # so the "source shard" of a rev (s,d) block is d (where a lives)
-        # and it emits to s — re-key the dict for half_step's convention
-        rev_keyed = {(d, s): blk for (s, d), blk in rev.items()}
         h_refs = half_step(rev_keyed, a_refs)
 
     @ray.remote
@@ -953,8 +952,21 @@ def khop(edges, seeds: list, k: int, direction: str = "both",
             )
             return pa.Table.from_pydict({"name": pc.unique(cat)})
 
+        nbr_ds = ds.map_batches(neighbors, batch_format="pyarrow").materialize()
+        if nbr_ds.count() > frontier_limit:
+            # the ROUND'S OUTPUT would blow the driver bound (a star hub
+            # can explode hop h even when hop h-1 passed the check): hand
+            # off BEFORE pulling it — the dataset regime recomputes this
+            # round distributed from the pre-round state, which is ≤ the
+            # limit by the entry check above.  The count is per-block
+            # distinct (conservative ≥ the true frontier) — erring toward
+            # an early handoff, never toward an unbounded take_all.
+            return _khop_dataset(
+                ds, visited, frontier, hop, k,
+                direction=direction, src=src, dst=dst, ntype=ntype,
+            )
         reached = set()
-        for r in ds.map_batches(neighbors, batch_format="pyarrow").take_all():
+        for r in nbr_ds.take_all():
             reached.add(r["name"])
         frontier = reached - visited.keys()
         if not frontier:
@@ -984,9 +996,10 @@ def _khop_dataset(ds, visited: dict, frontier: set, hop_start: int, k: int,
 
     State materializes once per round (bounded object-store tables); the
     driver holds refs and ONE count per round.  Returns the (name, hop)
-    Dataset sorted by name — same rows and dtypes as the driver regime,
+    Dataset UNSORTED — same rows and dtypes as the driver regime,
     different container (that is the point: the result may be the whole
-    graph)."""
+    graph, and both in-repo consumers are order-independent; sort at the
+    call site if you need order)."""
     import pyarrow as pa
 
     from ..functions.joins import adaptive_join
@@ -1047,7 +1060,7 @@ def _khop_dataset(ds, visited: dict, frontier: set, hop_start: int, k: int,
                 batch_format="pyarrow",
             )
         ).materialize()
-    return visited_ds.sort("name")
+    return visited_ds
 
 
 def harmonic_centrality(

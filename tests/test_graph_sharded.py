@@ -271,3 +271,55 @@ def test_ego_dataset_regime_schema_matches_input(ray_session):
     assert forced.schema().names == ["src", "dst", "w"]
     key = lambda r: (r["src"], r["dst"], r["w"])
     assert sorted(map(key, base.take_all())) == sorted(map(key, forced.take_all()))
+
+
+def test_sharded_survives_degenerate_empty_blocks(ray_session):
+    """A filter can leave zero-row blocks with a degenerate empty schema;
+    the sharded node exchange must not crash on them (second-review
+    finding — the dense path already guards with `if t.num_rows`)."""
+    nodes = pa.table({"name": [f"n{i}" for i in range(12)] + ["DROP"] * 4,
+                      "type": ["t"] * 16})
+    edges = pa.table({
+        "src": ["n0", "n1"], "dst": ["n1", "n2"],
+        "src_type": ["t"] * 2, "dst_type": ["t"] * 2,
+    })
+    nd = (rd.from_arrow(nodes).repartition(4)
+          .filter(lambda r: r["name"] != "DROP"))
+    ed = rd.from_arrow(edges)
+    dense = _ranks(pagerank(nd, ed, iters=5))
+    shard = _ranks(pagerank(nd, ed, iters=5, shard_size=3))
+    assert list(dense.index) == list(shard.index)
+    assert np.max(np.abs(dense.values - shard.values)) <= 1.0000001e-8
+
+
+def test_dense_pagerank_empty_node_table(ray_session):
+    """Dense regime on an empty node table must return the empty schema,
+    not crash in concat_tables (second-review finding; the sharded path
+    already did)."""
+    empty_nodes = pa.table({"name": pa.array([], pa.string()),
+                            "type": pa.array([], pa.string())})
+    edges = pa.table({
+        "src": ["a"], "dst": ["b"],
+        "src_type": ["t"], "dst_type": ["t"],
+    })
+    out = pagerank(rd.from_arrow(empty_nodes), rd.from_arrow(edges), iters=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"name", "type", "rank_r"}
+
+
+def test_khop_star_graph_hands_off_before_pulling_the_explosion(ray_session):
+    """Star graph: hop-1 frontier is ONE hub node (passes any limit), hop 2
+    explodes — the guard must fire on the round's OUTPUT size, before
+    take_all, and the dataset regime must finish the round correctly."""
+    from knowledgegraph_ray.stages.graph_query import khop
+
+    star = [("seed", "hub")] + [("hub", f"leaf{i}") for i in range(40)]
+    edges = pa.table({"src": [s for s, _ in star],
+                      "dst": [d for _, d in star]})
+    ds = rd.from_arrow(edges).repartition(3)
+    out = khop(ds, ["seed"], k=2, direction="out", frontier_limit=5)
+    assert isinstance(out, rd.Dataset)  # handed off mid-BFS at the hop-2 pull
+    rows = _khop_rows(out)
+    ref = _khop_rows(khop(ds, ["seed"], k=2, direction="out"))
+    assert rows == ref
+    assert rows["hub"] == 1 and rows["leaf7"] == 2 and len(rows) == 42
