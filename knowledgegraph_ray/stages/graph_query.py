@@ -369,6 +369,13 @@ def _vertex_cut(
       S, n, sizes, shard_refs, fwd {(s,d): block ref}, rev (same keys, only
       when with_reverse), deg_parts (list of per-src-shard partial refs).
 
+    Scale shape: the pair grid is S² (10⁹ nodes at the default 4M
+    shard_size → S=250 → ≤62.5k edge blocks) — task counts and driver-held
+    REFS grow as S², actual bytes as the edge count; empty pairs are
+    pruned before any iteration, and a ref is ~100 B, so even the full
+    grid is MBs of driver state.  Raise shard_size to trade per-shard
+    memory for a smaller grid.
+
     CONTRACT: ``nodes_ds`` must already be (name, type)-projected and
     materialized — both callers build it at dispatch; re-selecting here
     would rewrite the full node table through the object store a second
