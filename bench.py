@@ -589,8 +589,9 @@ def main_scaling() -> dict:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SCALING.json")) as f:
             prev = json.load(f)
-        for key in ("e2e_efficiency_runs", "compute_stage_probe",
-                    "host_hardware_ceiling", "e2e_heavy_compute"):
+        for key in ("round5_heavy_2_8_campaign", "round5_light_2_8_campaign",
+                    "round4_heavy_2_8_campaign", "compute_stage_probe",
+                    "host_hardware_ceiling"):
             if key in prev:
                 campaign[key] = prev[key]
     except Exception:
