@@ -3781,6 +3781,22 @@ def q_kg_pagerank(sf_dir: str):
     return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
 
 
+def q_kg_pagerank_weighted(sf_dir: str):
+    """Strength-weighted PageRank over the flagship KG: rank flows
+    proportionally to each edge's LLM-assigned relationship strength
+    (r[i]·strength(i,j)/Σ_out strength) — the GraphRAG relevance ranking
+    that respects the extractor's own confidence.  Top-20 by rank with
+    (rank desc, name, type) tie order.  Rows-only; the weighted math is
+    pytest-oracled against a dense numpy reference in all three regimes
+    (tests/test_graph_sharded.py)."""
+    from ..stages.graph_query import pagerank
+
+    res = _kg_result(sf_dir)
+    pr = pagerank(res.nodes(), res.edges(), damping=0.85, iters=20,
+                  weight_col="strength")
+    return pr.sort(["rank_r", "name", "type"], descending=[True, False, False]).limit(20)
+
+
 def q_kg_hits(sf_dir: str):
     """HITS hubs & authorities over the flagship KG (Kleinberg 1999):
     pagerank's broadcast-vector / distributed-edge-scatter topology with
@@ -6311,6 +6327,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "q_neardup_lsh": q_neardup_lsh,
     "q_kg_pagerank": q_kg_pagerank,
+    "q_kg_pagerank_weighted": q_kg_pagerank_weighted,
     "q_kg_hits": q_kg_hits,
     "q_kg_ppr": q_kg_ppr,
     "q_phash_neardup": q_phash_neardup,
@@ -6398,6 +6415,9 @@ PYTEST_ORACLES: dict[str, list[str]] = {
     ],
     "q_kg_pagerank": [
         "tests/test_embedder_query_multimodal.py::test_pagerank_matches_dense_reference",
+    ],
+    "q_kg_pagerank_weighted": [
+        "tests/test_graph_sharded.py::test_weighted_pagerank_matches_reference_all_regimes",
     ],
     "q_kg_hits": [
         "tests/test_hits.py::test_hits_matches_dense_reference",

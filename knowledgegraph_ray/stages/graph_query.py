@@ -119,15 +119,20 @@ def stats(nodes, edges) -> dict:
 def _pr_scatter_fn(tbl, w):
     """One edge block (pre-sorted by di) → SPARSE (dst index, mass) partial:
     segment sums via one reduceat — output size is the block's DISTINCT dst
-    count, never the node count."""
+    count, never the node count.  Blocks carrying a ``we`` column (weighted
+    pagerank) scale each edge's mass by its weight; unweighted blocks take
+    the identical code path they always did."""
     # num_rows check BEFORE column access: a zero-row block that skipped
     # map_batches can carry a degenerate empty schema (no si/di columns)
     if tbl.num_rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     di = tbl.column("di").to_numpy(zero_copy_only=False)
     si = tbl.column("si").to_numpy(zero_copy_only=False)
+    vals = w[si]
+    if "we" in tbl.column_names:
+        vals = vals * tbl.column("we").to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
-    return di[starts], np.add.reduceat(w[si], starts)
+    return di[starts], np.add.reduceat(vals, starts)
 
 
 def _pr_combine_fn(n, *parts):
@@ -158,6 +163,7 @@ def pagerank(
     personalization: "list[tuple[str, str]] | None" = None,
     shard_size: int | None = None,
     large_graph_nodes: int = 50_000_000,
+    weight_col: str | None = None,
 ) -> rd.Dataset:
     """Distributed PageRank over the built KG → (name, type, rank_r).
 
@@ -167,6 +173,12 @@ def pagerank(
     ranking).  Seeds absent from the nodes table are ignored; all-absent
     raises.  The unpersonalized path keeps its original scalar update
     expression so existing results stay bit-identical.
+
+    ``weight_col``: optional edge-weight column (the KG's ``strength``) —
+    node i then distributes rank proportionally to outgoing weights
+    (r[i]·w(i,j)/Σ_out w(i,·)); zero-total-weight nodes are dangling.
+    Nulls weigh 1.0.  All three regimes honor it (weighted regime-equality
+    tested); with weight_col=None every code path and result is unchanged.
 
     The iterative-graph-algorithm pattern: the NODE VECTOR broadcasts (the
     canonical node table is orders of magnitude smaller than the corpus that
@@ -207,6 +219,7 @@ def pagerank(
             nodes_mat, edges_ds, damping=damping, iters=iters,
             shard_size=shard_size or 4_000_000,
             personalization=personalization,
+            weight_col=weight_col,
         )
 
     # sorted node-key index (one bounded task; broadcast by ref)
@@ -244,23 +257,41 @@ def pagerank(
         keep = src_ok & dst_ok  # drop edges with unmatched endpoints
         src, dst = src[keep], dst[keep]
         order = np.argsort(dst, kind="stable")  # pre-sort ONCE for reduceat
-        return pa.table({
+        cols = {
             "si": pa.array(src[order], pa.int64()),
             "di": pa.array(dst[order], pa.int64()),
-        })
+        }
+        if weight_col is not None:
+            we = pc.cast(
+                pc.fill_null(b.column(weight_col), 1.0), pa.float64()
+            ).to_numpy(zero_copy_only=False)[keep]
+            cols["we"] = pa.array(we[order], pa.float64())
+        return pa.table(cols)
 
     eidx = edges_ds.map_batches(edge_idx, batch_format="pyarrow").materialize()
     block_refs = [ref for ref in eidx.to_arrow_refs()]
 
     # out-degree: sparse per-block partials, ONE dense combine on the driver
     # (the driver holds r/deg — O(nodes) — by design; the scale bound is the
-    # broadcastable node count, not blocks × nodes)
+    # broadcastable node count, not blocks × nodes).  Weighted: the divisor
+    # is each node's TOTAL outgoing weight instead of its edge count.
     def deg_partial(b: pa.Table) -> pa.Table:
         si = b.column("si").to_numpy(zero_copy_only=False)
+        if weight_col is not None:
+            order = np.argsort(si, kind="stable")
+            s = si[order]
+            we = b.column("we").to_numpy(zero_copy_only=False)[order]
+            starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+            return pa.table({
+                "i": pa.array(s[starts], pa.int64()),
+                "d": pa.array(np.add.reduceat(we, starts)
+                              if s.size else np.empty(0, np.float64),
+                              pa.float64()),
+            })
         u, c = np.unique(si, return_counts=True)
         return pa.table({"i": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())})
 
-    deg = np.zeros(n, np.int64)
+    deg = np.zeros(n, np.float64 if weight_col is not None else np.int64)
     for t in ray.get(eidx.map_batches(deg_partial, batch_format="pyarrow").materialize().to_arrow_refs()):
         if t.num_rows:
             np.add.at(deg, t.column("i").to_numpy(zero_copy_only=False),
@@ -281,7 +312,9 @@ def pagerank(
         np.add.at(p, pos, 1.0 / pos.size)
 
     r = np.full(n, 1.0 / n) if p is None else p.copy()
-    safe_deg = np.maximum(deg, 1)
+    # np.where == np.maximum bit-exactly for the integer unweighted degree;
+    # for weighted degrees < 1 the where form is the correct safe divisor
+    safe_deg = np.where(deg > 0, deg, 1)
     m = eidx.count()
     if m <= small_graph_edges:
         # SMALL-GRAPH REGIME (the CC three-regime precedent): below the
@@ -346,6 +379,7 @@ def _vertex_cut(
     shard_size: int,
     *,
     with_reverse: bool = False,
+    weight_col: str | None = None,
 ) -> "dict | None":
     """Shared vertex-cut layout for the iterative graph ops (pagerank,
     hits): the node set is HASH-SHARDED so no process — driver included —
@@ -443,7 +477,7 @@ def _vertex_cut(
         size_refs.append(zref)
     sizes = ray.get(size_refs)  # S ints — the only per-shard driver state
 
-    # ---- edge exchange 1: (src hash, dst hash) rows → src shards ----
+    # ---- edge exchange 1: (src hash, dst hash[, weight]) rows → src shards ----
     def edge_hashes(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
         sh = hash_key_columns(
@@ -454,8 +488,12 @@ def _vertex_cut(
             b.select(["dst", "dst_type"]).rename_columns(["name", "type"]),
             ["name", "type"],
         )
-        return pa.table({"sh": pa.array(sh, pa.uint64()),
-                         "dh": pa.array(dh, pa.uint64())})
+        cols = {"sh": pa.array(sh, pa.uint64()), "dh": pa.array(dh, pa.uint64())}
+        if weight_col is not None:
+            cols["we"] = pc.cast(
+                pc.fill_null(b.column(weight_col), 1.0), pa.float64()
+            )
+        return pa.table(cols)
 
     emat = edges_ds.map_batches(edge_hashes, batch_format="pyarrow").materialize()
 
@@ -486,8 +524,14 @@ def _vertex_cut(
         dh = t.column("dh").to_numpy(zero_copy_only=False)[keep]
         if si.size == 0:
             return empty
-        out = pa.table({"si": pa.array(si, pa.int64()),
-                        "dh": pa.array(dh, pa.uint64())})
+        cols = {"si": pa.array(si, pa.int64()),
+                "dh": pa.array(dh, pa.uint64())}
+        if "we" in t.column_names:
+            cols["we"] = pa.array(
+                t.column("we").to_numpy(zero_copy_only=False)[keep],
+                pa.float64(),
+            )
+        out = pa.table(cols)
         if S == 1:
             return out
         return _split_tbl_by_part(out, (dh % uS).astype(np.int64), S)
@@ -520,9 +564,14 @@ def _vertex_cut(
         si = sl.column("si").to_numpy(zero_copy_only=False)[keep]
         if di.size == 0:
             return None, None, none_part, 0
+        we = (sl.column("we").to_numpy(zero_copy_only=False)[keep]
+              if "we" in sl.column_names else None)
         order = np.argsort(di, kind="stable")
-        blk = pa.table({"si": pa.array(si[order], pa.int64()),
-                        "di": pa.array(di[order], pa.int64())})
+        cols = {"si": pa.array(si[order], pa.int64()),
+                "di": pa.array(di[order], pa.int64())}
+        if we is not None:
+            cols["we"] = pa.array(we[order], pa.float64())
+        blk = pa.table(cols)
         rev = None
         if with_reverse:
             # swapped orientation: lookup slot ← dst index, group slot ←
@@ -531,6 +580,12 @@ def _vertex_cut(
             rorder = np.argsort(si, kind="stable")
             rev = pa.table({"si": pa.array(di[rorder], pa.int64()),
                             "di": pa.array(si[rorder], pa.int64())})
+        if we is not None:
+            # weighted out-degree partial: per-src total outgoing weight
+            sorder = np.argsort(si, kind="stable")
+            s = si[sorder]
+            starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+            return blk, rev, (s[starts], np.add.reduceat(we[sorder], starts)), int(di.size)
         u, c = np.unique(si, return_counts=True)
         return blk, rev, (u, c.astype(np.int64)), int(di.size)
 
@@ -565,6 +620,7 @@ def _pagerank_sharded(
     iters: int,
     shard_size: int,
     personalization: "list[tuple[str, str]] | None" = None,
+    weight_col: str | None = None,
 ) -> rd.Dataset:
     """Vertex-cut PageRank over the `_vertex_cut` layout.
 
@@ -580,16 +636,17 @@ def _pagerank_sharded(
 
     from ..functions.hashing import hash_key_columns
 
-    vc = _vertex_cut(nodes_ds, edges_ds, shard_size)
+    vc = _vertex_cut(nodes_ds, edges_ds, shard_size, weight_col=weight_col)
     if vc is None:
         return rd.from_arrow(_PR_OUT_SCHEMA.empty_table())
     S, n, sizes = vc["S"], vc["n"], vc["sizes"]
     shard_refs, edge_blocks, deg_parts = vc["shard_refs"], vc["fwd"], vc["deg_parts"]
     uS = np.uint64(S)
+    deg_dtype = np.float64 if weight_col is not None else np.int64
 
     @ray.remote
     def _deg_shard(size: int, *parts):
-        deg = np.zeros(size, np.int64)
+        deg = np.zeros(size, deg_dtype)
         for u, c in parts:
             if len(u):
                 deg[u] += c  # indices unique within one partial
@@ -636,7 +693,9 @@ def _pagerank_sharded(
     # ---- iterate: only shard-sized vectors + S scalars move ----
     @ray.remote(num_returns=2)
     def _w_and_dangling(r_s: np.ndarray, deg_s: np.ndarray):
-        return r_s / np.maximum(deg_s, 1), float(r_s[deg_s == 0].sum())
+        # where == maximum bit-exactly for integer degrees; correct for
+        # weighted degrees < 1 (dense path's safe_deg)
+        return r_s / np.where(deg_s > 0, deg_s, 1), float(r_s[deg_s == 0].sum())
 
     @ray.remote(num_cpus=0)
     def _shard_update(size: int, dangling: float, p_s, *parts):

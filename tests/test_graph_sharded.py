@@ -323,3 +323,71 @@ def test_khop_star_graph_hands_off_before_pulling_the_explosion(ray_session):
     ref = _khop_rows(khop(ds, ["seed"], k=2, direction="out"))
     assert rows == ref
     assert rows["hub"] == 1 and rows["leaf7"] == 2 and len(rows) == 42
+
+
+# ---------------------------------------------------------------------------
+# weighted pagerank (weight_col): all three regimes
+# ---------------------------------------------------------------------------
+
+def _weighted_pr_reference(names, edges_w, iters=25, damping=0.85):
+    """Dense numpy weighted power iteration with the engine's dangling
+    handling: contribution i→j = r[i]·w(i,j)/Σ_out w(i,·)."""
+    idx = {n_: i for i, n_ in enumerate(names)}
+    n = len(names)
+    wdeg = np.zeros(n)
+    A = np.zeros((n, n))
+    for s, d, w in edges_w:
+        wdeg[idx[s]] += w
+        A[idx[d], idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        wv = r / np.where(wdeg > 0, wdeg, 1)
+        contrib = A @ wv
+        dangling = r[wdeg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {nm: np.floor(r[idx[nm]] * 1e8) / 1e8 for nm in names}
+
+
+def test_weighted_pagerank_matches_reference_all_regimes(ray_session):
+    names = ["a", "b", "c", "d"]
+    # c has no outgoing weight (dangling); heavy a->d edge dominates
+    edges_w = [("a", "b", 1.0), ("a", "d", 9.0), ("b", "d", 2.0),
+               ("d", "a", 0.5)]
+    nodes = pa.table({"name": names, "type": ["t"] * 4})
+    edges = pa.table({
+        "src": [s for s, _, _ in edges_w],
+        "dst": [d for _, d, _ in edges_w],
+        "src_type": ["t"] * 4, "dst_type": ["t"] * 4,
+        "strength": pa.array([w for _, _, w in edges_w], pa.float32()),
+    })
+    nd = rd.from_arrow(nodes).repartition(2)
+    ed = rd.from_arrow(edges).repartition(2)
+    ref = _weighted_pr_reference(names, edges_w)
+
+    for kwargs in ({}, {"small_graph_edges": 0}, {"shard_size": 2}):
+        got = pagerank(nd, ed, iters=25, weight_col="strength", **kwargs) \
+            .to_pandas().set_index("name")["rank_r"]
+        for nm in names:
+            assert abs(got[nm] - ref[nm]) <= 1.0000001e-8, (kwargs, nm)
+    # d (heavy in-weight) must outrank b
+    assert ref["d"] > ref["b"]
+
+    # weight_col=None still matches the original unweighted reference
+    unw = pagerank(nd, ed, iters=25).to_pandas().set_index("name")["rank_r"]
+    unw_s = pagerank(nd, ed, iters=25, shard_size=2) \
+        .to_pandas().set_index("name")["rank_r"]
+    assert np.max(np.abs(unw.sort_index().values - unw_s.sort_index().values)) \
+        <= 1.0000001e-8
+
+
+def test_weighted_pagerank_null_weights_default_to_one(ray_session):
+    nodes = pa.table({"name": ["a", "b"], "type": ["t"] * 2})
+    edges = pa.table({
+        "src": ["a"], "dst": ["b"], "src_type": ["t"], "dst_type": ["t"],
+        "strength": pa.array([None], pa.float32()),
+    })
+    nd, ed = rd.from_arrow(nodes), rd.from_arrow(edges)
+    w = pagerank(nd, ed, iters=10, weight_col="strength") \
+        .to_pandas().set_index("name")["rank_r"]
+    u = pagerank(nd, ed, iters=10).to_pandas().set_index("name")["rank_r"]
+    assert (w == u).all()  # null weight == 1.0 == the unweighted graph
