@@ -391,3 +391,28 @@ def test_weighted_pagerank_null_weights_default_to_one(ray_session):
         .to_pandas().set_index("name")["rank_r"]
     u = pagerank(nd, ed, iters=10).to_pandas().set_index("name")["rank_r"]
     assert (w == u).all()  # null weight == 1.0 == the unweighted graph
+
+
+def test_weighted_personalized_pagerank_combo(ray_session):
+    """weight_col composes with personalization: teleport/dangling mass on
+    the seeds, flow proportional to weights — dense vs sharded agree."""
+    names = ["a", "b", "c", "d", "e"]
+    edges_w = [("a", "b", 3.0), ("b", "c", 1.0), ("c", "a", 2.0),
+               ("a", "d", 1.0), ("d", "e", 4.0)]
+    nodes = pa.table({"name": names, "type": ["t"] * 5})
+    edges = pa.table({
+        "src": [s for s, _, _ in edges_w], "dst": [d for _, d, _ in edges_w],
+        "src_type": ["t"] * 5, "dst_type": ["t"] * 5,
+        "strength": pa.array([w for _, _, w in edges_w], pa.float64()),
+    })
+    nd, ed = rd.from_arrow(nodes), rd.from_arrow(edges).repartition(2)
+    seeds = [("a", "t")]
+    dense = pagerank(nd, ed, iters=20, weight_col="strength",
+                     personalization=seeds).to_pandas() \
+        .set_index("name")["rank_r"].sort_index()
+    shard = pagerank(nd, ed, iters=20, weight_col="strength",
+                     personalization=seeds, shard_size=2).to_pandas() \
+        .set_index("name")["rank_r"].sort_index()
+    assert np.max(np.abs(dense.values - shard.values)) <= 1.0000001e-8
+    # seed-personalized: a (the seed) holds the most mass
+    assert dense.idxmax() == "a"
